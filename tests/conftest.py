@@ -1,0 +1,41 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths
+compile and execute without TPU hardware (the driver separately
+dry-runs the multichip path).  Must be set before jax is imported.
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import pytest  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+TESTDATA = REFERENCE / "testdata"
+GOLDEN = REFERENCE / "golden"
+
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+
+
+@pytest.fixture(scope="session")
+def testdata():
+    if not TESTDATA.is_dir():
+        pytest.skip("reference testdata not available")
+    return TESTDATA
+
+
+@pytest.fixture(scope="session")
+def golden():
+    if not GOLDEN.is_dir():
+        pytest.skip("reference golden corpus not available")
+    return GOLDEN
