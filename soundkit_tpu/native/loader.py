@@ -1,0 +1,65 @@
+"""ctypes loader for the native host library.
+
+Builds ``libsoundkit_host.so`` lazily with ``make`` on first import if
+missing or stale (any ``src/*.cpp`` newer than the .so).  The native
+layer hosts the entropy-coded bitstream decoders (FLAC Rice, MP3/AAC
+Huffman) that are hostile to TPU execution (SURVEY.md §7 hard parts).
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+NATIVE_DIR = Path(__file__).resolve().parent
+LIB_PATH = NATIVE_DIR / "libsoundkit_host.so"
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _needs_build() -> bool:
+    if not LIB_PATH.exists():
+        return True
+    lib_mtime = LIB_PATH.stat().st_mtime
+    return any(
+        src.stat().st_mtime > lib_mtime for src in (NATIVE_DIR / "src").glob("*.cpp")
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def load() -> ctypes.CDLL:
+    if _needs_build():
+        proc = subprocess.run(
+            ["make", "-C", str(NATIVE_DIR)], capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise NativeBuildError(
+                f"native build failed:\n{proc.stdout}\n{proc.stderr}"
+            )
+    lib = ctypes.CDLL(str(LIB_PATH))
+
+    lib.skt_flac_new.restype = ctypes.c_void_p
+    lib.skt_flac_free.argtypes = [ctypes.c_void_p]
+    lib.skt_flac_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_flac_push.restype = ctypes.c_int
+    lib.skt_flac_info.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.skt_flac_info.restype = ctypes.c_int
+    lib.skt_flac_md5.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.skt_flac_pull.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long,
+    ]
+    lib.skt_flac_pull.restype = ctypes.c_long
+    lib.skt_flac_error.argtypes = [ctypes.c_void_p]
+    lib.skt_flac_error.restype = ctypes.c_char_p
+    return lib

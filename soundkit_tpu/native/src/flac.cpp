@@ -1,0 +1,504 @@
+// FLAC host-side decoder: container parse, frame/subframe bitstream
+// decode, Rice residual decode, LPC/fixed reconstruction.
+//
+// Role-equivalent of the reference's claxon backend
+// (soundkit-flac/src/lib.rs:646-780 FlacDecoderClaxon) but written
+// from the FLAC format specification as the framework's native host
+// path (SURVEY.md §2.3: entropy decode stays on the host; the batched
+// device path receives residuals/coefficients via
+// skt_flac_frame_parts).
+//
+// C ABI (see loader.py):
+//   skt_flac_new/free          — streaming decoder handle
+//   skt_flac_push              — append bytes
+//   skt_flac_info              — stream parameters once known
+//   skt_flac_pull              — drain decoded interleaved int32
+//   skt_flac_md5               — STREAMINFO md5 (16 bytes)
+//   skt_flac_frame_parts       — decode next frame but export
+//                                residuals + coeffs (device-LPC mode)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <stdexcept>
+
+namespace {
+
+struct OutOfData : std::exception {};
+struct BadStream : std::exception {
+    const char* msg;
+    explicit BadStream(const char* m) : msg(m) {}
+};
+
+class BitReader {
+  public:
+    BitReader(const uint8_t* data, size_t len) : data_(data), len_(len) {}
+
+    size_t byte_pos() const { return pos_; }
+    size_t bit_offset() const { return bitpos_; }
+
+    bool at_byte_boundary() const { return bitpos_ == 0; }
+
+    void align_byte() {
+        if (bitpos_) { bitpos_ = 0; ++pos_; }
+    }
+
+    uint32_t read_bits(unsigned n) {  // n <= 32
+        uint32_t v = 0;
+        while (n > 0) {
+            if (pos_ >= len_) throw OutOfData{};
+            unsigned avail = 8 - bitpos_;
+            unsigned take = n < avail ? n : avail;
+            unsigned shift = avail - take;
+            uint32_t bits = (data_[pos_] >> shift) & ((1u << take) - 1u);
+            v = (v << take) | bits;
+            bitpos_ += take;
+            if (bitpos_ == 8) { bitpos_ = 0; ++pos_; }
+            n -= take;
+        }
+        return v;
+    }
+
+    uint64_t read_bits64(unsigned n) {  // n <= 64
+        if (n <= 32) return read_bits(n);
+        uint64_t hi = read_bits(n - 32);
+        uint64_t lo = read_bits(32);
+        return (hi << 32) | lo;
+    }
+
+    int32_t read_signed(unsigned n) {
+        uint32_t v = read_bits(n);
+        if (n == 0) return 0;
+        if (n < 32 && (v & (1u << (n - 1)))) {
+            return (int32_t)(v | (~0u << n));
+        }
+        return (int32_t)v;
+    }
+
+    uint32_t read_unary() {
+        uint32_t q = 0;
+        for (;;) {
+            if (pos_ >= len_) throw OutOfData{};
+            uint8_t byte = data_[pos_];
+            uint8_t rem = (uint8_t)(byte << bitpos_);
+            if (rem == 0) {
+                q += 8 - bitpos_;
+                bitpos_ = 0;
+                ++pos_;
+                continue;
+            }
+            // count leading zeros within the remaining bits
+            unsigned lz = 0;
+            while (!(rem & 0x80)) { rem <<= 1; ++lz; }
+            q += lz;
+            bitpos_ += lz + 1;  // consume zeros + the terminating 1
+            if (bitpos_ >= 8) { bitpos_ -= 8; ++pos_; }
+            return q;
+        }
+    }
+
+    void seek(size_t byte, unsigned bit) { pos_ = byte; bitpos_ = bit; }
+
+  private:
+    const uint8_t* data_;
+    size_t len_;
+    size_t pos_ = 0;
+    unsigned bitpos_ = 0;
+};
+
+// CRC-8 poly 0x07 (frame header)
+uint8_t crc8(const uint8_t* data, size_t len) {
+    uint8_t crc = 0;
+    for (size_t i = 0; i < len; ++i) {
+        crc ^= data[i];
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+    }
+    return crc;
+}
+
+// CRC-16 poly 0x8005 (whole frame)
+uint16_t crc16(const uint8_t* data, size_t len) {
+    uint16_t crc = 0;
+    for (size_t i = 0; i < len; ++i) {
+        crc ^= (uint16_t)data[i] << 8;
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005) : (uint16_t)(crc << 1);
+    }
+    return crc;
+}
+
+struct StreamInfo {
+    uint32_t min_block = 0, max_block = 0;
+    uint32_t sample_rate = 0;
+    uint32_t channels = 0;
+    uint32_t bits_per_sample = 0;
+    uint64_t total_samples = 0;
+    uint8_t md5[16] = {0};
+    bool valid = false;
+};
+
+struct FrameInfo {
+    uint32_t block_size = 0;
+    uint32_t sample_rate = 0;
+    uint32_t channels = 0;
+    uint32_t channel_assignment = 0;  // 0..7 independent, 8 L/S, 9 R/S, 10 M/S
+    uint32_t bits_per_sample = 0;
+    uint64_t number = 0;
+    size_t frame_bytes = 0;  // total encoded size incl. crc16
+};
+
+// decoded subframe structure for the device-export mode
+struct SubframeParts {
+    int type = 0;        // 0 const, 1 verbatim, 2 fixed, 3 lpc
+    int order = 0;
+    int shift = 0;
+    int wasted = 0;
+    std::vector<int32_t> coeffs;     // lpc only
+    std::vector<int32_t> warmup;     // order entries (fixed/lpc)
+    std::vector<int32_t> residual;   // block_size - order entries
+    std::vector<int32_t> verbatim;   // const(1)/verbatim(block) raw
+};
+
+void read_residual(BitReader& br, uint32_t block_size, uint32_t order,
+                   std::vector<int32_t>& out) {
+    uint32_t method = br.read_bits(2);
+    if (method > 1) throw BadStream{"bad residual method"};
+    unsigned plen = method == 0 ? 4 : 5;
+    uint32_t escape = method == 0 ? 15 : 31;
+    uint32_t porder = br.read_bits(4);
+    uint32_t partitions = 1u << porder;
+    if (block_size % partitions) throw BadStream{"bad partition order"};
+    uint32_t psize = block_size >> porder;
+    out.clear();
+    out.reserve(block_size - order);
+    for (uint32_t p = 0; p < partitions; ++p) {
+        uint32_t count = psize - (p == 0 ? order : 0);
+        uint32_t param = br.read_bits(plen);
+        if (param == escape) {
+            uint32_t raw = br.read_bits(5);
+            for (uint32_t i = 0; i < count; ++i)
+                out.push_back(raw ? br.read_signed(raw) : 0);
+        } else {
+            for (uint32_t i = 0; i < count; ++i) {
+                uint32_t q = br.read_unary();
+                uint32_t r = param ? br.read_bits(param) : 0;
+                uint32_t zz = (q << param) | r;
+                out.push_back((int32_t)(zz >> 1) ^ -(int32_t)(zz & 1));
+            }
+        }
+    }
+}
+
+void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
+                     SubframeParts& sf, std::vector<int64_t>& samples) {
+    if (br.read_bits(1) != 0) throw BadStream{"subframe reserved bit"};
+    uint32_t type = br.read_bits(6);
+    uint32_t wasted = 0;
+    if (br.read_bits(1)) wasted = br.read_unary() + 1;
+    uint32_t ebps = bps - wasted;
+    sf.wasted = (int)wasted;
+
+    samples.assign(block_size, 0);
+
+    if (type == 0) {  // CONSTANT
+        int32_t v = br.read_signed(ebps);
+        sf.type = 0;
+        sf.verbatim.assign(1, v);
+        for (uint32_t i = 0; i < block_size; ++i) samples[i] = v;
+    } else if (type == 1) {  // VERBATIM
+        sf.type = 1;
+        sf.verbatim.resize(block_size);
+        for (uint32_t i = 0; i < block_size; ++i) {
+            sf.verbatim[i] = br.read_signed(ebps);
+            samples[i] = sf.verbatim[i];
+        }
+    } else if (type >= 8 && type <= 12) {  // FIXED order 0-4
+        uint32_t order = type - 8;
+        sf.type = 2;
+        sf.order = (int)order;
+        sf.warmup.resize(order);
+        for (uint32_t i = 0; i < order; ++i) {
+            sf.warmup[i] = br.read_signed(ebps);
+            samples[i] = sf.warmup[i];
+        }
+        read_residual(br, block_size, order, sf.residual);
+        const int64_t* s = samples.data();
+        for (uint32_t i = order; i < block_size; ++i) {
+            int64_t pred = 0;
+            switch (order) {
+                case 0: pred = 0; break;
+                case 1: pred = s[i - 1]; break;
+                case 2: pred = 2 * s[i - 1] - s[i - 2]; break;
+                case 3: pred = 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]; break;
+                case 4: pred = 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4]; break;
+            }
+            samples[i] = pred + sf.residual[i - order];
+        }
+    } else if (type >= 32) {  // LPC, order = (type & 31) + 1
+        uint32_t order = (type & 31) + 1;
+        sf.type = 3;
+        sf.order = (int)order;
+        sf.warmup.resize(order);
+        for (uint32_t i = 0; i < order; ++i) {
+            sf.warmup[i] = br.read_signed(ebps);
+            samples[i] = sf.warmup[i];
+        }
+        uint32_t prec = br.read_bits(4);
+        if (prec == 15) throw BadStream{"bad qlp precision"};
+        prec += 1;
+        int32_t shift = br.read_signed(5);
+        if (shift < 0) throw BadStream{"negative qlp shift"};
+        sf.shift = shift;
+        sf.coeffs.resize(order);
+        for (uint32_t i = 0; i < order; ++i) sf.coeffs[i] = br.read_signed(prec);
+        read_residual(br, block_size, order, sf.residual);
+        for (uint32_t i = order; i < block_size; ++i) {
+            int64_t acc = 0;
+            for (uint32_t k = 0; k < order; ++k)
+                acc += (int64_t)sf.coeffs[k] * samples[i - 1 - k];
+            samples[i] = (acc >> shift) + sf.residual[i - order];
+        }
+    } else {
+        throw BadStream{"reserved subframe type"};
+    }
+
+    if (wasted) {
+        for (uint32_t i = 0; i < block_size; ++i) samples[i] <<= wasted;
+    }
+}
+
+uint64_t read_utf8_number(BitReader& br) {
+    uint32_t b0 = br.read_bits(8);
+    if (!(b0 & 0x80)) return b0;
+    unsigned n = 0;
+    for (uint32_t m = 0x80; b0 & m; m >>= 1) ++n;
+    if (n < 2 || n > 7) throw BadStream{"bad utf8 number"};
+    uint64_t v = b0 & (0x7Fu >> n);
+    for (unsigned i = 1; i < n; ++i) {
+        uint32_t b = br.read_bits(8);
+        if ((b & 0xC0) != 0x80) throw BadStream{"bad utf8 continuation"};
+        v = (v << 6) | (b & 0x3F);
+    }
+    return v;
+}
+
+struct FlacDecoder {
+    std::vector<uint8_t> buf;
+    size_t consumed = 0;         // bytes of buf fully decoded
+    StreamInfo info;
+    bool header_done = false;
+    std::vector<int32_t> out;    // decoded interleaved samples pending pull
+    uint64_t samples_decoded = 0;
+    char error[128] = {0};
+
+    // scratch for device-export mode
+    std::vector<SubframeParts> last_parts;
+    FrameInfo last_frame;
+
+    void compact() {
+        if (consumed > (1u << 20)) {
+            buf.erase(buf.begin(), buf.begin() + consumed);
+            consumed = 0;
+        }
+    }
+
+    bool parse_header() {
+        // "fLaC" + metadata blocks; also accept headerless raw frame
+        // streams (the reference's independently-framed FLAC packets,
+        // soundkit-flac/src/frame_codec.rs) which start at a frame sync
+        if (buf.size() < consumed + 4) return false;
+        if (memcmp(buf.data() + consumed, "fLaC", 4) != 0) {
+            if (buf[consumed] == 0xFF && (buf[consumed + 1] & 0xFC) == 0xF8) {
+                header_done = true;  // raw frames; info filled from frame 1
+                return true;
+            }
+            snprintf(error, sizeof error, "not a FLAC stream");
+            throw BadStream{"not flac"};
+        }
+        size_t p = consumed + 4;
+        for (;;) {
+            if (buf.size() < p + 4) return false;
+            uint8_t h = buf[p];
+            uint32_t len = ((uint32_t)buf[p + 1] << 16) | ((uint32_t)buf[p + 2] << 8) | buf[p + 3];
+            if (buf.size() < p + 4 + len) return false;
+            if ((h & 0x7F) == 0) {  // STREAMINFO
+                const uint8_t* d = buf.data() + p + 4;
+                if (len < 34) throw BadStream{"short streaminfo"};
+                info.min_block = ((uint32_t)d[0] << 8) | d[1];
+                info.max_block = ((uint32_t)d[2] << 8) | d[3];
+                info.sample_rate = ((uint32_t)d[10] << 12) | ((uint32_t)d[11] << 4) | (d[12] >> 4);
+                info.channels = ((d[12] >> 1) & 0x7) + 1;
+                info.bits_per_sample = (((d[12] & 1) << 4) | (d[13] >> 4)) + 1;
+                info.total_samples = ((uint64_t)(d[13] & 0x0F) << 32) |
+                                     ((uint64_t)d[14] << 24) | ((uint64_t)d[15] << 16) |
+                                     ((uint64_t)d[16] << 8) | d[17];
+                memcpy(info.md5, d + 18, 16);
+                info.valid = true;
+            }
+            p += 4 + len;
+            if (h & 0x80) break;  // last block
+        }
+        consumed = p;
+        header_done = true;
+        return true;
+    }
+
+    // attempt to decode one frame starting at `consumed`; returns false if
+    // more data needed
+    bool decode_frame(bool export_parts) {
+        size_t avail = buf.size() - consumed;
+        if (avail < 5) return false;
+        BitReader br(buf.data() + consumed, avail);
+        FrameInfo fi;
+        try {
+            uint32_t sync = br.read_bits(14);
+            if (sync != 0x3FFE) throw BadStream{"lost sync"};
+            if (br.read_bits(1) != 0) throw BadStream{"frame reserved bit"};
+            br.read_bits(1);  // blocking strategy
+            uint32_t bs_code = br.read_bits(4);
+            uint32_t sr_code = br.read_bits(4);
+            uint32_t ch_code = br.read_bits(4);
+            uint32_t ss_code = br.read_bits(3);
+            if (br.read_bits(1) != 0) throw BadStream{"frame reserved bit 2"};
+            fi.number = read_utf8_number(br);
+
+            switch (bs_code) {
+                case 0: throw BadStream{"reserved block size"};
+                case 1: fi.block_size = 192; break;
+                case 6: fi.block_size = br.read_bits(8) + 1; break;
+                case 7: fi.block_size = br.read_bits(16) + 1; break;
+                default:
+                    fi.block_size = bs_code <= 5 ? (576u << (bs_code - 2))
+                                                 : (256u << (bs_code - 8));
+            }
+            static const uint32_t rates[] = {0, 88200, 176400, 192000, 8000, 16000,
+                                             22050, 24000, 32000, 44100, 48000, 96000};
+            if (sr_code == 0) fi.sample_rate = info.sample_rate;
+            else if (sr_code <= 11) fi.sample_rate = rates[sr_code];
+            else if (sr_code == 12) fi.sample_rate = br.read_bits(8) * 1000;
+            else if (sr_code == 13) fi.sample_rate = br.read_bits(16);
+            else if (sr_code == 14) fi.sample_rate = br.read_bits(16) * 10;
+            else throw BadStream{"bad sample rate code"};
+
+            fi.channel_assignment = ch_code;
+            fi.channels = ch_code < 8 ? ch_code + 1 : 2;
+
+            static const uint32_t sizes[] = {0, 8, 12, 0, 16, 20, 24, 32};
+            fi.bits_per_sample = ss_code == 0 ? info.bits_per_sample : sizes[ss_code];
+            if (fi.bits_per_sample == 0) throw BadStream{"bad sample size code"};
+
+            // CRC-8 over header bytes
+            size_t hdr_len = br.byte_pos() + (br.at_byte_boundary() ? 0 : 1);
+            uint8_t expect = (uint8_t)br.read_bits(8);
+            if (crc8(buf.data() + consumed, hdr_len) != expect)
+                throw BadStream{"frame header crc"};
+
+            if (export_parts) last_parts.assign(fi.channels, SubframeParts{});
+
+            std::vector<std::vector<int64_t>> chan(fi.channels);
+            std::vector<int64_t> tmp;
+            SubframeParts dummy;
+            for (uint32_t c = 0; c < fi.channels; ++c) {
+                uint32_t bps = fi.bits_per_sample;
+                // side channels carry one extra bit
+                if ((fi.channel_assignment == 8 && c == 1) ||
+                    (fi.channel_assignment == 9 && c == 0) ||
+                    (fi.channel_assignment == 10 && c == 1))
+                    bps += 1;
+                SubframeParts& sf = export_parts ? last_parts[c] : dummy;
+                decode_subframe(br, fi.block_size, bps, sf, tmp);
+                chan[c] = tmp;
+            }
+            br.align_byte();
+            size_t crc_pos = br.byte_pos();
+            uint16_t expect16 = (uint16_t)br.read_bits(16);
+            if (crc16(buf.data() + consumed, crc_pos) != expect16)
+                throw BadStream{"frame crc16"};
+            fi.frame_bytes = br.byte_pos();
+
+            // stereo decorrelation
+            if (fi.channel_assignment == 8) {         // left/side
+                for (uint32_t i = 0; i < fi.block_size; ++i)
+                    chan[1][i] = chan[0][i] - chan[1][i];
+            } else if (fi.channel_assignment == 9) {  // right/side
+                for (uint32_t i = 0; i < fi.block_size; ++i)
+                    chan[0][i] = chan[1][i] + chan[0][i];
+            } else if (fi.channel_assignment == 10) { // mid/side
+                for (uint32_t i = 0; i < fi.block_size; ++i) {
+                    int64_t side = chan[1][i];
+                    int64_t mid = (chan[0][i] << 1) | (side & 1);
+                    chan[0][i] = (mid + side) >> 1;
+                    chan[1][i] = (mid - side) >> 1;
+                }
+            }
+
+            for (uint32_t i = 0; i < fi.block_size; ++i)
+                for (uint32_t c = 0; c < fi.channels; ++c)
+                    out.push_back((int32_t)chan[c][i]);
+
+            consumed += fi.frame_bytes;
+            samples_decoded += fi.block_size;
+            last_frame = fi;
+            if (!info.valid) {  // raw frame stream: adopt frame params
+                info.sample_rate = fi.sample_rate;
+                info.channels = fi.channels;
+                info.bits_per_sample = fi.bits_per_sample;
+                info.valid = true;
+            }
+            compact();
+            return true;
+        } catch (OutOfData&) {
+            return false;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* skt_flac_new() { return new FlacDecoder(); }
+void skt_flac_free(void* h) { delete (FlacDecoder*)h; }
+
+// returns: 0 ok, -1 bad stream
+int skt_flac_push(void* h, const uint8_t* data, long len) {
+    auto* d = (FlacDecoder*)h;
+    d->buf.insert(d->buf.end(), data, data + len);
+    try {
+        if (!d->header_done && !d->parse_header()) return 0;
+        while (d->decode_frame(false)) {}
+        return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+}
+
+int skt_flac_info(void* h, int* channels, int* bits, long* rate, long long* total) {
+    auto* d = (FlacDecoder*)h;
+    if (!d->info.valid) return 0;
+    *channels = (int)d->info.channels;
+    *bits = (int)d->info.bits_per_sample;
+    *rate = (long)d->info.sample_rate;
+    *total = (long long)d->info.total_samples;
+    return 1;
+}
+
+void skt_flac_md5(void* h, uint8_t* out16) {
+    memcpy(out16, ((FlacDecoder*)h)->info.md5, 16);
+}
+
+// drain up to max_values interleaved int32s; returns count written
+long skt_flac_pull(void* h, int32_t* dst, long max_values) {
+    auto* d = (FlacDecoder*)h;
+    long n = (long)d->out.size() < max_values ? (long)d->out.size() : max_values;
+    memcpy(dst, d->out.data(), (size_t)n * sizeof(int32_t));
+    d->out.erase(d->out.begin(), d->out.begin() + n);
+    return n;
+}
+
+const char* skt_flac_error(void* h) { return ((FlacDecoder*)h)->error; }
+
+}  // extern "C"
