@@ -1,0 +1,188 @@
+"""Decode pipeline tests mirroring soundkit-decoder/src/lib.rs
+integration patterns (:1740-2597): explicit + autodetect decode per
+format, chunked input, DecodeOptions conversion, error-as-data."""
+import numpy as np
+import pytest
+
+from soundkit_tpu.codecs.g711 import G711Law
+from soundkit_tpu.codecs.g726 import G726Packing, G726Rate
+from soundkit_tpu.core.audio_types import AudioData, EncodingFlag
+from soundkit_tpu.core.raw_pcm import RawPcmFormat
+from soundkit_tpu.core.wav import parse_wav
+from soundkit_tpu.demux.detect import AudioType, detect_audio
+from soundkit_tpu.pipeline.decode_pipeline import DecodePipeline, StreamDecoder
+from soundkit_tpu.pipeline.output_options import (
+    DecodeOptions,
+    DecodeError,
+    FormatDetectionFailed,
+)
+
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+
+
+def _drive(handle, data: bytes, chunk=4096):
+    drained = []
+    for off in range(0, len(data), chunk):
+        handle.send_blocking(data[off : off + chunk], drained)
+    handle.send_blocking(b"", drained)
+    return drained + handle.recv_all()
+
+
+def _pcm_bytes(outputs):
+    datas = [o.data for o in outputs if isinstance(o, AudioData)]
+    errs = [o for o in outputs if isinstance(o, DecodeError)]
+    assert not errs, f"decode errors: {errs}"
+    return b"".join(datas)
+
+
+# --- detection matrix (access-unit equivalence) ---
+
+@pytest.mark.parametrize(
+    "path,expected",
+    [
+        ("wav_stereo/{}.wav", AudioType.WAV),
+        ("flac/{}.flac", AudioType.FLAC),
+        ("mp3/{}.mp3", AudioType.MP3),
+        ("ogg_opus/{}.ogg", AudioType.OGG_OPUS),
+        ("vorbis/{}.ogg", AudioType.OGG_VORBIS),
+        ("speex/{}.spx", AudioType.OGG_SPEEX),
+        ("itag171/yt_itag_171_vorbis.webm", AudioType.WEBM),
+        ("mac_aac/{}.m4a", AudioType.M4A),
+        ("alac/{}.m4a", AudioType.ALAC),
+        ("aiff/{}.aiff", AudioType.AIFF),
+        ("aifc/{}.aifc", AudioType.AIFF),
+        ("ac3/{}.ac3", AudioType.AC3),
+    ],
+)
+def test_detect_matrix(testdata, path, expected):
+    p = testdata / path.format(CLIP)
+    data = p.read_bytes()[:65536]
+    assert detect_audio(data) == expected, p
+
+
+def test_detect_unknown():
+    assert detect_audio(b"\x00" * 9000) == AudioType.UNKNOWN
+    assert detect_audio(b"ab") == AudioType.UNKNOWN
+
+
+# --- explicit spawn paths ---
+
+def test_explicit_g711_pipeline(testdata, golden):
+    data = (testdata / "g711_ulaw" / f"{CLIP}.ulaw").read_bytes()
+    handle = DecodePipeline.spawn_g711(G711Law.MU_LAW)
+    pcm = _pcm_bytes(_drive(handle, data, chunk=137))
+    gold = parse_wav((golden / "g711_ulaw" / f"{CLIP}.decoded.wav").read_bytes())
+    assert pcm == gold.data
+
+
+def test_explicit_g726_pipeline(testdata, golden):
+    data = (testdata / "g726" / f"{CLIP}_32.g726").read_bytes()
+    handle = DecodePipeline.spawn_g726(G726Packing.LEFT)
+    pcm = _pcm_bytes(_drive(handle, data, chunk=127))
+    gold = parse_wav((golden / "g726" / f"{CLIP}_32.decoded.wav").read_bytes())
+    assert pcm == gold.data
+
+
+def test_explicit_g722_pipeline(testdata, golden):
+    data = (testdata / "g722" / f"{CLIP}.g722").read_bytes()
+    handle = DecodePipeline.spawn_g722()
+    pcm = _pcm_bytes(_drive(handle, data))
+    gold = parse_wav((golden / "g722" / f"{CLIP}.decoded.wav").read_bytes())
+    assert pcm == gold.data
+
+
+def test_explicit_raw_pcm_pipeline(testdata, golden):
+    data = (testdata / "linear16" / f"{CLIP}.s16le").read_bytes()
+    handle = DecodePipeline.spawn_raw_pcm(RawPcmFormat.linear16(16000, 1))
+    pcm = _pcm_bytes(_drive(handle, data, chunk=333))
+    assert pcm == data
+    gold = parse_wav((golden / "linear16" / f"{CLIP}.decoded.wav").read_bytes())
+    assert pcm == gold.data
+
+
+# --- autodetect paths ---
+
+def test_autodetect_wav(testdata):
+    data = (testdata / "wav_stereo" / f"{CLIP}.wav").read_bytes()
+    outputs = _drive(DecodePipeline.spawn(), data)
+    pcm = _pcm_bytes(outputs)
+    assert pcm == parse_wav(data).data
+
+
+def test_autodetect_flac_md5(testdata):
+    data = (testdata / "flac" / f"{CLIP}.flac").read_bytes()
+    outputs = _drive(DecodePipeline.spawn(), data, chunk=1000)
+    audio = [o for o in outputs if isinstance(o, AudioData)]
+    assert audio and audio[0].sampling_rate == 16000
+    total = sum(a.frame_count for a in audio)
+    assert total == 47360
+
+
+def test_autodetect_failure_is_error_as_data():
+    noise = bytes(range(256)) * 300  # 76800 bytes of junk
+    outputs = _drive(DecodePipeline.spawn(), noise)
+    assert any(isinstance(o, FormatDetectionFailed) for o in outputs)
+
+
+def test_input_buffer_full():
+    from soundkit_tpu.pipeline.output_options import InputBufferFull
+
+    handle = DecodePipeline.spawn_with_buffers(2, 4)
+    # stall the worker by never reading; queue fills
+    with pytest.raises(InputBufferFull):
+        for _ in range(1000):
+            handle.send(b"\x00" * 100)
+
+
+# --- DecodeOptions conversion ---
+
+def test_options_convert_to_16k_mono_16bit(testdata):
+    data = (testdata / "wav_stereo" / f"{CLIP}.wav").read_bytes()
+    src = parse_wav(data)
+    opts = DecodeOptions(output_bits_per_sample=16, output_sample_rate=8000, output_channels=1)
+    outputs = _drive(DecodePipeline.spawn_with_options(opts), data)
+    audio = [o for o in outputs if isinstance(o, AudioData)]
+    assert audio
+    for a in audio:
+        assert (a.bits_per_sample, a.channel_count, a.sampling_rate) == (16, 1, 8000)
+    total = sum(a.frame_count for a in audio)
+    # ceil(T * 8000/src_rate)
+    src_frames = src.frame_count
+    assert abs(total - src_frames * 8000 / src.sampling_rate) <= 2
+
+
+def test_options_resampler_chunk_invariance(testdata):
+    data = (testdata / "linear16" / f"{CLIP}.s16le").read_bytes()
+    opts = DecodeOptions(output_sample_rate=8000)
+
+    def run(chunk):
+        handle = DecodePipeline.spawn_raw_pcm(RawPcmFormat.linear16(16000, 1), opts)
+        return _pcm_bytes(_drive(handle, data, chunk=chunk))
+
+    assert run(4096) == run(333) == run(len(data))
+
+
+def test_options_bit_depth_only(testdata):
+    data = (testdata / "linear16" / f"{CLIP}.s16le").read_bytes()
+    opts = DecodeOptions(output_bits_per_sample=24)
+    handle = DecodePipeline.spawn_raw_pcm(RawPcmFormat.linear16(16000, 1), opts)
+    outputs = _drive(handle, data)
+    audio = [o for o in outputs if isinstance(o, AudioData)]
+    assert all(a.bits_per_sample == 24 for a in audio)
+    total = sum(len(a.data) for a in audio)
+    assert total == len(data) // 2 * 3
+
+
+def test_sync_core_chunk_invariance(testdata):
+    """StreamDecoder without threads: chunked == whole."""
+    data = (testdata / "wav_stereo" / f"{CLIP}.wav").read_bytes()
+
+    def run(chunk):
+        core = StreamDecoder()
+        out = []
+        for off in range(0, len(data), chunk):
+            out.extend(core.process(data[off : off + chunk]))
+        out.extend(core.process(b""))
+        return b"".join(o.data for o in out if isinstance(o, AudioData))
+
+    assert run(313) == run(8192) == run(len(data))
