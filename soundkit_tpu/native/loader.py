@@ -62,4 +62,28 @@ def load() -> ctypes.CDLL:
     lib.skt_flac_pull.restype = ctypes.c_long
     lib.skt_flac_error.argtypes = [ctypes.c_void_p]
     lib.skt_flac_error.restype = ctypes.c_char_p
+
+    # avshim
+    lib.skt_av_open.restype = ctypes.c_void_p
+    lib.skt_av_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.skt_av_close.argtypes = [ctypes.c_void_p]
+    lib.skt_av_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_av_push.restype = ctypes.c_int
+    lib.skt_av_pull_f32.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.skt_av_pull_f32.restype = ctypes.c_long
+    lib.skt_av_err.argtypes = [ctypes.c_void_p]
+    lib.skt_av_err.restype = ctypes.c_char_p
     return lib

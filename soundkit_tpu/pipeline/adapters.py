@@ -20,7 +20,15 @@ def make_mp3_adapter():
 
 def make_aac_adts_adapter():
     try:
-        from soundkit_tpu.codecs.aac_lc import AacAdtsAdapter
+        from soundkit_tpu.codecs.aac import AacAdtsAdapter
     except ImportError:
         raise UnsupportedFormat("AAC decoder not yet available")
     return AacAdtsAdapter()
+
+
+def make_ac3_adapter():
+    try:
+        from soundkit_tpu.codecs.telephony import make_ac3_adapter as mk
+    except ImportError:
+        raise UnsupportedFormat("AC-3 decoder not yet available")
+    return mk()

@@ -185,6 +185,10 @@ def _init_decoder(audio_type: AudioType):
         from soundkit_tpu.pipeline.adapters import make_aac_adts_adapter
 
         return make_aac_adts_adapter()
+    if audio_type == AudioType.AC3:
+        from soundkit_tpu.pipeline.adapters import make_ac3_adapter
+
+        return make_ac3_adapter()
     if audio_type == AudioType.UNKNOWN:
         raise FormatDetectionFailed()
     raise UnsupportedFormat(f"Unsupported format: {audio_type.value}")
@@ -422,3 +426,41 @@ class DecodePipeline:
     @classmethod
     def spawn_flac(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
         return cls._spawn(StreamDecoder(options, FlacAdapter()))
+
+    @classmethod
+    def spawn_mp3(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.mp3 import Mp3Adapter
+
+        return cls._spawn(StreamDecoder(options, Mp3Adapter()))
+
+    @classmethod
+    def spawn_aac_adts(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.aac import AacAdtsAdapter
+
+        return cls._spawn(StreamDecoder(options, AacAdtsAdapter()))
+
+    @classmethod
+    def spawn_gsm(cls, variant=None, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.telephony import GsmVariant, make_gsm_adapter
+
+        return cls._spawn(
+            StreamDecoder(options, make_gsm_adapter(variant or GsmVariant.STANDARD))
+        )
+
+    @classmethod
+    def spawn_amr_nb(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.telephony import make_amr_adapter
+
+        return cls._spawn(StreamDecoder(options, make_amr_adapter()))
+
+    @classmethod
+    def spawn_g729(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.telephony import make_g729_adapter
+
+        return cls._spawn(StreamDecoder(options, make_g729_adapter()))
+
+    @classmethod
+    def spawn_ac3(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.telephony import make_ac3_adapter
+
+        return cls._spawn(StreamDecoder(options, make_ac3_adapter()))
