@@ -79,8 +79,12 @@ class AvDecoder:
 
 
 def f32_to_i16(x: np.ndarray) -> np.ndarray:
-    """clamp(-1,1)*32767 truncation (reference vec_f32_to_i16 semantics)."""
-    c = np.clip(np.asarray(x, np.float32), np.float32(-1.0), np.float32(1.0))
-    return np.trunc((c * np.float32(32767.0)).astype(np.float32).astype(np.float64)).astype(
-        np.int16
-    )
+    """round(x * 32768) with clamp.
+
+    The shim normalizes integer-native decoder output (ALAC, GSM, ...)
+    as s/32768; multiplying by 32768 and rounding recovers the exact
+    integers, keeping lossless paths bit-exact.  (The pipeline's
+    options stage uses the reference's *32767-truncate separately.)
+    """
+    scaled = np.rint(np.asarray(x, np.float64) * 32768.0)
+    return np.clip(scaled, -32768, 32767).astype(np.int16)

@@ -1,0 +1,160 @@
+"""Container-based decoders: M4A/AAC, ALAC, WebM (Opus/Vorbis).
+
+API equivalents of the reference's ``AacDecoderMp4``
+(soundkit-aac/src/lib.rs:511, EOF-buffered MP4 walk), ``AlacDecoder``
+(soundkit-alac/src/lib.rs:11-49, EOF-buffered) and ``WebmDecoder``
+(soundkit-webm/src/lib.rs:1125, incremental Opus/Vorbis decode).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from soundkit_tpu.codecs.avdec import AvDecoder, f32_to_i16
+from soundkit_tpu.core.audio_types import AudioData, EncodingFlag, Endianness
+from soundkit_tpu.demux.ebml import WebmAudioDemuxer
+from soundkit_tpu.demux.mp4 import Mp4Error, demux_mp4_audio
+
+
+def _audio_i16(pcm16: np.ndarray, rate: int, channels: int) -> List[AudioData]:
+    if len(pcm16) == 0:
+        return []
+    return [
+        AudioData(
+            bits_per_sample=16,
+            channel_count=channels,
+            sampling_rate=rate,
+            data=np.asarray(pcm16, np.int16).astype("<i2").tobytes(),
+            audio_format=EncodingFlag.PCM_SIGNED,
+            endianness=Endianness.LITTLE,
+        )
+    ]
+
+
+class _Mp4BufferedAdapter:
+    """EOF-buffered MP4 decode (the reference buffers the whole MP4 too)."""
+
+    def __init__(self, want_codec: Optional[str] = None):
+        self._buf = bytearray()
+        self._want = want_codec
+
+    def process(self, chunk: bytes) -> List[AudioData]:
+        self._buf.extend(chunk)
+        return []
+
+    def flush(self) -> List[AudioData]:
+        from soundkit_tpu.pipeline.output_options import DecodingFailed
+
+        if not self._buf:
+            return []
+        data = bytes(self._buf)
+        self._buf.clear()
+        try:
+            track = demux_mp4_audio(data)
+        except Mp4Error as e:
+            raise DecodingFailed(str(e))
+        if self._want and track.codec != self._want:
+            raise DecodingFailed(f"expected {self._want} track, found {track.codec}")
+        codec = "aac" if track.codec == "aac" else track.codec
+        dec = AvDecoder(codec, extradata=track.config)
+        outs = [dec.push(s) for s in track.samples]
+        outs.append(dec.flush())
+        pcm = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        rate = dec.rate or track.sample_rate
+        ch = dec.channels or track.channels
+        return _audio_i16(f32_to_i16(pcm), rate, ch)
+
+
+class M4aAdapter(_Mp4BufferedAdapter):
+    def __init__(self):
+        super().__init__(want_codec=None)  # aac or alac both fine
+
+
+class AlacAdapter(_Mp4BufferedAdapter):
+    def __init__(self):
+        super().__init__(want_codec="alac")
+
+
+class WebmAdapter:
+    """Incremental WebM Opus/Vorbis decode."""
+
+    def __init__(self) -> None:
+        self._demux = WebmAudioDemuxer()
+        self._dec: Optional[AvDecoder] = None
+
+    def _ensure_decoder(self):
+        from soundkit_tpu.pipeline.output_options import DecodingFailed
+
+        tr = self._demux.track
+        if tr is None or self._dec is not None:
+            return
+        if tr.codec_id == "A_OPUS":
+            self._dec = AvDecoder("opus", extradata=tr.codec_private)
+        elif tr.codec_id == "A_VORBIS":
+            self._dec = AvDecoder("vorbis", extradata=tr.codec_private)
+        else:
+            raise DecodingFailed(f"unsupported WebM audio codec {tr.codec_id}")
+
+    def process(self, chunk: bytes) -> List[AudioData]:
+        packets = self._demux.push(chunk)
+        self._ensure_decoder()
+        if self._dec is None or not packets:
+            return []
+        outs = [self._dec.push(p) for p in packets]
+        pcm = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        return _audio_i16(f32_to_i16(pcm), self._dec.rate, self._dec.channels)
+
+    def flush(self) -> List[AudioData]:
+        if self._dec is None:
+            return []
+        return _audio_i16(
+            f32_to_i16(self._dec.flush()), self._dec.rate, self._dec.channels
+        )
+
+
+class _StreamI16Adapter:
+    """Adapter over decoders exposing decode_i16/flush + rate/channels."""
+
+    def __init__(self, dec):
+        self._dec = dec
+
+    def process(self, chunk: bytes) -> List[AudioData]:
+        pcm = self._dec.decode_i16(chunk)
+        rate = self._dec.sample_rate
+        ch = self._dec.channels
+        if not rate or not ch:
+            return []
+        return _audio_i16(pcm, rate, ch)
+
+    def flush(self) -> List[AudioData]:
+        pcm = f32_to_i16(self._dec.flush())
+        rate = self._dec.sample_rate
+        ch = self._dec.channels
+        if not rate or not ch:
+            return []
+        return _audio_i16(pcm, rate, ch)
+
+
+def make_ogg_opus_adapter():
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+
+    return _StreamI16Adapter(OggOpusDecoder())
+
+
+def make_opus_stream_adapter():
+    from soundkit_tpu.codecs.opus import OpusStreamDecoder
+
+    return _StreamI16Adapter(OpusStreamDecoder())
+
+
+def make_vorbis_adapter():
+    from soundkit_tpu.codecs.vorbis import VorbisDecoder
+
+    return _StreamI16Adapter(VorbisDecoder())
+
+
+def make_speex_adapter():
+    from soundkit_tpu.codecs.speex import SpeexDecoder
+
+    return _StreamI16Adapter(SpeexDecoder())

@@ -189,6 +189,34 @@ def _init_decoder(audio_type: AudioType):
         from soundkit_tpu.pipeline.adapters import make_ac3_adapter
 
         return make_ac3_adapter()
+    if audio_type == AudioType.OGG_OPUS:
+        from soundkit_tpu.codecs.containers import make_ogg_opus_adapter
+
+        return make_ogg_opus_adapter()
+    if audio_type == AudioType.OGG_VORBIS:
+        from soundkit_tpu.codecs.containers import make_vorbis_adapter
+
+        return make_vorbis_adapter()
+    if audio_type == AudioType.OGG_SPEEX:
+        from soundkit_tpu.codecs.containers import make_speex_adapter
+
+        return make_speex_adapter()
+    if audio_type == AudioType.OPUS:
+        from soundkit_tpu.codecs.containers import make_opus_stream_adapter
+
+        return make_opus_stream_adapter()
+    if audio_type in (AudioType.M4A, AudioType.ALAC):
+        from soundkit_tpu.codecs.containers import AlacAdapter, M4aAdapter
+
+        return AlacAdapter() if audio_type == AudioType.ALAC else M4aAdapter()
+    if audio_type == AudioType.WEBM:
+        from soundkit_tpu.codecs.containers import WebmAdapter
+
+        return WebmAdapter()
+    if audio_type == AudioType.AIFF:
+        from soundkit_tpu.codecs.aiff import AiffAdapter
+
+        return AiffAdapter()
     if audio_type == AudioType.UNKNOWN:
         raise FormatDetectionFailed()
     raise UnsupportedFormat(f"Unsupported format: {audio_type.value}")
@@ -259,9 +287,24 @@ class StreamDecoder:
         self._finished = True
         outputs: List[DecodeOutput] = []
         if self._decoder is None:
-            if self._detect_buf:
-                outputs.append(FormatDetectionFailed())
-            return outputs
+            if not self._detect_buf:
+                return outputs
+            # EOF before MIN_DETECTION_BYTES: attempt detection on what
+            # arrived (small complete files must still decode)
+            buffered = bytes(self._detect_buf)
+            self._detect_buf.clear()
+            try:
+                audio_type = detect_audio(buffered)
+                if audio_type == AudioType.UNKNOWN:
+                    return [FormatDetectionFailed()]
+                self._decoder = _init_decoder(audio_type)
+            except DecodeError as e:
+                return [e]
+            try:
+                for audio in self._decoder.process(buffered):
+                    outputs.extend(self._apply_options(audio))
+            except DecodeError as e:
+                outputs.append(e)
         try:
             for audio in self._decoder.flush():
                 outputs.extend(self._apply_options(audio))
@@ -464,3 +507,45 @@ class DecodePipeline:
         from soundkit_tpu.codecs.telephony import make_ac3_adapter
 
         return cls._spawn(StreamDecoder(options, make_ac3_adapter()))
+
+    @classmethod
+    def spawn_vorbis(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import make_vorbis_adapter
+
+        return cls._spawn(StreamDecoder(options, make_vorbis_adapter()))
+
+    @classmethod
+    def spawn_speex(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import make_speex_adapter
+
+        return cls._spawn(StreamDecoder(options, make_speex_adapter()))
+
+    @classmethod
+    def spawn_ogg_opus(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import make_ogg_opus_adapter
+
+        return cls._spawn(StreamDecoder(options, make_ogg_opus_adapter()))
+
+    @classmethod
+    def spawn_opus(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import make_opus_stream_adapter
+
+        return cls._spawn(StreamDecoder(options, make_opus_stream_adapter()))
+
+    @classmethod
+    def spawn_alac(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import AlacAdapter
+
+        return cls._spawn(StreamDecoder(options, AlacAdapter()))
+
+    @classmethod
+    def spawn_aiff(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.aiff import AiffAdapter
+
+        return cls._spawn(StreamDecoder(options, AiffAdapter()))
+
+    @classmethod
+    def spawn_webm(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        from soundkit_tpu.codecs.containers import WebmAdapter
+
+        return cls._spawn(StreamDecoder(options, WebmAdapter()))
