@@ -1,0 +1,203 @@
+"""Extract ISO/IEC spec tables (AAC + MP3) from the system libavcodec
+static archive into committed .npz files.
+
+The AAC-LC and MP3 entropy decoders in this framework are written from
+scratch, but the spec's Huffman codebooks and band tables are large
+published data tables.  With zero network egress, the system
+libavcodec.a is the authoritative local source of that data: this tool
+links a tiny dumper against the archive's table objects (globalizing
+the file-local MP3 tables via objcopy) and dumps the raw arrays.
+
+Run:  python -m soundkit_tpu.native.tools.extract_tables
+Outputs: soundkit_tpu/native/generated/{aac_tables.npz,mp3_tables.npz}
+"""
+from __future__ import annotations
+
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+ARCHIVE = "/usr/lib/x86_64-linux-gnu/libavcodec.a"
+OUT_DIR = Path(__file__).resolve().parent.parent / "generated"
+
+DUMPER = r"""
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+// aactab.o
+extern const uint16_t * const ff_aac_spectral_codes[11];
+extern const uint8_t * const ff_aac_spectral_bits[11];
+extern const uint16_t ff_aac_spectral_sizes[11];
+extern const uint32_t ff_aac_scalefactor_code[121];
+extern const uint8_t ff_aac_scalefactor_bits[121];
+extern const uint8_t ff_aac_num_swb_1024[13];
+extern const uint8_t ff_aac_num_swb_128[13];
+extern const uint16_t * const ff_swb_offset_1024[13];
+extern const uint16_t * const ff_swb_offset_128[13];
+extern const uint8_t ff_tns_max_bands_1024[13];
+extern const uint8_t ff_tns_max_bands_128[13];
+// mpegaudiodec_common.o (globalized locals)
+extern const uint8_t mpa_huff_sizes_minus_one[32];
+extern const uint8_t mpa_huffsymbols[1408];
+extern const int8_t mpa_hufflens[1408];
+extern const uint8_t mpa_quad_bits[2][16];
+extern const uint8_t mpa_quad_codes[2][16];
+extern const uint8_t ff_mpa_huff_data[32][2];
+extern const uint8_t ff_band_size_long[9][22];
+extern const uint8_t ff_band_size_short[9][13];
+extern const uint8_t ff_mpa_pretab[2][22];
+extern const uint8_t ff_slen_table[2][16];
+extern const uint8_t ff_lsf_nsf_table[6][3][4];
+// mpegaudiotabs.o
+extern const uint16_t ff_mpa_freq_tab[3];
+extern const uint16_t ff_mpa_bitrate_tab[2][3][15];
+// mpegaudiodsp_data.o
+extern const int32_t ff_mpa_enwindow[257];
+
+// stub the init helpers the data objects reference but the dumper
+// never calls (only reachable from codec init functions)
+void ff_kbd_window_init() {}
+void ff_init_ff_sine_windows() {}
+void ff_init_vlc_from_lengths() {}
+void ff_init_vlc_sparse() {}
+}
+
+static void dump(const char* name, const void* data, size_t bytes) {
+    char path[512];
+    snprintf(path, sizeof path, "%s/%s.bin", OUTDIR, name);
+    FILE* f = fopen(path, "wb");
+    fwrite(data, 1, bytes, f);
+    fclose(f);
+}
+
+int main() {
+    dump("aac_spectral_sizes", ff_aac_spectral_sizes, sizeof ff_aac_spectral_sizes);
+    for (int i = 0; i < 11; ++i) {
+        char n[64];
+        snprintf(n, sizeof n, "aac_spectral_codes_%d", i);
+        dump(n, ff_aac_spectral_codes[i], ff_aac_spectral_sizes[i] * 2);
+        snprintf(n, sizeof n, "aac_spectral_bits_%d", i);
+        dump(n, ff_aac_spectral_bits[i], ff_aac_spectral_sizes[i]);
+    }
+    dump("aac_scalefactor_code", ff_aac_scalefactor_code, sizeof ff_aac_scalefactor_code);
+    dump("aac_scalefactor_bits", ff_aac_scalefactor_bits, sizeof ff_aac_scalefactor_bits);
+    dump("aac_num_swb_1024", ff_aac_num_swb_1024, 13);
+    dump("aac_num_swb_128", ff_aac_num_swb_128, 13);
+    for (int i = 0; i < 13; ++i) {
+        char n[64];
+        snprintf(n, sizeof n, "aac_swb_offset_1024_%d", i);
+        dump(n, ff_swb_offset_1024[i], (ff_aac_num_swb_1024[i] + 1) * 2);
+        snprintf(n, sizeof n, "aac_swb_offset_128_%d", i);
+        dump(n, ff_swb_offset_128[i], (ff_aac_num_swb_128[i] + 1) * 2);
+    }
+    dump("aac_tns_max_bands_1024", ff_tns_max_bands_1024, 13);
+    dump("aac_tns_max_bands_128", ff_tns_max_bands_128, 13);
+
+    dump("mpa_huff_sizes_minus_one", mpa_huff_sizes_minus_one, sizeof mpa_huff_sizes_minus_one);
+    dump("mpa_huffsymbols", mpa_huffsymbols, sizeof mpa_huffsymbols);
+    dump("mpa_hufflens", mpa_hufflens, sizeof mpa_hufflens);
+    dump("mpa_quad_bits", mpa_quad_bits, sizeof mpa_quad_bits);
+    dump("mpa_quad_codes", mpa_quad_codes, sizeof mpa_quad_codes);
+    dump("mpa_huff_data", ff_mpa_huff_data, sizeof ff_mpa_huff_data);
+    dump("mpa_band_size_long", ff_band_size_long, sizeof ff_band_size_long);
+    dump("mpa_band_size_short", ff_band_size_short, sizeof ff_band_size_short);
+    dump("mpa_pretab", ff_mpa_pretab, sizeof ff_mpa_pretab);
+    dump("mpa_slen_table", ff_slen_table, sizeof ff_slen_table);
+    dump("mpa_lsf_nsf_table", ff_lsf_nsf_table, sizeof ff_lsf_nsf_table);
+    dump("mpa_freq_tab", ff_mpa_freq_tab, sizeof ff_mpa_freq_tab);
+    dump("mpa_bitrate_tab", ff_mpa_bitrate_tab, sizeof ff_mpa_bitrate_tab);
+    dump("mpa_enwindow", ff_mpa_enwindow, sizeof ff_mpa_enwindow);
+    printf("ok\n");
+    return 0;
+}
+"""
+
+MP3_LOCALS = [
+    "mpa_huff_sizes_minus_one",
+    "mpa_huffsymbols",
+    "mpa_hufflens",
+    "mpa_quad_bits",
+    "mpa_quad_codes",
+]
+
+
+def extract() -> None:
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        subprocess.run(
+            ["ar", "x", ARCHIVE, "aactab.o", "mpegaudiodec_common.o",
+             "mpegaudiodata.o", "mpegaudiodsp_data.o", "mpegaudiotabs.o"],
+            cwd=td, check=True,
+        )
+        globalize = []
+        for sym in MP3_LOCALS:
+            globalize += ["--globalize-symbol", sym]
+        subprocess.run(
+            ["objcopy", *globalize, "mpegaudiodec_common.o", "mpegaudiodec_tables.o"],
+            cwd=td, check=True,
+        )
+        # localize everything we don't need to avoid dragging in deps:
+        # compile dumper with the data objects; undefined refs in the
+        # objects (init functions) are unused and dropped by the linker
+        # only if we use --gc-sections; instead allow unresolved.
+        dumper = tdp / "dumper.cpp"
+        dumper.write_text(DUMPER)
+        subprocess.run(
+            ["g++", "-O1", f"-DOUTDIR=\"{td}\"", "dumper.cpp",
+             "aactab.o", "mpegaudiodec_tables.o", "mpegaudiodata.o",
+             "mpegaudiodsp_data.o", "mpegaudiotabs.o",
+             # remaining stray refs (av_log etc.) resolve against the
+             # shared libs; init helpers are stubbed in the dumper
+             "-lavutil", "-lm", "-lpthread",
+             "-o", "dumper"],
+            cwd=td, check=True,
+        )
+        subprocess.run(["./dumper"], cwd=td, check=True)
+
+        def load(name, dtype):
+            return np.frombuffer((tdp / f"{name}.bin").read_bytes(), dtype=dtype)
+
+        aac = {}
+        sizes = load("aac_spectral_sizes", "<u2")
+        aac["spectral_sizes"] = sizes
+        for i in range(11):
+            aac[f"spectral_codes_{i}"] = load(f"aac_spectral_codes_{i}", "<u2")
+            aac[f"spectral_bits_{i}"] = load(f"aac_spectral_bits_{i}", "u1")
+        aac["scalefactor_code"] = load("aac_scalefactor_code", "<u4")
+        aac["scalefactor_bits"] = load("aac_scalefactor_bits", "u1")
+        aac["num_swb_1024"] = load("aac_num_swb_1024", "u1")
+        aac["num_swb_128"] = load("aac_num_swb_128", "u1")
+        for i in range(13):
+            aac[f"swb_offset_1024_{i}"] = load(f"aac_swb_offset_1024_{i}", "<u2")
+            aac[f"swb_offset_128_{i}"] = load(f"aac_swb_offset_128_{i}", "<u2")
+        aac["tns_max_bands_1024"] = load("aac_tns_max_bands_1024", "u1")
+        aac["tns_max_bands_128"] = load("aac_tns_max_bands_128", "u1")
+        np.savez(OUT_DIR / "aac_tables.npz", **aac)
+
+        mp3 = {
+            "huff_sizes_minus_one": load("mpa_huff_sizes_minus_one", "u1"),
+            "huffsymbols": load("mpa_huffsymbols", "u1"),
+            "hufflens": load("mpa_hufflens", "i1"),
+            "quad_bits": load("mpa_quad_bits", "u1").reshape(2, 16),
+            "quad_codes": load("mpa_quad_codes", "u1").reshape(2, 16),
+            "huff_data": load("mpa_huff_data", "u1").reshape(32, 2),
+            "band_size_long": load("mpa_band_size_long", "u1").reshape(9, 22),
+            "band_size_short": load("mpa_band_size_short", "u1").reshape(9, 13),
+            "pretab": load("mpa_pretab", "u1").reshape(2, 22),
+            "slen_table": load("mpa_slen_table", "u1").reshape(2, 16),
+            "lsf_nsf_table": load("mpa_lsf_nsf_table", "u1").reshape(6, 3, 4),
+            "freq_tab": load("mpa_freq_tab", "<u2"),
+            "bitrate_tab": load("mpa_bitrate_tab", "<u2").reshape(2, 3, 15),
+            "enwindow": load("mpa_enwindow", "<i4"),
+        }
+        np.savez(OUT_DIR / "mp3_tables.npz", **mp3)
+    print(f"wrote {OUT_DIR}/aac_tables.npz and mp3_tables.npz")
+
+
+if __name__ == "__main__":
+    extract()
