@@ -1,0 +1,75 @@
+"""Flagship model: batched multi-stream AAC-LC decoder.
+
+Replaces the reference's thread-per-pipeline design (SURVEY.md §2.5)
+with stream-batch data parallelism: N concurrent ADTS streams are
+host-parsed into fixed-shape frame batches and decoded by ONE jitted
+device step (``ops.aac_batch.aac_decode_frame_device``) carrying
+per-stream overlap-add state.  Shard dim 0 over a ``streams`` mesh for
+multi-chip.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from soundkit_tpu.codecs.aac_lc import AacLcDecoder, AdtsStream
+from soundkit_tpu.ops import aac_batch as ab
+
+
+class BatchedAacLcDecoder:
+    """Decode N parallel ADTS streams in lockstep frame batches."""
+
+    def __init__(self, num_streams: int, channels: int = 2, mesh=None):
+        import jax
+
+        self.B = num_streams
+        self.C = channels
+        self._streams = [AdtsStream() for _ in range(num_streams)]
+        self._queues: List[List[bytes]] = [[] for _ in range(num_streams)]
+        saved, prev_shape = ab.init_state(num_streams, channels)
+        self._saved = saved
+        self._prev_shape = prev_shape
+        self._mesh = mesh
+        self._step = jax.jit(ab.aac_decode_frame_device)
+
+    def push(self, stream_idx: int, data: bytes) -> None:
+        self._queues[stream_idx].extend(self._streams[stream_idx].push(data))
+
+    @property
+    def ready_frames(self) -> int:
+        """Frame batches decodable right now (min queue depth)."""
+        return min(len(q) for q in self._queues)
+
+    def decode_ready(self, max_frames: Optional[int] = None) -> np.ndarray:
+        """Decode up to max_frames lockstep batches.
+
+        Returns [frames, B, C, 1024] f32.  Streams with empty queues
+        decode silence for that batch (state frozen via chan_valid).
+        """
+        import jax.numpy as jnp
+
+        n = self.ready_frames if max_frames is None else min(self.ready_frames, max_frames)
+        outs = []
+        for _ in range(n):
+            frames = []
+            for i, q in enumerate(self._queues):
+                if q:
+                    au = q.pop(0)
+                    dec = self._streams[i].decoder
+                    frames.append(dec.decode_au(au) if dec else None)
+                else:
+                    frames.append(None)
+            fb = ab.prepare_frame_batch(frames, self.C)
+            pcm, self._saved, self._prev_shape = self._step(
+                jnp.asarray(fb.quant), jnp.asarray(fb.scale),
+                jnp.asarray(fb.ms_mask), jnp.asarray(fb.int_factor),
+                jnp.asarray(fb.perm), jnp.asarray(fb.filt_id),
+                jnp.asarray(fb.lpc), jnp.asarray(fb.seq),
+                jnp.asarray(fb.shape), self._prev_shape,
+                jnp.asarray(fb.chan_valid), self._saved,
+            )
+            outs.append(np.asarray(pcm))
+        if not outs:
+            return np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
+        return np.stack(outs)

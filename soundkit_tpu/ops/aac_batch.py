@@ -1,0 +1,334 @@
+"""Batched TPU AAC-LC numeric decode.
+
+The device half of the flagship path (north star: batched Pallas/XLA
+kernels for the AAC-LC inner loops over thousands of streams).  The
+host parser (codecs.aac_lc) emits fixed-shape tensors per frame batch;
+this module jits the numeric decode over ``[B, C, ...]``:
+
+- dequantization: sign(q) * |q|^(4/3) * scale   (elementwise, VPU)
+- M/S butterflies + intensity stereo via per-line masks/factors
+- TNS all-pole filtering as ONE chunked lax.scan over spectral
+  positions (each position belongs to at most one filter; direction
+  handled by host-precomputed involutive permutations)
+- IMDCT as matmul on the MXU: [B*C, 1024] @ [1024, 2048] (long) and
+  blocked [B*C, 8, 128] @ [128, 256] (short), window bank gather,
+  overlap-add with carried [B, C, 1024] state
+
+Everything is shape-static and jit/pjit-compatible; shard dim 0
+(streams) over the mesh for multi-chip.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from soundkit_tpu.codecs.aac_lc import (
+    AacFrame,
+    EIGHT_SHORT_SEQUENCE,
+    INTENSITY_BT,
+    INTENSITY_BT2,
+    LONG_START_SEQUENCE,
+    LONG_STOP_SEQUENCE,
+    NOISE_BT,
+    ONLY_LONG_SEQUENCE,
+    ZERO_BT,
+)
+from soundkit_tpu.ops.aac_dsp import _lpc_from_parcor, half_window, imdct_matrix
+
+MAX_ORDER = 20
+MAX_FILTERS = 8  # >= filters per channel frame (8 short windows x 1)
+TNS_CHUNK = 64
+
+
+# ---------------------------------------------------------------------------
+# constant banks
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def window_bank() -> np.ndarray:
+    """[4 seq, 2 prev_shape, 2 shape, 2048] long-path windows.
+
+    EIGHT_SHORT entries are zeros (short path windows separately)."""
+    bank = np.zeros((4, 2, 2, 2048), dtype=np.float32)
+    for prev in (0, 1):
+        for cur in (0, 1):
+            la_prev = half_window(prev, 1024)
+            ld = half_window(cur, 1024)[::-1]
+            sa_prev = half_window(prev, 128)
+            sd = half_window(cur, 128)[::-1]
+            bank[ONLY_LONG_SEQUENCE, prev, cur] = np.concatenate([la_prev, ld])
+            bank[LONG_START_SEQUENCE, prev, cur] = np.concatenate(
+                [la_prev, np.ones(448), sd, np.zeros(448)]
+            )
+            bank[LONG_STOP_SEQUENCE, prev, cur] = np.concatenate(
+                [np.zeros(448), sa_prev, np.ones(448), ld]
+            )
+    return bank
+
+
+@functools.lru_cache(maxsize=1)
+def short_window_bank() -> np.ndarray:
+    """[2 prev, 2 cur, 8 windows, 256] per-subwindow short windows."""
+    bank = np.zeros((2, 2, 8, 256), dtype=np.float32)
+    for prev in (0, 1):
+        for cur in (0, 1):
+            sa_prev = half_window(prev, 128)
+            sa = half_window(cur, 128)
+            sd = half_window(cur, 128)[::-1]
+            for i in range(8):
+                asc = sa_prev if i == 0 else sa
+                bank[prev, cur, i] = np.concatenate([asc, sd])
+    return bank
+
+
+# ---------------------------------------------------------------------------
+# host-side batch preparation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FrameBatch:
+    """Fixed-shape tensors for one frame across B streams x C channels."""
+
+    quant: np.ndarray        # [B, C, 1024] int32
+    scale: np.ndarray        # [B, C, 1024] f32 (0 where zero/noise/intensity)
+    ms_mask: np.ndarray      # [B, 1024] bool (CPE mid/side lines)
+    int_factor: np.ndarray   # [B, 1024] f32, 0 = no intensity on that line
+    perm: np.ndarray         # [B, C, 1024] int32 involutive TNS permutation
+    filt_id: np.ndarray      # [B, C, 1024] int32 (-1 = no TNS)
+    lpc: np.ndarray          # [B, C, MAX_FILTERS, MAX_ORDER] f32
+    seq: np.ndarray          # [B, C] int32 window sequence
+    shape: np.ndarray        # [B, C] int32 window shape
+    chan_valid: np.ndarray   # [B, C] bool
+
+
+def prepare_frame_batch(frames: List[Optional[AacFrame]], channels: int = 2) -> FrameBatch:
+    """Flatten parsed frames (one per stream; None = silent) into tensors.
+
+    Only the first element of each frame is used (SCE or CPE), matching
+    the single-track decode pipeline.
+    """
+    B, C = len(frames), channels
+    quant = np.zeros((B, C, 1024), dtype=np.int32)
+    scale = np.zeros((B, C, 1024), dtype=np.float32)
+    ms_mask = np.zeros((B, 1024), dtype=bool)
+    int_factor = np.zeros((B, 1024), dtype=np.float32)
+    perm = np.tile(np.arange(1024, dtype=np.int32), (B, C, 1))
+    filt_id = np.full((B, C, 1024), -1, dtype=np.int32)
+    lpc = np.zeros((B, C, MAX_FILTERS, MAX_ORDER), dtype=np.float32)
+    seq = np.zeros((B, C), dtype=np.int32)
+    shape = np.zeros((B, C), dtype=np.int32)
+    chan_valid = np.zeros((B, C), dtype=bool)
+
+    from soundkit_tpu.codecs.aac_lc import _tables
+
+    t = _tables()
+
+    for b, frame in enumerate(frames):
+        if frame is None:
+            continue
+        el = frame.elements[0]
+        ics_list = el.ics[:C]
+        tmax_long = int(t["tns_max_1024"][frame.sample_rate_index])
+        tmax_short = int(t["tns_max_128"][frame.sample_rate_index])
+        for c, ics in enumerate(ics_list):
+            chan_valid[b, c] = True
+            quant[b, c] = ics.quant
+            seq[b, c] = ics.window_sequence
+            shape[b, c] = ics.window_shape
+            short = ics.window_sequence == EIGHT_SHORT_SEQUENCE
+            # per-line scale
+            wbase = 0
+            for g in range(ics.num_window_groups):
+                for s in range(ics.max_sfb):
+                    cb = ics.band_type[g, s]
+                    lo = int(ics.swb_offset[s])
+                    hi = int(ics.swb_offset[s + 1])
+                    for w in range(ics.group_lens[g]):
+                        off = (wbase + w) * 128 if short else 0
+                        sl = slice(off + lo, off + hi)
+                        if cb == ZERO_BT or cb >= NOISE_BT:
+                            pass  # scale stays 0 (noise handled host-side)
+                        else:
+                            scale[b, c, sl] = ics.scale[g, s]
+                        if c == 1 and cb in (INTENSITY_BT, INTENSITY_BT2):
+                            f = ics.scale[g, s]
+                            sign = -1.0 if cb == INTENSITY_BT2 else 1.0
+                            if (
+                                el.ms_mask is not None
+                                and s < el.ms_mask.shape[1]
+                                and el.ms_mask[g, s]
+                            ):
+                                sign = -sign
+                            int_factor[b, sl] = sign * f
+                wbase += ics.group_lens[g]
+            # TNS
+            nf = 0
+            mmax = min(tmax_short if short else tmax_long, ics.max_sfb)
+            for w in range(ics.num_windows):
+                bottom = ics.num_swb
+                for f in ics.tns[w]:
+                    top = bottom
+                    bottom = max(0, top - f.length)
+                    order = min(f.order, MAX_ORDER)
+                    if order == 0 or nf >= MAX_FILTERS:
+                        continue
+                    start = int(ics.swb_offset[min(bottom, mmax)])
+                    end = int(ics.swb_offset[min(top, mmax)])
+                    if end - start <= 0:
+                        continue
+                    off = w * 128 if short else 0
+                    lpc[b, c, nf, :order] = _lpc_from_parcor(f.coefs[:order])
+                    filt_id[b, c, off + start : off + end] = nf
+                    if f.direction:
+                        seg = np.arange(off + start, off + end, dtype=np.int32)
+                        perm[b, c, off + start : off + end] = seg[::-1]
+                    nf += 1
+        # M/S lines (CPE)
+        if el.kind == "CPE" and el.ms_mask is not None:
+            ics0, ics1 = el.ics[0], el.ics[1]
+            short = ics0.window_sequence == EIGHT_SHORT_SEQUENCE
+            wbase = 0
+            for g in range(ics0.num_window_groups):
+                for s in range(min(ics0.max_sfb, el.ms_mask.shape[1])):
+                    if not el.ms_mask[g, s]:
+                        continue
+                    if ics0.band_type[g, s] >= NOISE_BT or ics1.band_type[g, s] >= NOISE_BT:
+                        continue
+                    lo = int(ics0.swb_offset[s])
+                    hi = int(ics0.swb_offset[s + 1])
+                    for w in range(ics0.group_lens[g]):
+                        off = (wbase + w) * 128 if short else 0
+                        ms_mask[b, off + lo : off + hi] = True
+                wbase += ics0.group_lens[g]
+
+    return FrameBatch(
+        quant=quant, scale=scale, ms_mask=ms_mask, int_factor=int_factor,
+        perm=perm, filt_id=filt_id, lpc=lpc, seq=seq, shape=shape,
+        chan_valid=chan_valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device decode
+# ---------------------------------------------------------------------------
+
+def _tns_scan(coef, perm, filt_id, lpc):
+    """Chunked sequential all-pole filter over spectral positions.
+
+    coef: [B, C, 1024]; lpc: [B, C, F, MAX_ORDER]; each position has at
+    most one active filter; history resets implicitly at region starts
+    because positions before the region keep filt_id == -1.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, C, N = coef.shape
+    x = jnp.take_along_axis(coef, perm, axis=-1)
+
+    # state: (history of last MAX_ORDER outputs [B,C,MAX_ORDER],
+    #         previous position's filter id [B,C]); history resets when
+    # the filter id changes so adjacent regions stay independent
+    def chunk_step(carry, chunk_idx):
+        hist, prev_fid = carry
+        outs = []
+        base = chunk_idx * TNS_CHUNK
+        for j in range(TNS_CHUNK):
+            pos = base + j
+            xj = jax.lax.dynamic_slice_in_dim(x, pos, 1, axis=-1)[..., 0]
+            fid = jax.lax.dynamic_slice_in_dim(filt_id, pos, 1, axis=-1)[..., 0]
+            act = fid >= 0
+            fresh = fid != prev_fid
+            hist = jnp.where(fresh[..., None], 0.0, hist)
+            lrow = jnp.take_along_axis(
+                lpc, jnp.maximum(fid, 0)[..., None, None].astype(jnp.int32)
+                .repeat(MAX_ORDER, -1), axis=2,
+            )[..., 0, :]
+            pred = jnp.sum(lrow * hist, axis=-1)
+            yj = jnp.where(act, xj - pred, xj)
+            hist = jnp.where(
+                act[..., None],
+                jnp.concatenate([yj[..., None], hist[..., :-1]], axis=-1),
+                hist,
+            )
+            prev_fid = fid
+            outs.append(yj)
+        return (hist, prev_fid), jnp.stack(outs, axis=-1)
+
+    hist0 = jnp.zeros((B, C, MAX_ORDER), dtype=coef.dtype)
+    fid0 = jnp.full((B, C), -1, dtype=filt_id.dtype)
+    (_, _), chunks = jax.lax.scan(chunk_step, (hist0, fid0), jnp.arange(N // TNS_CHUNK))
+    # chunks: [n_chunks, B, C, TNS_CHUNK] -> [B, C, N]
+    y = jnp.moveaxis(chunks, 0, 2).reshape(B, C, N)
+    y = jnp.take_along_axis(y, perm, axis=-1)  # undo direction flip
+    return y
+
+
+def aac_decode_frame_device(
+    quant, scale, ms_mask, int_factor, perm, filt_id, lpc, seq, shape,
+    prev_shape, chan_valid, saved,
+):
+    """One frame for all streams. Returns (pcm [B, C, 1024], new_saved,
+    new_prev_shape).  All inputs jnp arrays; jit this.
+    """
+    import jax.numpy as jnp
+
+    B, C, N = quant.shape
+
+    # dequant (elementwise)
+    q = quant.astype(jnp.float32)
+    coef = jnp.sign(q) * jnp.abs(q) ** (4.0 / 3.0) * scale
+
+    # M/S butterflies between channel 0/1
+    if C >= 2:
+        m = coef[:, 0]
+        s = coef[:, 1]
+        l = jnp.where(ms_mask, m + s, m)
+        r = jnp.where(ms_mask, m - s, s)
+        # intensity: right from left
+        has_int = int_factor != 0.0
+        r = jnp.where(has_int, l * int_factor, r)
+        coef = jnp.stack([l, r], axis=1)
+
+    # TNS
+    coef = _tns_scan(coef, perm, filt_id, lpc)
+
+    flat = coef.reshape(B * C, N)
+
+    # long path
+    M_long = jnp.asarray(imdct_matrix(1024).astype(np.float32))
+    z_long = flat @ M_long.T  # [B*C, 2048]
+    bank = jnp.asarray(window_bank())  # [4,2,2,2048]
+    seq_f = seq.reshape(-1)
+    shape_f = shape.reshape(-1)
+    prev_f = prev_shape.reshape(-1)
+    w_long = bank[seq_f, prev_f, shape_f]  # [B*C, 2048]
+    z_long = z_long * w_long
+
+    # short path
+    M_short = jnp.asarray(imdct_matrix(128).astype(np.float32))
+    subs = flat.reshape(B * C, 8, 128) @ M_short.T  # [B*C, 8, 256]
+    sbank = jnp.asarray(short_window_bank())  # [2,2,8,256]
+    w_short = sbank[prev_f, shape_f]  # [B*C, 8, 256]
+    subs = subs * w_short
+    # overlap the 8 subwindows into a 2048 frame starting at 448
+    z_short = jnp.zeros((B * C, 2048), dtype=subs.dtype)
+    for i in range(8):
+        z_short = z_short.at[:, 448 + i * 128 : 448 + i * 128 + 256].add(subs[:, i])
+
+    is_short = (seq_f == EIGHT_SHORT_SEQUENCE)[:, None]
+    z = jnp.where(is_short, z_short, z_long).reshape(B, C, 2048)
+
+    valid = chan_valid[..., None]
+    out = jnp.where(valid, saved + z[..., :1024], 0.0)
+    new_saved = jnp.where(valid, z[..., 1024:], saved)
+    return out / 32768.0, new_saved, shape
+
+
+def init_state(B: int, C: int = 2):
+    return (
+        np.zeros((B, C, 1024), dtype=np.float32),  # saved
+        np.zeros((B, C), dtype=np.int32),  # prev window shape
+    )

@@ -1,0 +1,134 @@
+"""From-scratch AAC-LC tests: oracle conformance (the reference's
+aac-wasm-bench QualityComparison role), batched-vs-reference
+equivalence, ADTS robustness, batched streaming model."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundkit_tpu.codecs.aac_lc import AacError, AacLcDecoder, AdtsStream
+from soundkit_tpu.ops import aac_batch as ab
+from soundkit_tpu.ops.aac_dsp import AacLcSynth
+
+
+@pytest.fixture(scope="module")
+def golden_adts(golden):
+    return (golden / "aac" / "A_Tusk_is_used_to_make_costly_gifts_encoded.aac").read_bytes()
+
+
+@pytest.fixture(scope="module")
+def parsed(golden_adts):
+    stream = AdtsStream()
+    aus = stream.push(golden_adts)
+    frames = [stream.decoder.decode_au(au) for au in aus]
+    return stream, frames
+
+
+def test_adts_framing(parsed):
+    stream, frames = parsed
+    assert stream.sr_index == 8  # 16 kHz
+    assert stream.channel_config == 2
+    assert len(frames) == 46
+    assert all(f.elements[0].kind == "CPE" for f in frames)
+
+
+def test_oracle_snr(parsed, golden_adts):
+    """Decoded PCM vs libavcodec reference — the FDK-oracle pattern
+    (aac-wasm-bench compare; reference passed at 42 dB, we target 60+)."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+
+    stream, frames = parsed
+    synth = AacLcSynth(stream.sr_index)
+    ours = np.concatenate([synth.process_frame(f) for f in frames], axis=1)
+    inter = ours.T.reshape(-1)
+
+    oracle = AvDecoder("aac", use_parser=True)
+    ref = np.concatenate([oracle.push(golden_adts), oracle.flush()])
+    n = min(len(inter), len(ref))
+    err = ref[:n] - inter[:n]
+    snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 60, f"oracle SNR {snr:.1f} dB"
+
+
+def test_batched_device_matches_reference(parsed):
+    stream, frames = parsed
+    synth = AacLcSynth(stream.sr_index)
+    ref = np.concatenate([synth.process_frame(f) for f in frames[:20]], axis=1)
+
+    B = 3
+    saved, prev_shape = ab.init_state(B)
+    step = jax.jit(ab.aac_decode_frame_device)
+    outs = []
+    saved = jnp.asarray(saved)
+    prev_shape = jnp.asarray(prev_shape)
+    for f in frames[:20]:
+        fb = ab.prepare_frame_batch([f] * B)
+        pcm, saved, prev_shape = step(
+            jnp.asarray(fb.quant), jnp.asarray(fb.scale), jnp.asarray(fb.ms_mask),
+            jnp.asarray(fb.int_factor), jnp.asarray(fb.perm), jnp.asarray(fb.filt_id),
+            jnp.asarray(fb.lpc), jnp.asarray(fb.seq), jnp.asarray(fb.shape),
+            prev_shape, jnp.asarray(fb.chan_valid), saved,
+        )
+        outs.append(np.asarray(pcm))
+    dev = np.concatenate(outs, axis=2)
+    for b in range(B):
+        err = dev[b] - ref
+        snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+        assert snr > 90, f"lane {b}: {snr:.1f} dB vs reference"
+
+
+def test_window_sequence_coverage(parsed):
+    _, frames = parsed
+    seqs = {int(f.elements[0].ics[0].window_sequence) for f in frames}
+    assert seqs == {0, 1, 2, 3}, "fixture must exercise all window sequences"
+    tns_frames = sum(
+        1 for f in frames if any(any(w) for w in f.elements[0].ics[0].tns)
+    )
+    assert tns_frames > 0, "fixture must exercise TNS"
+
+
+def test_adts_resync_on_garbage(golden_adts):
+    stream = AdtsStream()
+    aus = stream.push(b"\x00garbage\xff\x00" * 10 + golden_adts[:4096])
+    assert len(aus) >= 1  # resynced past the junk
+
+
+def test_chunked_adts_framing(golden_adts):
+    whole = AdtsStream().push(golden_adts)
+    stream = AdtsStream()
+    chunked = []
+    for i in range(0, len(golden_adts), 137):
+        chunked.extend(stream.push(golden_adts[i : i + 137]))
+    assert len(chunked) == len(whole)
+    assert all(a == b for a, b in zip(chunked, whole))
+
+
+def test_rejects_non_lc_features():
+    dec = AacLcDecoder(8)
+    # PCE element (id 5) must be rejected in the raw AU path
+    import struct
+
+    with pytest.raises(AacError):
+        dec.decode_au(bytes([0b101_00000, 0, 0, 0]))
+
+
+def test_batched_streaming_model(golden_adts):
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    B = 4
+    model = BatchedAacLcDecoder(B)
+    # stream 0/1 get the whole file; 2 gets half; 3 nothing
+    model.push(0, golden_adts)
+    model.push(1, golden_adts)
+    model.push(2, golden_adts[: len(golden_adts) // 2])
+    out = model.decode_ready()
+    assert out.shape[1:] == (B, 2, 1024)
+    assert out.shape[0] == 0  # lane 3 empty -> lockstep floor is 0
+    model.push(3, golden_adts)
+    out = model.decode_ready()
+    assert out.shape[0] > 10
+    # lanes 0 and 1 identical; lane 3 identical too (same content)
+    np.testing.assert_allclose(out[:, 0], out[:, 1], atol=1e-6)
+    rms = np.sqrt(np.mean(out[:, 0] ** 2))
+    assert rms > 1e-4
