@@ -86,4 +86,29 @@ def load() -> ctypes.CDLL:
     lib.skt_av_pull_f32.restype = ctypes.c_long
     lib.skt_av_err.argtypes = [ctypes.c_void_p]
     lib.skt_av_err.restype = ctypes.c_char_p
+    _bind_encoders(lib)
     return lib
+
+
+def _bind_encoders(lib: ctypes.CDLL) -> None:
+    lib.skt_av_enc_open.restype = ctypes.c_void_p
+    lib.skt_av_enc_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.skt_av_enc_close.argtypes = [ctypes.c_void_p]
+    lib.skt_av_enc_push.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+    ]
+    lib.skt_av_enc_push.restype = ctypes.c_int
+    lib.skt_av_enc_pull.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_av_enc_pull.restype = ctypes.c_long
+    lib.skt_av_enc_extradata.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_av_enc_extradata.restype = ctypes.c_long
+    lib.skt_av_enc_frame_size.argtypes = [ctypes.c_void_p]
+    lib.skt_av_enc_frame_size.restype = ctypes.c_int
