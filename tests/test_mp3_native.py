@@ -1,0 +1,149 @@
+"""From-scratch MP3 decoder tests: float-exactness vs the libavcodec
+oracle (MPEG-1 + MPEG-2 LSF), batched device equivalence, streaming."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundkit_tpu.codecs.mp3_native import Mp3NativeDecoder, parse_header
+from soundkit_tpu.ops import mp3_batch as mb
+from soundkit_tpu.ops.mp3_dsp import Mp3Synth
+
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+
+
+def _decode_ours(mp3: bytes) -> np.ndarray:
+    frames = Mp3NativeDecoder().push(mp3)
+    synth = Mp3Synth()
+    return np.concatenate([synth.process_frame(f) for f in frames], axis=1)
+
+
+def _oracle(mp3: bytes) -> np.ndarray:
+    from soundkit_tpu.codecs.avdec import AvDecoder
+
+    o = AvDecoder("mp3float", use_parser=True)
+    return np.concatenate([o.push(mp3), o.flush()])
+
+
+def _snr(ref, test):
+    n = min(len(ref), len(test))
+    err = ref[:n] - test[:n]
+    return 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+
+
+def _lame(pcm, rate, ch, kbps):
+    from soundkit_tpu.codecs.encoders import Mp3Encoder
+
+    e = Mp3Encoder(rate, ch, kbps)
+    return e.encode_i16(pcm) + e.flush()
+
+
+def test_fixture_lsf_float_exact(testdata):
+    """MPEG-2 LSF 16 kHz fixture: float-exact vs oracle (ours emits one
+    extra leading frame for the oracle's reservoir priming)."""
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    ours = _decode_ours(mp3)[0]
+    ref = _oracle(mp3)
+    snr = _snr(ref, ours[576:])
+    assert snr > 90, f"LSF SNR {snr:.1f} dB"
+
+
+@pytest.mark.parametrize("kbps", [64000, 256000])
+def test_mpeg1_stereo_float_exact(kbps):
+    t = np.arange(44100) / 44100.0
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 660 * t)], axis=1)
+           .reshape(-1) * 12000).astype(np.int16)
+    mp3 = _lame(pcm, 44100, 2, kbps)
+    ours = _decode_ours(mp3)
+    inter = ours.T.reshape(-1)
+    ref = _oracle(mp3)
+    snr = _snr(ref, inter)
+    assert snr > 90, f"MPEG1 stereo {kbps}: {snr:.1f} dB"
+
+
+def test_mpeg1_noise_all_block_types():
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(44100) * 6000).astype(np.int16)
+    mp3 = _lame(pcm, 44100, 1, 256000)
+    frames = Mp3NativeDecoder().push(mp3)
+    bts = {g[0].block_type for f in frames for g in f.granules}
+    assert bts >= {0, 2}, f"need long+short coverage, got {bts}"
+    ours = _decode_ours(mp3)[0]
+    snr = _snr(_oracle(mp3), ours)
+    assert snr > 90, f"noise SNR {snr:.1f} dB"
+
+
+def test_header_parse(testdata):
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    # skip ID3 to first frame
+    dec = Mp3NativeDecoder()
+    dec.push(mp3[:5000])
+    hdr = dec.header
+    assert hdr.sample_rate == 16000
+    assert hdr.lsf and hdr.nb_channels == 1
+    assert hdr.samples == 576
+
+
+def test_chunked_push_invariance(testdata):
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+
+    def run(chunk):
+        dec = Mp3NativeDecoder()
+        frames = []
+        for i in range(0, len(mp3), chunk):
+            frames.extend(dec.push(mp3[i : i + chunk]))
+        synth = Mp3Synth()
+        return np.concatenate([synth.process_frame(f) for f in frames], axis=1)
+
+    a, b = run(313), run(len(mp3))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_batched_device_matches_reference():
+    t = np.arange(22050) / 44100.0
+    pcm = (np.stack([np.sin(2 * np.pi * 330 * t), np.sin(2 * np.pi * 550 * t)], axis=1)
+           .reshape(-1) * 12000).astype(np.int16)
+    mp3 = _lame(pcm, 44100, 2, 128000)
+    frames = Mp3NativeDecoder().push(mp3)
+
+    synth = Mp3Synth()
+    ref = np.concatenate([synth.process_frame(f) for f in frames], axis=1)
+
+    B = 2
+    overlap, fifo = mb.init_state(B)
+    step = jax.jit(mb.mp3_granule_device)
+    outs = []
+    for f in frames:
+        for granules in f.granules:
+            gb = mb.prepare_granule_batch([granules] * B, [f.header] * B)
+            pcm_d, overlap, fifo = step(
+                jnp.asarray(gb.quant), jnp.asarray(gb.scale), jnp.asarray(gb.ms),
+                jnp.asarray(gb.block_type), jnp.asarray(gb.mixed),
+                jnp.asarray(gb.n_alias_sb), jnp.asarray(gb.lane_valid), overlap, fifo,
+            )
+            outs.append(np.asarray(pcm_d))
+    dev = np.concatenate(outs, axis=2)
+    for b in range(B):
+        snr = _snr(ref.reshape(-1), dev[b].reshape(-1))
+        assert snr > 90, f"lane {b}: {snr:.1f} dB"
+
+
+def test_ragged_lane_freezes():
+    t = np.arange(11025) / 44100.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    mp3 = _lame(pcm, 44100, 1, 128000)
+    frames = Mp3NativeDecoder().push(mp3)
+    g0 = frames[0].granules[0]
+    B = 2
+    overlap, fifo = mb.init_state(B)
+    step = jax.jit(mb.mp3_granule_device)
+    gb = mb.prepare_granule_batch([g0, None], [frames[0].header, None])
+    pcm_d, overlap2, _ = step(
+        jnp.asarray(gb.quant), jnp.asarray(gb.scale), jnp.asarray(gb.ms),
+        jnp.asarray(gb.block_type), jnp.asarray(gb.mixed),
+        jnp.asarray(gb.n_alias_sb), jnp.asarray(gb.lane_valid), overlap, fifo,
+    )
+    assert np.all(np.asarray(pcm_d)[1] == 0)
+    np.testing.assert_array_equal(np.asarray(overlap2)[1], overlap[1])
