@@ -1,0 +1,162 @@
+"""C++ AAC-LC host parser wrapper: AUs -> FrameBatch lanes directly.
+
+Production counterpart of the Python syntax layer (codecs/aac_lc.py —
+kept as the executable spec); this path feeds the batched device step
+without per-frame Python work.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional
+
+import numpy as np
+
+from soundkit_tpu.native.loader import load
+from soundkit_tpu.ops.aac_batch import MAX_FILTERS, MAX_ORDER, FrameBatch
+
+
+class NativeAacError(ValueError):
+    pass
+
+
+class NativeAacParser:
+    def __init__(self, sr_index: int):
+        self._lib = load()
+        self._h = self._lib.skt_aac_new(sr_index)
+        self.sr_index = sr_index
+        # reusable per-AU scratch
+        self._quant = np.zeros((2, 1024), dtype=np.int32)
+        self._scale = np.zeros((2, 1024), dtype=np.float32)
+        self._perm = np.zeros((2, 1024), dtype=np.int32)
+        self._filt = np.zeros((2, 1024), dtype=np.int32)
+        self._lpc = np.zeros((2, MAX_FILTERS, MAX_ORDER), dtype=np.float32)
+        self._meta = np.zeros(8, dtype=np.int32)
+        self._ms = np.zeros(1024, dtype=np.uint8)
+        self._intf = np.zeros(1024, dtype=np.float32)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_aac_free(self._h)
+            self._h = None
+
+    def parse_into(self, au: bytes, fb: FrameBatch, lane: int) -> None:
+        """Parse one AU directly into batch lane ``lane``."""
+        rc = self._lib.skt_aac_parse_au(
+            self._h, bytes(au), len(au),
+            self._quant.reshape(-1), self._scale.reshape(-1),
+            self._perm.reshape(-1), self._filt.reshape(-1),
+            self._lpc.reshape(-1), self._meta, self._ms, self._intf,
+        )
+        if rc != 0:
+            raise NativeAacError(self._lib.skt_aac_error(self._h).decode())
+        fb.quant[lane] = self._quant
+        fb.scale[lane] = self._scale
+        fb.perm[lane] = self._perm
+        fb.filt_id[lane] = self._filt
+        fb.lpc[lane] = self._lpc
+        fb.seq[lane, 0] = self._meta[0]
+        fb.shape[lane, 0] = self._meta[1]
+        fb.chan_valid[lane, 0] = bool(self._meta[2])
+        fb.seq[lane, 1] = self._meta[3]
+        fb.shape[lane, 1] = self._meta[4]
+        fb.chan_valid[lane, 1] = bool(self._meta[5])
+        fb.ms_mask[lane] = self._ms.astype(bool)
+        fb.int_factor[lane] = self._intf
+
+
+def empty_frame_batch(B: int, C: int = 2) -> FrameBatch:
+    perm = np.tile(np.arange(1024, dtype=np.int32), (B, C, 1))
+    return FrameBatch(
+        quant=np.zeros((B, C, 1024), dtype=np.int32),
+        scale=np.zeros((B, C, 1024), dtype=np.float32),
+        ms_mask=np.zeros((B, 1024), dtype=bool),
+        int_factor=np.zeros((B, 1024), dtype=np.float32),
+        perm=perm,
+        filt_id=np.full((B, C, 1024), -1, dtype=np.int32),
+        lpc=np.zeros((B, C, MAX_FILTERS, MAX_ORDER), dtype=np.float32),
+        seq=np.zeros((B, C), dtype=np.int32),
+        shape=np.zeros((B, C), dtype=np.int32),
+        chan_valid=np.zeros((B, C), dtype=bool),
+    )
+
+
+def prepare_frame_batch_native(
+    parsers: List[NativeAacParser], aus: List[Optional[bytes]]
+) -> FrameBatch:
+    """One AU per lane (None = silent lane)."""
+    B = len(aus)
+    fb = empty_frame_batch(B)
+    for i, au in enumerate(aus):
+        if au is not None:
+            parsers[i].parse_into(au, fb, i)
+    return fb
+
+
+def prepare_frame_batch_batched(
+    parser: NativeAacParser, aus: List[Optional[bytes]]
+) -> FrameBatch:
+    """All lanes in ONE C call (no per-AU Python overhead)."""
+    B = len(aus)
+    fb = empty_frame_batch(B)
+    blob = bytearray()
+    offsets = np.zeros(B, dtype=np.int64)
+    lens = np.full(B, -1, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            offsets[i] = len(blob)
+            lens[i] = len(au)
+            blob.extend(au)
+    chan_valid_u8 = np.zeros((B, 2), dtype=np.uint8)
+    ms_u8 = np.zeros((B, 1024), dtype=np.uint8)
+    parser._lib.skt_aac_parse_batch(
+        parser._h, bytes(blob), offsets, lens, B,
+        fb.quant.reshape(-1), fb.scale.reshape(-1), fb.perm.reshape(-1),
+        fb.filt_id.reshape(-1), fb.lpc.reshape(-1), fb.seq.reshape(-1),
+        fb.shape.reshape(-1), chan_valid_u8.reshape(-1),
+        ms_u8.reshape(-1), fb.int_factor.reshape(-1),
+    )
+    fb.chan_valid[:] = chan_valid_u8.astype(bool)
+    fb.ms_mask[:] = ms_u8.astype(bool)
+    return fb
+
+
+def prepare_compact_batch(parser: NativeAacParser, aus: List[Optional[bytes]]):
+    """Compact wire form for bandwidth-bound host->device links.
+
+    Returns (CompactFrameBatch, overflow: bool); when overflow is True
+    some |quant| exceeded int16 (pathological escapes) and the caller
+    should use prepare_frame_batch_batched for this batch instead.
+    """
+    from soundkit_tpu.ops.aac_batch import CompactFrameBatch
+
+    B = len(aus)
+    blob = bytearray()
+    offsets = np.zeros(B, dtype=np.int64)
+    lens = np.full(B, -1, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            offsets[i] = len(blob)
+            lens[i] = len(au)
+            blob.extend(au)
+    cb = CompactFrameBatch(
+        quant=np.zeros((B, 2, 1024), dtype=np.int16),
+        line_sf=np.zeros((B, 2, 1024), dtype=np.uint8),
+        is_pos=np.zeros((B, 1024), dtype=np.int8),
+        is_sign=np.zeros((B, 1024), dtype=np.int8),
+        ms_mask=np.zeros((B, 1024), dtype=np.uint8),
+        regions=np.zeros((B, 2, MAX_FILTERS, 3), dtype=np.int16),
+        lpc=np.zeros((B, 2, MAX_FILTERS, MAX_ORDER), dtype=np.float32),
+        seq=np.zeros((B, 2), dtype=np.int32),
+        shape=np.zeros((B, 2), dtype=np.int32),
+        chan_valid=np.zeros((B, 2), dtype=np.uint8),
+    )
+    overflow = np.zeros(1, dtype=np.int32)
+    parser._lib.skt_aac_parse_batch_compact(
+        parser._h, bytes(blob), offsets, lens, B,
+        cb.quant.reshape(-1), cb.line_sf.reshape(-1),
+        cb.is_pos.reshape(-1), cb.is_sign.reshape(-1),
+        cb.ms_mask.reshape(-1), cb.regions.reshape(-1), cb.lpc.reshape(-1),
+        cb.seq.reshape(-1), cb.shape.reshape(-1),
+        cb.chan_valid.reshape(-1), overflow,
+    )
+    return cb, bool(overflow[0])

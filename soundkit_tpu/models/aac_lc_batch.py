@@ -18,9 +18,14 @@ from soundkit_tpu.ops import aac_batch as ab
 
 
 class BatchedAacLcDecoder:
-    """Decode N parallel ADTS streams in lockstep frame batches."""
+    """Decode N parallel ADTS streams in lockstep frame batches.
 
-    def __init__(self, num_streams: int, channels: int = 2, mesh=None):
+    Uses the C++ host parser (codecs.aac_lc_native) when the native
+    library is available; falls back to the Python syntax layer.
+    """
+
+    def __init__(self, num_streams: int, channels: int = 2, mesh=None,
+                 use_native: bool = True):
         import jax
 
         self.B = num_streams
@@ -32,6 +37,16 @@ class BatchedAacLcDecoder:
         self._prev_shape = prev_shape
         self._mesh = mesh
         self._step = jax.jit(ab.aac_decode_frame_device)
+        self._native = None
+        if use_native:
+            try:
+                from soundkit_tpu.codecs.aac_lc_native import NativeAacParser
+
+                self._native_cls = NativeAacParser
+            except Exception:
+                self._native_cls = None
+        else:
+            self._native_cls = None
 
     def push(self, stream_idx: int, data: bytes) -> None:
         self._queues[stream_idx].extend(self._streams[stream_idx].push(data))
@@ -52,15 +67,7 @@ class BatchedAacLcDecoder:
         n = self.ready_frames if max_frames is None else min(self.ready_frames, max_frames)
         outs = []
         for _ in range(n):
-            frames = []
-            for i, q in enumerate(self._queues):
-                if q:
-                    au = q.pop(0)
-                    dec = self._streams[i].decoder
-                    frames.append(dec.decode_au(au) if dec else None)
-                else:
-                    frames.append(None)
-            fb = ab.prepare_frame_batch(frames, self.C)
+            fb = self._next_frame_batch()
             pcm, self._saved, self._prev_shape = self._step(
                 jnp.asarray(fb.quant), jnp.asarray(fb.scale),
                 jnp.asarray(fb.ms_mask), jnp.asarray(fb.int_factor),
@@ -73,3 +80,26 @@ class BatchedAacLcDecoder:
         if not outs:
             return np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
         return np.stack(outs)
+
+    def _next_frame_batch(self):
+        aus: List[Optional[bytes]] = []
+        for i, q in enumerate(self._queues):
+            aus.append(q.pop(0) if q else None)
+        if self._native_cls is not None:
+            if self._native is None:
+                sr = next(
+                    (s.sr_index for s in self._streams if s.sr_index is not None), None
+                )
+                if sr is not None:
+                    self._native = self._native_cls(sr)
+            if self._native is not None:
+                from soundkit_tpu.codecs.aac_lc_native import (
+                    prepare_frame_batch_batched,
+                )
+
+                return prepare_frame_batch_batched(self._native, aus)
+        frames = []
+        for i, au in enumerate(aus):
+            dec = self._streams[i].decoder
+            frames.append(dec.decode_au(au) if (au is not None and dec) else None)
+        return ab.prepare_frame_batch(frames, self.C)

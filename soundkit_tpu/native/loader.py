@@ -87,6 +87,9 @@ def load() -> ctypes.CDLL:
     lib.skt_av_err.argtypes = [ctypes.c_void_p]
     lib.skt_av_err.restype = ctypes.c_char_p
     _bind_encoders(lib)
+    _bind_aac(lib)
+    _bind_aac_batch(lib)
+    _bind_aac_compact(lib)
     return lib
 
 
@@ -112,3 +115,77 @@ def _bind_encoders(lib: ctypes.CDLL) -> None:
     lib.skt_av_enc_extradata.restype = ctypes.c_long
     lib.skt_av_enc_frame_size.argtypes = [ctypes.c_void_p]
     lib.skt_av_enc_frame_size.restype = ctypes.c_int
+
+
+def _bind_aac(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_aac_new.restype = ctypes.c_void_p
+    lib.skt_aac_new.argtypes = [ctypes.c_int]
+    lib.skt_aac_free.argtypes = [ctypes.c_void_p]
+    lib.skt_aac_parse_au.restype = ctypes.c_int
+    lib.skt_aac_parse_au.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    lib.skt_aac_error.argtypes = [ctypes.c_void_p]
+    lib.skt_aac_error.restype = ctypes.c_char_p
+
+
+def _bind_aac_batch(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_aac_parse_batch.restype = ctypes.c_int
+    lib.skt_aac_parse_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+
+
+def _bind_aac_compact(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_aac_parse_batch_compact.restype = ctypes.c_int
+    lib.skt_aac_parse_batch_compact.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]

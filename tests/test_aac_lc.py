@@ -132,3 +132,64 @@ def test_batched_streaming_model(golden_adts):
     np.testing.assert_allclose(out[:, 0], out[:, 1], atol=1e-6)
     rms = np.sqrt(np.mean(out[:, 0] ** 2))
     assert rms > 1e-4
+
+
+def test_native_parser_matches_python(parsed, golden_adts):
+    """C++ parser must emit byte-identical FrameBatch tensors."""
+    pytest.importorskip("ctypes")
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_compact_batch,
+        prepare_frame_batch_batched,
+    )
+
+    stream, frames = parsed
+    aus = AdtsStream().push(golden_adts)
+    parser = NativeAacParser(stream.sr_index)
+    fb_nat = prepare_frame_batch_batched(parser, aus)
+    fb_py = ab.prepare_frame_batch(frames)
+    for name in ("quant", "scale", "ms_mask", "int_factor", "perm", "filt_id",
+                 "lpc", "seq", "shape", "chan_valid"):
+        np.testing.assert_allclose(
+            getattr(fb_py, name).astype(np.float64),
+            getattr(fb_nat, name).astype(np.float64),
+            atol=1e-6, err_msg=name,
+        )
+
+
+def test_compact_wire_path_matches_full(parsed, golden_adts):
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_compact_batch,
+        prepare_frame_batch_batched,
+    )
+
+    stream, _ = parsed
+    aus = AdtsStream().push(golden_adts)[:12]
+    parser = NativeAacParser(stream.sr_index)
+    B = 2
+    s1, p1 = map(jnp.asarray, ab.init_state(B))
+    s2, p2 = s1, p1
+    step_full = jax.jit(ab.aac_decode_frame_device)
+    step_c = jax.jit(ab.aac_decode_frame_device_compact)
+    for au in aus:
+        fb = prepare_frame_batch_batched(parser, [au] * B)
+        cb, ovf = prepare_compact_batch(parser, [au] * B)
+        assert not ovf
+        o1, s1, p1 = step_full(
+            jnp.asarray(fb.quant), jnp.asarray(fb.scale), jnp.asarray(fb.ms_mask),
+            jnp.asarray(fb.int_factor), jnp.asarray(fb.perm), jnp.asarray(fb.filt_id),
+            jnp.asarray(fb.lpc), jnp.asarray(fb.seq), jnp.asarray(fb.shape),
+            p1, jnp.asarray(fb.chan_valid), s1,
+        )
+        o2, s2, p2 = step_c(
+            jnp.asarray(cb.quant), jnp.asarray(cb.line_sf), jnp.asarray(cb.is_pos),
+            jnp.asarray(cb.is_sign), jnp.asarray(cb.ms_mask), jnp.asarray(cb.regions),
+            jnp.asarray(cb.lpc), jnp.asarray(cb.seq), jnp.asarray(cb.shape),
+            p2, jnp.asarray(cb.chan_valid), s2,
+        )
+        a, b = np.asarray(o1), np.asarray(o2)
+        pwr = np.mean(a**2)
+        if pwr > 1e-12:
+            snr = 10 * np.log10(pwr / max(np.mean((a - b) ** 2), 1e-30))
+            assert snr > 90, f"compact path diverged: {snr:.1f} dB"
