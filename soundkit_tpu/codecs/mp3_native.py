@@ -559,3 +559,42 @@ class Mp3NativeDecoder:
                 e = gain - ((sf + pre) << shift)
                 exp[lo:hi] = 2.0 ** (0.25 * e)
         return exp
+
+
+class NativeMp3Parser:
+    """C++ MP3 parser wrapper: bytes -> compact granule lanes
+    (int16 quant + int16 quarter-exponents, short-reordered)."""
+
+    def __init__(self) -> None:
+        from soundkit_tpu.native.loader import load
+
+        self._lib = load()
+        self._h = self._lib.skt_mp3_new()
+        self._quant = np.zeros((2, 576), dtype=np.int16)
+        self._expq = np.zeros((2, 576), dtype=np.int16)
+        self._meta = np.zeros(10, dtype=np.int32)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_mp3_free(self._h)
+            self._h = None
+
+    def push(self, data: bytes) -> int:
+        """Returns number of granules now buffered."""
+        return int(self._lib.skt_mp3_push(self._h, bytes(data), len(data)))
+
+    def pop(self):
+        """Returns (quant [2,576] i16, expq [2,576] i16, meta dict) or None."""
+        if not self._lib.skt_mp3_pop(self._h, self._quant.reshape(-1),
+                                     self._expq.reshape(-1), self._meta):
+            return None
+        m = self._meta
+        meta = dict(
+            block_type=(int(m[0]), int(m[3])),
+            mixed=(bool(m[1]), bool(m[4])),
+            n_alias=(int(m[2]), int(m[5])),
+            ms=bool(m[6]),
+            nch=int(m[7]),
+            sample_rate=int(m[8]),
+        )
+        return self._quant.copy(), self._expq.copy(), meta

@@ -90,6 +90,7 @@ def load() -> ctypes.CDLL:
     _bind_aac(lib)
     _bind_aac_batch(lib)
     _bind_aac_compact(lib)
+    _bind_mp3(lib)
     return lib
 
 
@@ -187,5 +188,22 @@ def _bind_aac_compact(lib: ctypes.CDLL) -> None:
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+
+
+def _bind_mp3(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_mp3_new.restype = ctypes.c_void_p
+    lib.skt_mp3_free.argtypes = [ctypes.c_void_p]
+    lib.skt_mp3_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_mp3_push.restype = ctypes.c_long
+    lib.skt_mp3_pop.restype = ctypes.c_int
+    lib.skt_mp3_pop.argtypes = [
+        ctypes.c_void_p,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]

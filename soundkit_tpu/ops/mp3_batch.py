@@ -217,3 +217,18 @@ def init_state(B: int, C: int = 2):
         np.zeros((B, C, 32, 18), dtype=np.float32),
         np.zeros((B, C, 1024), dtype=np.float32),
     )
+
+
+def mp3_granule_device_compact(quant_i16, expq, ms, block_type, mixed,
+                               n_alias_sb, lane_valid, overlap, v_fifo):
+    """Compact-wire variant: int16 quant + int16 quarter-exponents
+    (sentinel -32768 = silent line); scale reconstructed on device."""
+    import jax.numpy as jnp
+
+    scale = jnp.where(
+        expq == -32768, 0.0, jnp.exp2(0.25 * expq.astype(jnp.float32))
+    )
+    return mp3_granule_device(
+        quant_i16.astype(jnp.int32), scale, ms, block_type, mixed,
+        n_alias_sb, lane_valid, overlap, v_fifo,
+    )

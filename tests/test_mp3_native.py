@@ -147,3 +147,57 @@ def test_ragged_lane_freezes():
     )
     assert np.all(np.asarray(pcm_d)[1] == 0)
     np.testing.assert_array_equal(np.asarray(overlap2)[1], overlap[1])
+
+
+def test_native_parser_matches_python(testdata):
+    """C++ parser granule lanes must match the python spec exactly."""
+    from soundkit_tpu.codecs.mp3_native import NativeMp3Parser
+    from soundkit_tpu.ops import mp3_dsp
+
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    frames = Mp3NativeDecoder().push(mp3)
+    py = []
+    for f in frames:
+        for granules in f.granules:
+            g = granules[0]
+            q, e = g.spectrum, g.exponents
+            if g.block_type == 2:
+                q = mp3_dsp.reorder_short(g, f.header, q.astype(np.float64)).astype(np.int32)
+                e = mp3_dsp.reorder_short(g, f.header, g.exponents)
+            py.append((q, e))
+
+    nat = NativeMp3Parser()
+    n = nat.push(mp3)
+    assert n == len(py)
+    for i in range(n):
+        q, e, meta = nat.pop()
+        pq, pe = py[i]
+        np.testing.assert_array_equal(q[0], np.clip(pq, -32768, 32767).astype(np.int16))
+        scale = np.where(e[0] == -32768, 0.0, np.exp2(0.25 * e[0].astype(np.float64)))
+        nz = pq != 0
+        np.testing.assert_allclose(scale[nz], pe[nz], rtol=1e-6)
+
+
+def test_batched_mp3_model(testdata):
+    """Serving model: lockstep granule batches over the native parser +
+    compact device step, vs the numpy reference decode."""
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+    from soundkit_tpu.ops.mp3_dsp import Mp3Synth
+
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    frames = Mp3NativeDecoder().push(mp3)
+    synth = Mp3Synth()
+    ref = np.concatenate([synth.process_frame(f) for f in frames], axis=1)[0]
+
+    B = 3
+    model = BatchedMp3Decoder(B, channels=1)
+    for i in range(B):
+        model.push(i, mp3)
+    out = model.decode_ready()
+    assert out.shape[0] == 86 and model.sample_rate == 16000
+    got = out[:, 0, 0].reshape(-1)
+    n = min(len(got), len(ref))
+    err = ref[:n] - got[:n]
+    snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 90, f"batched model {snr:.1f} dB vs reference"
+    np.testing.assert_allclose(out[:, 0], out[:, 2], atol=1e-6)
