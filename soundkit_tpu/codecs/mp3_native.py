@@ -458,7 +458,9 @@ class Mp3NativeDecoder:
         band_index = _band_index_long(hdr.sr_index)
 
         if gr.block_type == 2:
-            region1 = 36
+            # 8 kHz MPEG-2.5 (sr_index 8) has double-width bands: the
+            # short-block big-values boundary is 72 lines, not 36.
+            region1 = 72 if hdr.sr_index == 8 else 36
             region2 = 576
         else:
             r0 = min(gr.region0_count + 1, 22)

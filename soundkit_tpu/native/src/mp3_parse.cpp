@@ -362,7 +362,9 @@ struct Mp3Parser {
         int bi[23];
         band_index_long(h.sr_index, bi);
         int region1, region2;
-        if (gr.block_type == 2) { region1 = 36; region2 = 576; }
+        // 8 kHz MPEG-2.5 (sr_index 8) has double-width bands: the
+        // short-block big-values boundary is 72 lines, not 36.
+        if (gr.block_type == 2) { region1 = h.sr_index == 8 ? 72 : 36; region2 = 576; }
         else {
             int r0 = std::min(gr.region0_count + 1, 22);
             int r1 = std::min(gr.region0_count + 1 + gr.region1_count + 1, 22);

@@ -201,3 +201,34 @@ def test_batched_mp3_model(testdata):
     snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
     assert snr > 90, f"batched model {snr:.1f} dB vs reference"
     np.testing.assert_allclose(out[:, 0], out[:, 2], atol=1e-6)
+
+
+def test_mpeg25_8khz_short_block_regions():
+    """8 kHz MPEG-2.5 (sr_index 8): short-block big-values boundary is
+    72 lines (double-width bands), not 36 — both parsers."""
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 8000.0
+    sig = rng.standard_normal(16000) * 0.05
+    for k in range(10):
+        sig[k * 1600 : k * 1600 + 200] += np.sin(2 * np.pi * 800 * t[:200]) * 0.8
+    pcm = (sig * 24000).clip(-32768, 32767).astype(np.int16)
+    mp3 = _lame(pcm, 8000, 1, 32000)
+
+    frames = Mp3NativeDecoder().push(mp3)
+    assert frames[0].header.sr_index == 8
+    bts = {g[0].block_type for f in frames for g in f.granules}
+    assert 2 in bts, "fixture must exercise short blocks"
+    ours = _decode_ours(mp3)[0]
+    snr = _snr(_oracle(mp3), ours)
+    assert snr > 90, f"8 kHz MPEG-2.5 SNR {snr:.1f} dB"
+
+    # C++ parser + batched model end-to-end at 8 kHz
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+    m = BatchedMp3Decoder(1, channels=1)
+    m.push(0, mp3)
+    out = m.decode_ready()
+    assert m.sample_rate == 8000
+    got = out[:, 0, 0].reshape(-1)
+    snr2 = _snr(ours, got)
+    assert snr2 > 90, f"batched 8 kHz {snr2:.1f} dB"
