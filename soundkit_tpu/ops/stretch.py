@@ -14,7 +14,7 @@ batched device use (rfft/irfft are XLA-supported).
 from __future__ import annotations
 
 from fractions import Fraction
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -26,14 +26,50 @@ def _princarg(x: np.ndarray) -> np.ndarray:
     return (x + np.pi) % (2 * np.pi) - np.pi
 
 
-def stretch_channels(channels: np.ndarray, time_ratio: float) -> np.ndarray:
+ENVELOPE_ORDER = FRAME // 32  # cepstral lifter cutoff (64 @ FRAME=2048)
+
+
+def _spectral_envelope(mag: np.ndarray, order: int = ENVELOPE_ORDER) -> np.ndarray:
+    """Cepstrally smoothed spectral envelope of ``mag`` [..., K].
+
+    Real cepstrum of log|X|, low-quefrency lifter (factor-2 fold for the
+    symmetric negative quefrencies), back to log-spectral domain.
+    """
+    logm = np.log(np.maximum(mag, 1e-9))
+    ceps = np.fft.irfft(logm, n=FRAME, axis=-1)
+    lift = np.zeros(FRAME)
+    lift[0] = 1.0
+    lift[1:order] = 2.0
+    env_log = np.fft.rfft(ceps * lift, n=FRAME, axis=-1).real
+    return np.exp(env_log[..., : mag.shape[-1]])
+
+
+def _warp_envelope(env: np.ndarray, warp: float) -> np.ndarray:
+    """Evaluate ``env`` at bin positions ``k * warp`` (linear interp,
+    right-clamped) — shifts the envelope down in frequency by ``warp``."""
+    K = env.shape[-1]
+    pos = np.arange(K) * warp
+    i0 = np.clip(pos.astype(np.int64), 0, K - 1)
+    i1 = np.clip(i0 + 1, 0, K - 1)
+    fr = np.clip(pos - i0, 0.0, 1.0)
+    return env[..., i0] * (1.0 - fr) + env[..., i1] * fr
+
+
+def stretch_channels(
+    channels: np.ndarray, time_ratio: float, envelope_warp: float = 1.0
+) -> np.ndarray:
     """Time-stretch planar f32 [C, n] by ``time_ratio`` (>1 = longer).
 
-    Pure phase vocoder; length out ~= n * time_ratio.
+    Pure phase vocoder; length out ~= n * time_ratio.  When
+    ``envelope_warp`` != 1, each frame's magnitude is flattened by its
+    cepstral envelope and re-shaped with the envelope evaluated at
+    ``k * envelope_warp`` — the formant-preservation primitive
+    (reference: rubberband_set_formant_scale, soundkit-rubberband
+    lib.rs:628-630; here an owned kernel, not a library call).
     """
     x = np.atleast_2d(np.asarray(channels, dtype=np.float64))
     C, n = x.shape
-    if n == 0 or abs(time_ratio - 1.0) < 1e-9:
+    if n == 0 or (abs(time_ratio - 1.0) < 1e-9 and abs(envelope_warp - 1.0) < 1e-9):
         return x.astype(np.float32).copy()
 
     hop_s = max(1, int(round(HOP_A * time_ratio)))
@@ -50,6 +86,10 @@ def stretch_channels(channels: np.ndarray, time_ratio: float) -> np.ndarray:
 
     mag = np.abs(spec)
     phase = np.angle(spec)
+
+    if abs(envelope_warp - 1.0) > 1e-9:
+        env = _spectral_envelope(mag)
+        mag = mag / np.maximum(env, 1e-9) * _warp_envelope(env, envelope_warp)
 
     # per-bin instantaneous frequency (vectorized over frames)
     omega = 2 * np.pi * np.arange(K) / FRAME  # rad/sample
@@ -88,19 +128,31 @@ def pitch_ratio_fraction(pitch_scale: float, max_den: int = 64) -> Tuple[int, in
 
 
 def stretch_pitch(
-    channels: np.ndarray, time_ratio: float, pitch_scale: float
+    channels: np.ndarray,
+    time_ratio: float,
+    pitch_scale: float,
+    formant_scale: Optional[float] = None,
 ) -> np.ndarray:
     """Combined time stretch + pitch shift.
 
     Stretch by time_ratio * pitch_scale, then resample by 1/pitch_scale
     so duration = n * time_ratio and pitch moves by pitch_scale.
+
+    ``formant_scale=None`` (default): the spectral envelope follows the
+    pitch shift.  ``formant_scale=F``: the envelope lands at F x the
+    original formant frequencies regardless of pitch (F=1 = preserved).
+    The resample step scales the stretched-domain spectrum by
+    ``pitch_scale``, so the vocoder warps the envelope by
+    ``pitch_scale / F`` to compensate.
     """
     from soundkit_tpu.ops import resample as rs
 
     x = np.atleast_2d(np.asarray(channels, dtype=np.float32))
     if abs(pitch_scale - 1.0) < 1e-9:
-        return stretch_channels(x, time_ratio)
-    stretched = stretch_channels(x, time_ratio * pitch_scale)
+        warp = 1.0 if formant_scale is None else 1.0 / formant_scale
+        return stretch_channels(x, time_ratio, envelope_warp=warp)
+    warp = 1.0 if formant_scale is None else pitch_scale / formant_scale
+    stretched = stretch_channels(x, time_ratio * pitch_scale, envelope_warp=warp)
     num, den = pitch_ratio_fraction(pitch_scale)
     # resample rate ratio 1/pitch: in_rate=num, out_rate=den
     out = rs.resample_np(stretched, num * 1000, den * 1000)

@@ -33,7 +33,13 @@ class OfflineStretchConfig:
     channels: int
     time_ratio: float = 1.0
     pitch_scale: float = 1.0
-    formant_scale: float = 1.0  # accepted for parity; not yet applied
+    # Reference semantics (lib.rs:628-630): formant_scale != 1.0 pins
+    # the spectral envelope at formant_scale x the original formant
+    # frequencies, independent of pitch_scale.  formant_preserved
+    # mirrors the FORMANT_PRESERVED option bit (lib.rs:45): envelope
+    # stays at the original frequencies while pitch moves.
+    formant_scale: float = 1.0
+    formant_preserved: bool = False
     chunk_frames: int = DEFAULT_CHUNK_FRAMES
 
     @classmethod
@@ -49,6 +55,16 @@ class OfflineStretchConfig:
     def with_formant_scale(self, f: float) -> "OfflineStretchConfig":
         return replace(self, formant_scale=f)
 
+    def with_formant_preserved(self, on: bool = True) -> "OfflineStretchConfig":
+        return replace(self, formant_preserved=on)
+
+    def effective_formant_scale(self):
+        """None = envelope follows pitch (default); else the explicit
+        envelope scale relative to the original formants."""
+        if self.formant_preserved or abs(self.formant_scale - 1.0) > 1e-9:
+            return self.formant_scale
+        return None
+
     def with_chunk_frames(self, n: int) -> "OfflineStretchConfig":
         return replace(self, chunk_frames=n)
 
@@ -59,6 +75,8 @@ class OfflineStretchConfig:
             raise StretchError("time_ratio out of range")
         if not 0.25 <= self.pitch_scale <= 4.0:
             raise StretchError("pitch_scale out of range")
+        if not (np.isfinite(self.formant_scale) and self.formant_scale > 0.0):
+            raise StretchError("formant_scale must be finite and > 0")
 
 
 def recommended_config_for_audio(audio: AudioData) -> OfflineStretchConfig:
@@ -76,7 +94,10 @@ def stretch_deinterleaved(
             f"expected {config.channels} channels, got {len(channels)}"
         )
     x = np.stack([np.asarray(c, np.float32) for c in channels], axis=0)
-    out = stretch_pitch(x, config.time_ratio, config.pitch_scale)
+    out = stretch_pitch(
+        x, config.time_ratio, config.pitch_scale,
+        formant_scale=config.effective_formant_scale(),
+    )
     return [out[c] for c in range(out.shape[0])]
 
 

@@ -98,3 +98,60 @@ def test_validation():
     cfg2 = OfflineStretchConfig.recommended_for_music(16000, 2)
     with pytest.raises(StretchError, match="channels"):
         stretch_deinterleaved([np.zeros(100, np.float32)], cfg2)
+
+
+def _vowel(rate, f0, n):
+    """Harmonic source shaped by resonances at ~700 and ~1800 Hz."""
+    t = np.arange(n) / rate
+    sig = np.zeros(n)
+    for k in range(1, int(5000 / f0)):
+        f = k * f0
+        g = (np.exp(-((f - 700) ** 2) / (2 * 120**2))
+             + 0.8 * np.exp(-((f - 1800) ** 2) / (2 * 180**2)) + 0.01)
+        sig += g * np.sin(2 * np.pi * f * t + 0.7 * k)
+    return (sig / np.max(np.abs(sig)) * 0.8).astype(np.float32)
+
+
+def _formants(x, rate):
+    from soundkit_tpu.ops.stretch import FRAME, HOP_A, _spectral_envelope
+
+    T = (len(x) - FRAME) // HOP_A
+    idx = np.arange(FRAME)[None, :] + HOP_A * np.arange(T)[:, None]
+    mag = np.abs(np.fft.rfft(np.hanning(FRAME) * x[idx], axis=-1))
+    env = _spectral_envelope(mag).mean(axis=0)
+    freqs = np.arange(len(env)) * rate / FRAME
+    sel = freqs < 3000
+    e, f = env[sel], freqs[sel]
+    peaks = [i for i in range(1, len(e) - 1) if e[i] > e[i - 1] and e[i] >= e[i + 1]]
+    peaks.sort(key=lambda i: -e[i])
+    return sorted(f[i] for i in peaks[:2])
+
+
+def test_formant_preservation():
+    """Pitch x1.5: default shifts formants with pitch; formant_preserved
+    pins them; explicit formant_scale lands at scale x original."""
+    rate = 44100
+    sig = _vowel(rate, 110.0, rate)
+    f_in = _formants(sig, rate)
+    base = OfflineStretchConfig(sample_rate=rate, channels=1, pitch_scale=1.5)
+
+    follow = stretch_deinterleaved([sig], base)[0]
+    f_follow = _formants(follow, rate)
+    assert all(abs(a / b - 1.5) < 0.15 for a, b in zip(f_follow, f_in))
+
+    pres = stretch_deinterleaved([sig], base.with_formant_preserved())[0]
+    f_pres = _formants(pres, rate)
+    assert all(abs(a / b - 1.0) < 0.1 for a, b in zip(f_pres, f_in))
+    assert len(pres) == len(follow)
+
+    shifted = stretch_deinterleaved(
+        [sig], OfflineStretchConfig(sample_rate=rate, channels=1).with_formant_scale(1.3)
+    )[0]
+    f_shift = _formants(shifted, rate)
+    assert all(abs(a / b - 1.3) < 0.1 for a, b in zip(f_shift, f_in))
+
+
+def test_formant_scale_validation():
+    cfg = OfflineStretchConfig.recommended_for_music(16000, 1).with_formant_scale(-1.0)
+    with pytest.raises(StretchError, match="formant_scale"):
+        stretch_deinterleaved([np.zeros(100, np.float32)], cfg)
