@@ -72,8 +72,36 @@ class M4aAdapter(_Mp4BufferedAdapter):
 
 
 class AlacAdapter(_Mp4BufferedAdapter):
+    """ALAC from M4A/MP4 or CAF (reference: soundkit-alac/src/lib.rs:6
+    supports both containers; container sniffed at EOF)."""
+
     def __init__(self):
         super().__init__(want_codec="alac")
+
+    def flush(self) -> List[AudioData]:
+        if bytes(self._buf[:4]) == b"caff":
+            return self._flush_caf()
+        return super().flush()
+
+    def _flush_caf(self) -> List[AudioData]:
+        from soundkit_tpu.demux.caf import CafError, demux_caf_audio
+        from soundkit_tpu.pipeline.output_options import DecodingFailed
+
+        data = bytes(self._buf)
+        self._buf.clear()
+        try:
+            track = demux_caf_audio(data)
+        except CafError as e:
+            raise DecodingFailed(str(e))
+        if track.codec != "alac":
+            raise DecodingFailed(f"expected alac track, found {track.codec}")
+        dec = AvDecoder("alac", extradata=track.config)
+        outs = [dec.push(p) for p in track.packets]
+        outs.append(dec.flush())
+        pcm = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        rate = dec.rate or track.sample_rate
+        ch = dec.channels or track.channels
+        return _audio_i16(f32_to_i16(pcm), rate, ch)
 
 
 class WebmAdapter:

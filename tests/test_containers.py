@@ -130,3 +130,53 @@ def test_ogg_page_parser_resync():
     page = b"OggS" + bytes([0, 2]) + b"\x00" * 8 + b"\x01\x00\x00\x00" + b"\x00" * 4 + b"\x00" * 4 + bytes([1, 0])
     pages = p.push(page)
     assert len(pages) == 1 and pages[0].serial == 1
+
+
+def test_alac_caf_container(testdata):
+    """ALAC-in-CAF (reference soundkit-alac/src/lib.rs:6): CAF built
+    from the M4A fixture's packets decodes bit-exactly to the M4A path,
+    across all three kuki layouts and chunked feed."""
+    import struct
+
+    from soundkit_tpu.codecs.containers import AlacAdapter
+    from soundkit_tpu.demux.caf import demux_caf_audio, mux_caf_alac
+    from soundkit_tpu.demux.mp4 import demux_mp4_audio
+
+    m4a = (testdata / "alac" / f"{CLIP}.m4a").read_bytes()
+    tr = demux_mp4_audio(m4a)
+    caf = mux_caf_alac(tr.samples, tr.config, tr.sample_rate, tr.channels, 16)
+
+    t2 = demux_caf_audio(caf)
+    assert t2.codec == "alac" and t2.packets == tr.samples
+    assert t2.config == tr.config  # 24-byte kuki normalised to 36-byte atom
+
+    a1 = AlacAdapter(); a1.process(m4a)
+    ref = a1.flush()[0]
+    a2 = AlacAdapter(); a2.process(caf)
+    out = a2.flush()[0]
+    assert out.data == ref.data and out.sampling_rate == ref.sampling_rate
+
+    # chunked feed
+    a3 = AlacAdapter()
+    for i in range(0, len(caf), 777):
+        a3.process(caf[i : i + 777])
+    assert a3.flush()[0].data == ref.data
+
+    # frma-preamble kuki layout
+    atom = tr.config
+    frma = struct.pack(">I", 12) + b"frma" + b"alac" + atom
+    from soundkit_tpu.demux.caf import _normalise_alac_cookie
+
+    assert _normalise_alac_cookie(frma) == atom
+    assert _normalise_alac_cookie(atom) == atom
+
+
+def test_caf_errors():
+    import pytest as _pytest
+
+    from soundkit_tpu.demux.caf import CafError, demux_caf_audio
+
+    with _pytest.raises(CafError, match="not a CAF"):
+        demux_caf_audio(b"RIFF1234")
+    with _pytest.raises(CafError, match="desc"):
+        demux_caf_audio(b"caff\x00\x01\x00\x00")
