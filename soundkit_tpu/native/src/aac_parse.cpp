@@ -116,6 +116,7 @@ static const CbInfo CB[12] = {
 // per-channel lane output (matches FrameBatch lane layout)
 struct LaneOut {
     int32_t quant[1024];
+    int16_t quant16[1024];  // compact wire (written when !full)
     float scale[1024];
     int32_t perm[1024];
     int32_t filt_id[1024];
@@ -123,6 +124,7 @@ struct LaneOut {
     int32_t seq;
     int32_t shape;
     int32_t valid;
+    int32_t overflow;  // |quant| exceeded int16 (compact path)
 };
 
 struct FrameOut {
@@ -361,13 +363,27 @@ struct Parser {
     }
 
     void fill_lane(const IcsData& ics, LaneOut& lane,
-                   uint8_t* line_sf, int16_t (*regions)[3]) {
+                   uint8_t* line_sf, int16_t (*regions)[3], bool full = true) {
         const IcsInfo& ii = ics.info;
         bool short_win = ii.window_sequence == 2;
-        memcpy(lane.quant, ics.quant, sizeof lane.quant);
-        memset(lane.scale, 0, sizeof lane.scale);
-        for (int i = 0; i < 1024; ++i) lane.perm[i] = i;
-        for (int i = 0; i < 1024; ++i) lane.filt_id[i] = -1;
+        if (full) {
+            memcpy(lane.quant, ics.quant, sizeof lane.quant);
+            memset(lane.scale, 0, sizeof lane.scale);
+            for (int i = 0; i < 1024; ++i) lane.perm[i] = i;
+            for (int i = 0; i < 1024; ++i) lane.filt_id[i] = -1;
+        } else {
+            // compact wire: i16 quant only; scale/perm/filt are
+            // reconstructed on device from line_sf/regions/seq
+            lane.overflow = 0;
+            for (int i = 0; i < 1024; ++i) {
+                int32_t v = ics.quant[i];
+                if (v > 32767 || v < -32768) {
+                    lane.overflow = 1;
+                    v = v > 0 ? 32767 : -32768;
+                }
+                lane.quant16[i] = (int16_t)v;
+            }
+        }
         memset(lane.lpc, 0, sizeof lane.lpc);
         lane.seq = ii.window_sequence;
         lane.shape = ii.window_shape;
@@ -383,7 +399,7 @@ struct Parser {
                 for (int w = 0; w < ii.group_lens[g]; ++w) {
                     int off = short_win ? (wbase + w) * 128 : 0;
                     for (int k = lo; k < hi; ++k) {
-                        lane.scale[off + k] = (float)ics.band_scale[g][s];
+                        if (full) lane.scale[off + k] = (float)ics.band_scale[g][s];
                         int sfv = ics.band_sf[g][s];
                         line_sf[off + k] = (uint8_t)(sfv > 0 ? sfv : 0);
                     }
@@ -420,10 +436,12 @@ struct Parser {
                     for (int i = 0; i <= m; ++i) lpc[i] = nw[i];
                 }
                 for (int i = 0; i < order; ++i) lane.lpc[nf][i] = (float)lpc[i];
-                for (int i = off + start; i < off + end; ++i) lane.filt_id[i] = nf;
-                if (tf.direction) {
-                    int a = off + start, b = off + end - 1;
-                    for (int i = 0; a + i <= b; ++i) lane.perm[a + i] = b - i;
+                if (full) {
+                    for (int i = off + start; i < off + end; ++i) lane.filt_id[i] = nf;
+                    if (tf.direction) {
+                        int a = off + start, b = off + end - 1;
+                        for (int i = 0; a + i <= b; ++i) lane.perm[a + i] = b - i;
+                    }
                 }
                 regions[nf][0] = (int16_t)(off + start);
                 regions[nf][1] = (int16_t)(off + end);
@@ -433,11 +451,11 @@ struct Parser {
         }
     }
 
-    bool parse_au(const uint8_t* au, long len, FrameOut& out) {
+    bool parse_au(const uint8_t* au, long len, FrameOut& out, bool full = true) {
         g_tables.init();
         BitReader br(au, len);
         memset(out.ms_mask, 0, sizeof out.ms_mask);
-        memset(out.int_factor, 0, sizeof out.int_factor);
+        if (full) memset(out.int_factor, 0, sizeof out.int_factor);
         out.ch[0].valid = out.ch[1].valid = 0;
         out.n_channels = 0;
         out.error[0] = 0;
@@ -448,14 +466,17 @@ struct Parser {
             if (ide == 0 || ide == 3) {  // SCE / LFE
                 br.get(4);
                 IcsData ics;
-                double is_scale[8 * 64] = {0};
-                int is_sign[8 * 64] = {0};
-                int is_ipos[8 * 64] = {0};
+                // intensity arrays are written before any read (every
+                // cb 14/15 band is filled in the scalefactor pass), so
+                // no 12KB stack zeroing on the per-AU hot path
+                double is_scale[8 * 64];
+                int is_sign[8 * 64];
+                int is_ipos[8 * 64];
                 if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign, is_ipos)) {
                     snprintf(out.error, sizeof out.error, "%s", error);
                     return false;
                 }
-                fill_lane(ics, out.ch[0], out.line_sf[0], out.regions[0]);
+                fill_lane(ics, out.ch[0], out.line_sf[0], out.regions[0], full);
                 memset(out.int_pos, 0, sizeof out.int_pos);
                 memset(out.int_sign, 0, sizeof out.int_sign);
                 out.n_channels = 1;
@@ -489,16 +510,17 @@ struct Parser {
                     }
                 }
                 IcsData ics0, ics1;
-                double is_sc0[8 * 64] = {0}, is_sc1[8 * 64] = {0};
-                int is_sg0[8 * 64] = {0}, is_sg1[8 * 64] = {0};
-                int is_ip0[8 * 64] = {0}, is_ip1[8 * 64] = {0};
+                // written-before-read (see SCE note): no stack zeroing
+                double is_sc0[8 * 64], is_sc1[8 * 64];
+                int is_sg0[8 * 64], is_sg1[8 * 64];
+                int is_ip0[8 * 64], is_ip1[8 * 64];
                 if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0, is_ip0) ||
                     !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1, is_ip1)) {
                     snprintf(out.error, sizeof out.error, "%s", error);
                     return false;
                 }
-                fill_lane(ics0, out.ch[0], out.line_sf[0], out.regions[0]);
-                fill_lane(ics1, out.ch[1], out.line_sf[1], out.regions[1]);
+                fill_lane(ics0, out.ch[0], out.line_sf[0], out.regions[0], full);
+                fill_lane(ics1, out.ch[1], out.line_sf[1], out.regions[1], full);
                 memset(out.int_pos, 0, sizeof out.int_pos);
                 memset(out.int_sign, 0, sizeof out.int_sign);
                 out.n_channels = 2;
@@ -520,8 +542,9 @@ struct Parser {
                                 if (ms_present && ms_band[g][s]) c = -c;
                                 int ip = is_ip1[g * 64 + s];
                                 for (int k = lo; k < hi; ++k) {
-                                    out.int_factor[off + k] =
-                                        (float)(c * is_sc1[g * 64 + s]);
+                                    if (full)
+                                        out.int_factor[off + k] =
+                                            (float)(c * is_sc1[g * 64 + s]);
                                     out.int_pos[off + k] =
                                         (int8_t)std::max(-128, std::min(127, ip));
                                     out.int_sign[off + k] = (int8_t)(c < 0 ? -1 : 1);
@@ -709,36 +732,44 @@ int skt_aac_parse_batch_compact(void* h, const uint8_t* au_data,
         uint8_t* msk = ms + (long)b * 1024;
         int16_t* reg = regions + (long)b * 2 * MAX_FILTERS * 3;
         float* lp = lpc + (long)b * 2 * MAX_FILTERS * MAX_ORDER;
-        memset(q, 0, 2 * 1024 * 2);
-        memset(lsf, 0, 2 * 1024);
-        memset(ip, 0, 1024);
-        memset(isg, 0, 1024);
-        memset(msk, 0, 1024);
-        memset(reg, 0, 2 * MAX_FILTERS * 3 * 2);
-        memset(lp, 0, 2 * MAX_FILTERS * MAX_ORDER * 4);
-        seq[b * 2] = seq[b * 2 + 1] = 0;
-        shape[b * 2] = shape[b * 2 + 1] = 0;
-        chan_valid[b * 2] = chan_valid[b * 2 + 1] = 0;
-
-        if (lens[b] < 0) continue;
-        if (!p->parse_au(au_data + offsets[b], lens[b], out)) { ++failures; continue; }
-        for (int c = 0; c < out.n_channels && c < 2; ++c) {
-            const LaneOut& l = out.ch[c];
-            for (int i = 0; i < 1024; ++i) {
-                int32_t v = l.quant[i];
-                if (v > 32767 || v < -32768) { *overflow = 1; v = v > 0 ? 32767 : -32768; }
-                q[c * 1024 + i] = (int16_t)v;
-            }
-            memcpy(lsf + c * 1024, out.line_sf[c], 1024);
-            memcpy(reg + c * MAX_FILTERS * 3, out.regions[c], MAX_FILTERS * 3 * 2);
-            memcpy(lp + c * MAX_FILTERS * MAX_ORDER, l.lpc, MAX_FILTERS * MAX_ORDER * 4);
-            seq[b * 2 + c] = l.seq;
-            shape[b * 2 + c] = l.shape;
-            chan_valid[b * 2 + c] = 1;
+        // parse first (light mode: i16 quant, no scale/perm/filt
+        // per-line arrays), then write every destination exactly once
+        bool ok = false;
+        if (lens[b] >= 0) {
+            ok = p->parse_au(au_data + offsets[b], lens[b], out, /*full=*/false);
+            if (!ok) ++failures;
         }
-        memcpy(ip, out.int_pos, 1024);
-        memcpy(isg, out.int_sign, 1024);
-        memcpy(msk, out.ms_mask, 1024);
+        int nch = ok ? (out.n_channels < 2 ? out.n_channels : 2) : 0;
+        for (int c = 0; c < 2; ++c) {
+            if (c < nch) {
+                const LaneOut& l = out.ch[c];
+                *overflow |= l.overflow;
+                memcpy(q + c * 1024, l.quant16, 1024 * 2);
+                memcpy(lsf + c * 1024, out.line_sf[c], 1024);
+                memcpy(reg + c * MAX_FILTERS * 3, out.regions[c], MAX_FILTERS * 3 * 2);
+                memcpy(lp + c * MAX_FILTERS * MAX_ORDER, l.lpc, MAX_FILTERS * MAX_ORDER * 4);
+                seq[b * 2 + c] = l.seq;
+                shape[b * 2 + c] = l.shape;
+                chan_valid[b * 2 + c] = 1;
+            } else {
+                memset(q + c * 1024, 0, 1024 * 2);
+                memset(lsf + c * 1024, 0, 1024);
+                memset(reg + c * MAX_FILTERS * 3, 0, MAX_FILTERS * 3 * 2);
+                memset(lp + c * MAX_FILTERS * MAX_ORDER, 0, MAX_FILTERS * MAX_ORDER * 4);
+                seq[b * 2 + c] = 0;
+                shape[b * 2 + c] = 0;
+                chan_valid[b * 2 + c] = 0;
+            }
+        }
+        if (ok) {
+            memcpy(ip, out.int_pos, 1024);
+            memcpy(isg, out.int_sign, 1024);
+            memcpy(msk, out.ms_mask, 1024);
+        } else {
+            memset(ip, 0, 1024);
+            memset(isg, 0, 1024);
+            memset(msk, 0, 1024);
+        }
     }
     return failures;
 }
