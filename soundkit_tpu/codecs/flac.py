@@ -124,3 +124,48 @@ def decode_flac(data: bytes) -> AudioData:
     if audio is None:
         raise FlacError("incomplete FLAC stream")
     return audio
+
+
+class FlacPartsStream:
+    """Entropy-decode-only FLAC stream for the device-LPC split.
+
+    Host does bitstream + Rice (skt_flac_next_parts); LPC
+    reconstruction / wasted shift / decorrelation run on device via
+    ops.flac_lpc.  ``next_parts()`` returns
+    (meta[12] i32, resw[2,stride] i32, coef[2,32] i32) or None.
+    """
+
+    def __init__(self, stride: int = 4608) -> None:
+        self._lib = load()
+        self._h = self._lib.skt_flac_new()
+        self.stride = stride
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_flac_free(self._h)
+            self._h = None
+
+    def feed(self, chunk: bytes) -> None:
+        if self._lib.skt_flac_feed(self._h, chunk, len(chunk)) != 0:
+            raise FlacError(self._lib.skt_flac_error(self._h).decode())
+
+    @property
+    def max_block(self) -> int:
+        return int(self._lib.skt_flac_max_block(self._h))
+
+    def next_parts(self):
+        meta = np.zeros(12, dtype=np.int32)
+        resw = np.zeros((2, self.stride), dtype=np.int32)
+        coef = np.zeros((2, 32), dtype=np.int32)
+        rc = self._lib.skt_flac_next_parts(
+            self._h, meta, resw.reshape(-1), coef.reshape(-1), self.stride
+        )
+        if rc == 0:
+            return None
+        if rc == -1:
+            raise FlacError(self._lib.skt_flac_error(self._h).decode())
+        if rc == -2:
+            raise FlacError(
+                f"frame exceeds parts stride {self.stride} or has >2 channels"
+            )
+        return meta, resw, coef

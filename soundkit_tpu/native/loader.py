@@ -12,6 +12,8 @@ import functools
 import subprocess
 from pathlib import Path
 
+import numpy as np
+
 NATIVE_DIR = Path(__file__).resolve().parent
 LIB_PATH = NATIVE_DIR / "libsoundkit_host.so"
 
@@ -62,6 +64,13 @@ def load() -> ctypes.CDLL:
     lib.skt_flac_pull.restype = ctypes.c_long
     lib.skt_flac_error.argtypes = [ctypes.c_void_p]
     lib.skt_flac_error.restype = ctypes.c_char_p
+    lib.skt_flac_max_block.argtypes = [ctypes.c_void_p]
+    lib.skt_flac_max_block.restype = ctypes.c_long
+    lib.skt_flac_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.skt_flac_feed.restype = ctypes.c_int
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    lib.skt_flac_next_parts.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_long]
+    lib.skt_flac_next_parts.restype = ctypes.c_int
 
     # avshim
     lib.skt_av_open.restype = ctypes.c_void_p

@@ -192,7 +192,8 @@ void read_residual(BitReader& br, uint32_t block_size, uint32_t order,
 }
 
 void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
-                     SubframeParts& sf, std::vector<int64_t>& samples) {
+                     SubframeParts& sf, std::vector<int64_t>& samples,
+                     bool reconstruct = true) {
     if (br.read_bits(1) != 0) throw BadStream{"subframe reserved bit"};
     uint32_t type = br.read_bits(6);
     uint32_t wasted = 0;
@@ -206,7 +207,8 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
         int32_t v = br.read_signed(ebps);
         sf.type = 0;
         sf.verbatim.assign(1, v);
-        for (uint32_t i = 0; i < block_size; ++i) samples[i] = v;
+        if (reconstruct)
+            for (uint32_t i = 0; i < block_size; ++i) samples[i] = v;
     } else if (type == 1) {  // VERBATIM
         sf.type = 1;
         sf.verbatim.resize(block_size);
@@ -218,23 +220,26 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
         uint32_t order = type - 8;
         sf.type = 2;
         sf.order = (int)order;
+        sf.shift = 0;
         sf.warmup.resize(order);
         for (uint32_t i = 0; i < order; ++i) {
             sf.warmup[i] = br.read_signed(ebps);
             samples[i] = sf.warmup[i];
         }
         read_residual(br, block_size, order, sf.residual);
-        const int64_t* s = samples.data();
-        for (uint32_t i = order; i < block_size; ++i) {
-            int64_t pred = 0;
-            switch (order) {
-                case 0: pred = 0; break;
-                case 1: pred = s[i - 1]; break;
-                case 2: pred = 2 * s[i - 1] - s[i - 2]; break;
-                case 3: pred = 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]; break;
-                case 4: pred = 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4]; break;
+        if (reconstruct) {
+            const int64_t* s = samples.data();
+            for (uint32_t i = order; i < block_size; ++i) {
+                int64_t pred = 0;
+                switch (order) {
+                    case 0: pred = 0; break;
+                    case 1: pred = s[i - 1]; break;
+                    case 2: pred = 2 * s[i - 1] - s[i - 2]; break;
+                    case 3: pred = 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]; break;
+                    case 4: pred = 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4]; break;
+                }
+                samples[i] = pred + sf.residual[i - order];
             }
-            samples[i] = pred + sf.residual[i - order];
         }
     } else if (type >= 32) {  // LPC, order = (type & 31) + 1
         uint32_t order = (type & 31) + 1;
@@ -254,17 +259,19 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
         sf.coeffs.resize(order);
         for (uint32_t i = 0; i < order; ++i) sf.coeffs[i] = br.read_signed(prec);
         read_residual(br, block_size, order, sf.residual);
-        for (uint32_t i = order; i < block_size; ++i) {
-            int64_t acc = 0;
-            for (uint32_t k = 0; k < order; ++k)
-                acc += (int64_t)sf.coeffs[k] * samples[i - 1 - k];
-            samples[i] = (acc >> shift) + sf.residual[i - order];
+        if (reconstruct) {
+            for (uint32_t i = order; i < block_size; ++i) {
+                int64_t acc = 0;
+                for (uint32_t k = 0; k < order; ++k)
+                    acc += (int64_t)sf.coeffs[k] * samples[i - 1 - k];
+                samples[i] = (acc >> shift) + sf.residual[i - order];
+            }
         }
     } else {
         throw BadStream{"reserved subframe type"};
     }
 
-    if (wasted) {
+    if (wasted && reconstruct) {
         for (uint32_t i = 0; i < block_size; ++i) samples[i] <<= wasted;
     }
 }
@@ -408,8 +415,12 @@ struct FlacDecoder {
                     (fi.channel_assignment == 10 && c == 1))
                     bps += 1;
                 SubframeParts& sf = export_parts ? last_parts[c] : dummy;
-                decode_subframe(br, fi.block_size, bps, sf, tmp);
-                chan[c] = tmp;
+                // export mode: entropy decode only; LPC/fixed
+                // reconstruction, wasted shift and decorrelation run on
+                // the device (ops/flac_lpc.py)
+                decode_subframe(br, fi.block_size, bps, sf, tmp,
+                                /*reconstruct=*/!export_parts);
+                if (!export_parts) chan[c] = tmp;
             }
             br.align_byte();
             size_t crc_pos = br.byte_pos();
@@ -418,25 +429,27 @@ struct FlacDecoder {
                 throw BadStream{"frame crc16"};
             fi.frame_bytes = br.byte_pos();
 
-            // stereo decorrelation
-            if (fi.channel_assignment == 8) {         // left/side
-                for (uint32_t i = 0; i < fi.block_size; ++i)
-                    chan[1][i] = chan[0][i] - chan[1][i];
-            } else if (fi.channel_assignment == 9) {  // right/side
-                for (uint32_t i = 0; i < fi.block_size; ++i)
-                    chan[0][i] = chan[1][i] + chan[0][i];
-            } else if (fi.channel_assignment == 10) { // mid/side
-                for (uint32_t i = 0; i < fi.block_size; ++i) {
-                    int64_t side = chan[1][i];
-                    int64_t mid = (chan[0][i] << 1) | (side & 1);
-                    chan[0][i] = (mid + side) >> 1;
-                    chan[1][i] = (mid - side) >> 1;
+            if (!export_parts) {
+                // stereo decorrelation
+                if (fi.channel_assignment == 8) {         // left/side
+                    for (uint32_t i = 0; i < fi.block_size; ++i)
+                        chan[1][i] = chan[0][i] - chan[1][i];
+                } else if (fi.channel_assignment == 9) {  // right/side
+                    for (uint32_t i = 0; i < fi.block_size; ++i)
+                        chan[0][i] = chan[1][i] + chan[0][i];
+                } else if (fi.channel_assignment == 10) { // mid/side
+                    for (uint32_t i = 0; i < fi.block_size; ++i) {
+                        int64_t side = chan[1][i];
+                        int64_t mid = (chan[0][i] << 1) | (side & 1);
+                        chan[0][i] = (mid + side) >> 1;
+                        chan[1][i] = (mid - side) >> 1;
+                    }
                 }
-            }
 
-            for (uint32_t i = 0; i < fi.block_size; ++i)
-                for (uint32_t c = 0; c < fi.channels; ++c)
-                    out.push_back((int32_t)chan[c][i]);
+                for (uint32_t i = 0; i < fi.block_size; ++i)
+                    for (uint32_t c = 0; c < fi.channels; ++c)
+                        out.push_back((int32_t)chan[c][i]);
+            }
 
             consumed += fi.frame_bytes;
             samples_decoded += fi.block_size;
@@ -500,5 +513,92 @@ long skt_flac_pull(void* h, int32_t* dst, long max_values) {
 }
 
 const char* skt_flac_error(void* h) { return ((FlacDecoder*)h)->error; }
+
+// ---- device-LPC split: host entropy decode -> residual/coef wire ----
+//
+// The device kernel (ops/flac_lpc.py) runs the LPC recurrence, wasted
+// shift and stereo decorrelation; the host only does bitstream work.
+// Wire per frame (stride = max block size, from skt_flac_max_block):
+//   meta int32[12]: block_size, channels, chan_assign, bps,
+//                   then per channel c<2: order, shift, wasted
+//   resw int32[2*stride]: n < order -> warmup[n], else residual[n-order]
+//        (CONSTANT/VERBATIM are exported as order-0 lanes whose resw IS
+//        the sample stream, so one unified kernel covers all types)
+//   coef int32[2*32]: LPC coefficients; FIXED orders use the canonical
+//        {1},{2,-1},{3,-3,1},{4,-6,4,-1} sets with shift 0
+
+long skt_flac_max_block(void* h) {
+    auto* d = (FlacDecoder*)h;
+    return d->info.valid && d->info.max_block ? (long)d->info.max_block : 65535;
+}
+
+// buffer bytes + parse STREAMINFO only (no frame decode): 0 ok, -1 bad
+int skt_flac_feed(void* h, const uint8_t* data, long len) {
+    auto* d = (FlacDecoder*)h;
+    d->buf.insert(d->buf.end(), data, data + len);
+    try {
+        if (!d->header_done) d->parse_header();
+        return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+}
+
+// 1 = frame exported, 0 = need more data, -1 = bad stream,
+// -2 = frame does not fit (block > stride or >2 channels)
+int skt_flac_next_parts(void* h, int32_t* meta, int32_t* resw,
+                        int32_t* coef, long stride) {
+    static const int32_t FIXED_COEFS[5][4] = {
+        {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
+        {3, -3, 1, 0}, {4, -6, 4, -1}};
+    auto* d = (FlacDecoder*)h;
+    try {
+        if (!d->header_done && !d->parse_header()) return 0;
+        if (!d->decode_frame(true)) return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+    const FrameInfo& fi = d->last_frame;
+    long bs = (long)fi.block_size;
+    if (fi.channels > 2 || bs > stride) return -2;
+    meta[0] = (int32_t)fi.block_size;
+    meta[1] = (int32_t)fi.channels;
+    meta[2] = (int32_t)fi.channel_assignment;
+    meta[3] = (int32_t)fi.bits_per_sample;
+    for (uint32_t c = 0; c < 2; ++c) {
+        int32_t* rw = resw + (long)c * stride;
+        int32_t* cf = coef + c * 32;
+        memset(cf, 0, 32 * 4);
+        int order = 0, shift = 0, wasted = 0;
+        if (c < fi.channels) {
+            const SubframeParts& sf = d->last_parts[c];
+            wasted = sf.wasted;
+            if (sf.type == 0) {
+                for (long n = 0; n < bs; ++n) rw[n] = sf.verbatim[0];
+            } else if (sf.type == 1) {
+                memcpy(rw, sf.verbatim.data(), (size_t)bs * 4);
+            } else {
+                order = sf.order;
+                shift = sf.type == 2 ? 0 : sf.shift;
+                if (sf.type == 2)
+                    for (int k = 0; k < order; ++k) cf[k] = FIXED_COEFS[order][k];
+                else
+                    for (int k = 0; k < order; ++k) cf[k] = sf.coeffs[k];
+                for (int n = 0; n < order; ++n) rw[n] = sf.warmup[n];
+                memcpy(rw + order, sf.residual.data(), (size_t)(bs - order) * 4);
+            }
+        }
+        if (bs < stride || c >= fi.channels)
+            memset(rw + (c < fi.channels ? bs : 0), 0,
+                   (size_t)(stride - (c < fi.channels ? bs : 0)) * 4);
+        meta[4 + (int)c * 3 + 0] = order;
+        meta[4 + (int)c * 3 + 1] = shift;
+        meta[4 + (int)c * 3 + 2] = wasted;
+    }
+    meta[10] = meta[11] = 0;
+    return 1;
+}
 
 }  // extern "C"
