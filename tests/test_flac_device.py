@@ -88,3 +88,101 @@ def test_parts_stride_too_small(testdata):
     ps.feed(flac)
     with pytest.raises(FlacError, match="stride"):
         ps.next_parts()
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def write_signed(self, value: int, n: int):
+        self.write(value & ((1 << n) - 1), n)
+
+    def bytes(self) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(
+            int("".join(map(str, self.bits[i : i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+def test_right_side_and_wasted_bits_synthetic():
+    """Hand-crafted frame: assignment 9 (right/side) with wasted bits on
+    the right subframe — the decorrelation mode and wasted-shift paths
+    no encoder in this environment emits.  Host and device must agree
+    with the arithmetic computed in numpy."""
+    bs = 16
+    rng = np.random.default_rng(2)
+    right = (rng.integers(-2000, 2000, bs) // 4 * 4).astype(np.int64)  # wasted=2
+    left = rng.integers(-3000, 3000, bs).astype(np.int64)
+    side = left - right  # spec: side = left - right; left = right + side
+
+    w = _BitWriter()
+    w.write(0x3FFE, 14)  # sync
+    w.write(0, 1)        # reserved
+    w.write(0, 1)        # fixed blocksize strategy
+    w.write(6, 4)        # bs code: 8-bit bs-1 follows
+    w.write(9, 4)        # 44.1 kHz
+    w.write(9, 4)        # right/side
+    w.write(4, 3)        # 16-bit
+    w.write(0, 1)        # reserved
+    w.write(0, 8)        # frame number 0 (utf8)
+    w.write(bs - 1, 8)
+    hdr = w.bytes()
+    w.write(_crc8(hdr), 8)
+
+    # subframe 0: side, bps 17, VERBATIM, no wasted
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    for v in side:
+        w.write_signed(int(v), 17)
+    # subframe 1: right, bps 16, VERBATIM, wasted=2 (unary "01")
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(1, 1)
+    w.write(0, 1)  # unary 1 -> wasted = 2
+    w.write(1, 1)
+    for v in right:
+        w.write_signed(int(v) >> 2, 14)
+    while len(w.bits) % 8:
+        w.bits.append(0)
+    body = w.bytes()
+    frame = body + _crc16(body).to_bytes(2, "big")
+
+    # host path
+    d = FlacDecoder()
+    out = d.add(frame)
+    got = np.frombuffer(out.data, "<i2").reshape(-1, 2)
+    np.testing.assert_array_equal(got[:, 0], left.astype(np.int16))
+    np.testing.assert_array_equal(got[:, 1], right.astype(np.int16))
+
+    # device path
+    m = BatchedFlacDecoder(1, stride=64)
+    m.push(0, frame)
+    samples, metas = m.decode_ready()
+    assert metas[0][0][2] == 9 and metas[0][0][0] == bs
+    np.testing.assert_array_equal(samples[0, 0, 0, :bs], left.astype(np.int32))
+    np.testing.assert_array_equal(samples[0, 0, 1, :bs], right.astype(np.int32))
