@@ -17,18 +17,45 @@ from soundkit_tpu.ops import mp3_batch as mb
 
 
 class BatchedMp3Decoder:
+    _WS_DEPTH = 3  # rotate wire sets so one is never rewritten mid-staging
+
     def __init__(self, num_streams: int, channels: int = 2):
+        import ctypes
+
         import jax
 
         self.B = num_streams
         self.C = channels
         self._parsers = [NativeMp3Parser() for _ in range(num_streams)]
+        self._lib = self._parsers[0]._lib
+        self._handles = (ctypes.c_void_p * num_streams)(
+            *[p._h for p in self._parsers]
+        )
         self._counts = [0] * num_streams
         overlap, fifo = mb.init_state(num_streams, channels)
         self._overlap = overlap
         self._fifo = fifo
         self._step = jax.jit(mb.mp3_granule_device_compact)
         self.sample_rate: Optional[int] = None
+        # rotating preallocated wire buffers (page-warmed; the C side
+        # writes every element, so reuse needs no host zeroing)
+        self._ws = [self._alloc_wire() for _ in range(self._WS_DEPTH)]
+        self._ws_i = 0
+
+    def _alloc_wire(self):
+        wire = (
+            np.zeros((self.B, 2, 576), dtype=np.int16),   # quant
+            np.zeros((self.B, 2, 576), dtype=np.int16),   # expq
+            np.zeros((self.B, 2), dtype=np.int32),        # bt
+            np.zeros((self.B, 2), dtype=np.uint8),        # mixed
+            np.zeros((self.B, 2), dtype=np.int32),        # nal
+            np.zeros(self.B, dtype=np.uint8),             # ms
+            np.zeros((self.B, 2), dtype=np.uint8),        # valid
+            np.zeros(self.B, dtype=np.int32),             # rate
+        )
+        for a in wire:
+            a.fill(0)
+        return wire
 
     def push(self, stream_idx: int, data: bytes) -> None:
         self._counts[stream_idx] = self._parsers[stream_idx].push(data)
@@ -37,8 +64,34 @@ class BatchedMp3Decoder:
     def ready_granules(self) -> int:
         return min(self._counts)
 
-    def decode_ready(self, max_granules: Optional[int] = None) -> np.ndarray:
-        """Decode lockstep granule batches -> [granules, B, C, 576] f32."""
+    def _pop_batch(self):
+        """ONE C call pops a granule from every stream's queue."""
+        quant, expq, bt, mixed, nal, ms, valid, rate = self._ws[self._ws_i]
+        self._ws_i = (self._ws_i + 1) % self._WS_DEPTH
+        self._lib.skt_mp3_pop_batch(
+            self._handles, self.B, quant.reshape(-1), expq.reshape(-1),
+            bt.reshape(-1), mixed.reshape(-1), nal.reshape(-1),
+            ms, valid.reshape(-1), rate,
+        )
+        if self.sample_rate is None:
+            nz = rate[rate > 0]
+            if len(nz):
+                self.sample_rate = int(nz[0])
+        return quant, expq, bt, mixed, nal, ms, valid
+
+    def decode_ready(
+        self,
+        max_granules: Optional[int] = None,
+        device_out: bool = False,
+    ):
+        """Decode lockstep granule batches -> [granules, B, C, 576] f32.
+
+        ``device_out=True`` returns a device array (no readback) — use
+        when a downstream device stage (resampler, mixer, model)
+        consumes the PCM.  Device->host readback is the dominant cost
+        on thin links (the axon dev tunnel moves D2H at ~15 MB/s vs
+        ~800 MB/s H2D); production PCIe removes that wall.
+        """
         import jax.numpy as jnp
 
         n = self.ready_granules
@@ -46,36 +99,26 @@ class BatchedMp3Decoder:
             n = min(n, max_granules)
         outs = []
         for _ in range(n):
-            quant = np.zeros((self.B, self.C, 576), dtype=np.int16)
-            expq = np.full((self.B, self.C, 576), -32768, dtype=np.int16)
-            ms = np.zeros(self.B, dtype=bool)
-            bt = np.zeros((self.B, self.C), dtype=np.int32)
-            mixed = np.zeros((self.B, self.C), dtype=bool)
-            nal = np.zeros((self.B, self.C), dtype=np.int32)
-            valid = np.zeros((self.B, self.C), dtype=bool)
-            for b, p in enumerate(self._parsers):
-                got = p.pop()
-                if got is None:
-                    continue
-                q, e, meta = got
-                self._counts[b] -= 1
-                nch = min(meta["nch"], self.C)
-                quant[b, :nch] = q[:nch]
-                expq[b, :nch] = e[:nch]
-                ms[b] = meta["ms"]
-                for c in range(nch):
-                    bt[b, c] = meta["block_type"][c]
-                    mixed[b, c] = meta["mixed"][c]
-                    nal[b, c] = meta["n_alias"][c]
-                    valid[b, c] = True
-                if self.sample_rate is None:
-                    self.sample_rate = meta["sample_rate"]
+            quant, expq, bt, mixed, nal, ms, valid = self._pop_batch()
+            for b in range(self.B):
+                if valid[b].any():
+                    self._counts[b] -= 1
+            # jnp.array (not asarray): on the CPU backend asarray may
+            # alias host memory zero-copy, and the rotating workspace
+            # would overwrite it while the async-dispatched step still
+            # reads it; array() guarantees a copy (on TPU it is the
+            # H2D transfer either way)
             pcm, self._overlap, self._fifo = self._step(
-                jnp.asarray(quant), jnp.asarray(expq), jnp.asarray(ms),
-                jnp.asarray(bt), jnp.asarray(mixed), jnp.asarray(nal),
-                jnp.asarray(valid), self._overlap, self._fifo,
+                jnp.array(quant[:, : self.C]), jnp.array(expq[:, : self.C]),
+                jnp.array(ms.astype(bool)), jnp.array(bt[:, : self.C]),
+                jnp.array(mixed[:, : self.C].astype(bool)),
+                jnp.array(nal[:, : self.C]),
+                jnp.array(valid[:, : self.C].astype(bool)),
+                self._overlap, self._fifo,
             )
-            outs.append(np.asarray(pcm))
+            outs.append(pcm)
         if not outs:
-            return np.zeros((0, self.B, self.C, 576), dtype=np.float32)
-        return np.stack(outs)
+            empty = np.zeros((0, self.B, self.C, 576), dtype=np.float32)
+            return jnp.asarray(empty) if device_out else empty
+        stacked = jnp.stack(outs)
+        return stacked if device_out else np.asarray(stacked)

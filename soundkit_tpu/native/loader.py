@@ -216,3 +216,16 @@ def _bind_mp3(lib: ctypes.CDLL) -> None:
         ndpointer(np.int16, flags="C_CONTIGUOUS"),
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+    lib.skt_mp3_pop_batch.restype = ctypes.c_int
+    lib.skt_mp3_pop_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]

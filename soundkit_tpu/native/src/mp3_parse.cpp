@@ -521,4 +521,46 @@ int skt_mp3_pop(void* h, int16_t* quant, int16_t* expq, int32_t* meta) {
     return 1;
 }
 
+// batched pop: one granule from each of B parser handles into [B,...]
+// wire arrays shaped for ops.mp3_batch.mp3_granule_device_compact —
+//   quant i16 [B,2,576], expq i16 [B,2,576] (-32768 = silent line),
+//   bt/nal i32 [B,2], mixed/valid u8 [B,2], ms u8 [B], rate i32 [B]
+// lanes with an empty queue are zeroed with valid=0.  Returns the
+// number of lanes that produced a granule.
+int skt_mp3_pop_batch(void** handles, int B, int16_t* quant, int16_t* expq,
+                      int32_t* bt, uint8_t* mixed, int32_t* nal,
+                      uint8_t* ms, uint8_t* valid, int32_t* rate) {
+    int produced = 0;
+    for (int b = 0; b < B; ++b) {
+        int16_t* q = quant + (long)b * 2 * 576;
+        int16_t* e = expq + (long)b * 2 * 576;
+        auto* p = (Mp3Parser*)handles[b];
+        if (!p || p->out.empty()) {
+            memset(q, 0, 2 * 576 * 2);
+            for (int i = 0; i < 2 * 576; ++i) e[i] = -32768;
+            bt[b * 2] = bt[b * 2 + 1] = 0;
+            nal[b * 2] = nal[b * 2 + 1] = 0;
+            mixed[b * 2] = mixed[b * 2 + 1] = 0;
+            valid[b * 2] = valid[b * 2 + 1] = 0;
+            ms[b] = 0;
+            rate[b] = 0;
+            continue;
+        }
+        const GranuleOut& go = p->out.front();
+        memcpy(q, go.quant, sizeof go.quant);
+        memcpy(e, go.expq, sizeof go.expq);
+        for (int c = 0; c < 2; ++c) {
+            bt[b * 2 + c] = go.block_type[c];
+            mixed[b * 2 + c] = (uint8_t)go.mixed[c];
+            nal[b * 2 + c] = go.n_alias[c];
+            valid[b * 2 + c] = c < go.nch ? 1 : 0;
+        }
+        ms[b] = (uint8_t)go.ms;
+        rate[b] = go.sample_rate;
+        p->out.pop_front();
+        ++produced;
+    }
+    return produced;
+}
+
 }  // extern "C"
