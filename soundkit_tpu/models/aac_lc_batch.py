@@ -56,11 +56,16 @@ class BatchedAacLcDecoder:
         """Frame batches decodable right now (min queue depth)."""
         return min(len(q) for q in self._queues)
 
-    def decode_ready(self, max_frames: Optional[int] = None) -> np.ndarray:
+    def decode_ready(
+        self, max_frames: Optional[int] = None, device_out: bool = False
+    ):
         """Decode up to max_frames lockstep batches.
 
         Returns [frames, B, C, 1024] f32.  Streams with empty queues
         decode silence for that batch (state frozen via chan_valid).
+        ``device_out=True`` returns a device array without readback —
+        the right choice when a downstream device stage consumes the
+        PCM or the host link is thin (see models/mp3_batch_model.py).
         """
         import jax.numpy as jnp
 
@@ -76,10 +81,11 @@ class BatchedAacLcDecoder:
                 jnp.asarray(fb.shape), self._prev_shape,
                 jnp.asarray(fb.chan_valid), self._saved,
             )
-            outs.append(np.asarray(pcm))
+            outs.append(pcm if device_out else np.asarray(pcm))
         if not outs:
-            return np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
-        return np.stack(outs)
+            empty = np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
+            return jnp.asarray(empty) if device_out else empty
+        return jnp.stack(outs) if device_out else np.stack(outs)
 
     def _next_frame_batch(self):
         aus: List[Optional[bytes]] = []

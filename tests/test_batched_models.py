@@ -105,3 +105,38 @@ def test_aac_flagship_sharded_8dev(golden):
     np.testing.assert_allclose(np.asarray(plain[0]), np.asarray(sharded[0]), atol=1e-6)
     # output really is sharded across devices
     assert len(sharded[0].sharding.device_set) == 8
+
+
+def test_batched_opus_decoder():
+    """Host-parallel lockstep Opus serving model vs OpusStreamDecoder
+    (float-identical; first slot short by the head's preskip)."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+    from soundkit_tpu.codecs.opus import OpusStreamDecoder
+    from soundkit_tpu.models.opus_batch import BatchedOpusDecoder
+
+    t = np.arange(48000) / 48000.0
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 660 * t)], 1)
+           .reshape(-1) * 12000).astype(np.int16)
+    enc = OpusEncoder(48000, 2, 96000)
+    stream = enc.encode_to_soundkit_stream(pcm)
+    ref = OpusStreamDecoder().decode_f32(stream)
+
+    B = 3
+    m = BatchedOpusDecoder(B, channels=2)
+    m.push(0, stream)
+    for i in range(0, len(stream), 501):  # chunked lane
+        m.push(1, stream[i : i + 501])
+    m.push(2, stream)
+    out, lens = m.decode_ready()
+    assert out.shape[2:] == (2, 960)
+    assert lens[0, 0] < 960 <= lens[1, 0]  # preskip shortens slot 0
+    parts = [out[i, 0, :, : lens[i, 0]] for i in range(out.shape[0])]
+    got = np.concatenate(parts, axis=1).T.reshape(-1)
+    n = min(len(got), len(ref))
+    err = ref[:n] - got[:n]
+    snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 90, f"batched opus {snr:.1f} dB"
+    assert np.array_equal(out[:, 0], out[:, 1])
+    # drained
+    out2, lens2 = m.decode_ready()
+    assert out2.shape[0] == 0
