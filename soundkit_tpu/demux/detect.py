@@ -36,28 +36,74 @@ _MPEG1_L3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 25
 _MPEG2_L3_BITRATES = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
 
 
-def _looks_like_mp3_frame(b: bytes, i: int) -> bool:
+_MP3_RATES = {0: (11025, 12000, 8000), 2: (22050, 24000, 16000), 3: (44100, 48000, 32000)}
+
+
+def _mp3_header_ok(b: bytes, i: int) -> int:
+    """Valid Layer III header at i -> frame byte length, else 0."""
     if i + 4 > len(b):
-        return False
+        return 0
     if b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
-        return False
+        return 0
     version = (b[i + 1] >> 3) & 0x3  # 0=2.5, 2=2, 3=1
     layer = (b[i + 1] >> 1) & 0x3  # 1 = Layer III
     if version == 1 or layer != 1:
-        return False
+        return 0
     bitrate_idx = (b[i + 2] >> 4) & 0xF
     rate_idx = (b[i + 2] >> 2) & 0x3
-    return bitrate_idx not in (0, 15) and rate_idx != 3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return 0
+    table = _MPEG1_L3_BITRATES if version == 3 else _MPEG2_L3_BITRATES
+    kbps = table[bitrate_idx]
+    rate = _MP3_RATES[version][rate_idx]
+    padding = (b[i + 2] >> 1) & 1
+    spf = 1152 if version == 3 else 576
+    return spf // 8 * kbps * 1000 // rate + padding
+
+
+def _looks_like_mp3_frame(b: bytes, i: int) -> bool:
+    """Header + next-frame chaining (a lone 11-bit sync pattern appears
+    in arbitrary payloads; requiring the next sync at the computed
+    frame boundary removes the false positives)."""
+    n = _mp3_header_ok(b, i)
+    if not n:
+        return False
+    j = i + n
+    if j + 4 > len(b):
+        # no room for a second header: accept only a complete first
+        # frame (a frame length pointing past EOF is a payload byte
+        # pattern, not a stream — e.g. raw AMR data reading as sync)
+        return j <= len(b)
+    return _mp3_header_ok(b, j) > 0
+
+
+def _adts_header_ok(b: bytes, i: int) -> int:
+    """Valid ADTS header at i -> frame byte length, else 0."""
+    if i + 7 > len(b):
+        return 0
+    if b[i] != 0xFF or (b[i + 1] & 0xF6) != 0xF0:
+        return 0
+    sf_index = (b[i + 2] >> 2) & 0xF
+    if sf_index >= 13:
+        return 0
+    length = ((b[i + 3] & 0x3) << 11) | (b[i + 4] << 3) | (b[i + 5] >> 5)
+    return length if length >= 7 else 0
 
 
 def _looks_like_adts(b: bytes, i: int) -> bool:
-    if i + 7 > len(b):
+    """ADTS header + frame-length chaining to the next syncword (same
+    sampling-frequency index), rejecting lone sync-pattern bytes."""
+    n = _adts_header_ok(b, i)
+    if not n:
         return False
-    if b[i] != 0xFF or (b[i + 1] & 0xF6) != 0xF0:
+    j = i + n
+    if j + 7 > len(b):
+        # no room for a second header: accept only a complete first
+        # frame (see _looks_like_mp3_frame)
+        return j <= len(b)
+    if not _adts_header_ok(b, j):
         return False
-    # layer bits must be 00 (checked by mask); sampling freq index valid
-    sf_index = (b[i + 2] >> 2) & 0xF
-    return sf_index < 13
+    return ((b[i + 2] >> 2) & 0xF) == ((b[j + 2] >> 2) & 0xF)
 
 
 def looks_like_ac3(b: bytes) -> bool:

@@ -186,3 +186,15 @@ def test_sync_core_chunk_invariance(testdata):
         return b"".join(o.data for o in out if isinstance(o, AudioData))
 
     assert run(313) == run(8192) == run(len(data))
+
+
+def test_detection_rejects_payload_sync_patterns(testdata):
+    """Raw AMR/G.726 payload bytes contain 0xFFF sync lookalikes; the
+    frame-length chaining in detect_audio must reject them (these
+    formats are spawn-only, as in the reference's autodetect set)."""
+    from soundkit_tpu.demux.detect import AudioType, detect_audio
+
+    amr = (testdata / "amr_nb" / f"{CLIP}.amr").read_bytes()
+    assert detect_audio(amr[:65536]) == AudioType.UNKNOWN
+    g726 = next((testdata / "g726").glob("*")).read_bytes()
+    assert detect_audio(g726[:65536]) == AudioType.UNKNOWN
