@@ -139,30 +139,22 @@ def _alloc_compact(B: int):
 
 
 class CompactBatchWorkspace:
-    """Rotating preallocated wire buffers for the serving hot path.
+    """Wire-buffer provider for the serving hot path.
 
-    Fresh np.zeros pages fault on first write, which costs ~half the
-    parse budget per frame batch at B=512; this pool pre-touches the
-    pages once and rotates ``depth`` sets so a set is never rewritten
-    while a device transfer of the previous batch may still be staging.
-    The C side (skt_aac_parse_batch_compact) clears every lane it owns,
-    so reuse needs no host-side zeroing.
+    This intentionally allocates FRESH arrays per batch.  An earlier
+    version rotated a fixed pool, but jnp.asarray/jnp.array may defer
+    the host read into the async dispatch stream (measured on the CPU
+    backend: a source buffer mutated after the call corrupts the
+    in-flight value), so reusing a buffer that a previous batch's
+    transfer might still read is a race.  Allocation is ~0.3 ms at
+    B=512 — noise next to the ~10 ms parse — so safety wins.
     """
 
     def __init__(self, B: int, depth: int = 3):
         self.B = B
-        self._sets = []
-        for _ in range(depth):
-            cb = _alloc_compact(B)
-            for f in cb.__dataclass_fields__:
-                getattr(cb, f).fill(0)  # commit the pages now
-            self._sets.append(cb)
-        self._i = 0
 
     def next(self):
-        cb = self._sets[self._i]
-        self._i = (self._i + 1) % len(self._sets)
-        return cb
+        return _alloc_compact(self.B)
 
 
 def prepare_compact_batch(

@@ -17,8 +17,6 @@ from soundkit_tpu.ops import mp3_batch as mb
 
 
 class BatchedMp3Decoder:
-    _WS_DEPTH = 3  # rotate wire sets so one is never rewritten mid-staging
-
     def __init__(self, num_streams: int, channels: int = 2):
         import ctypes
 
@@ -37,13 +35,13 @@ class BatchedMp3Decoder:
         self._fifo = fifo
         self._step = jax.jit(mb.mp3_granule_device_compact)
         self.sample_rate: Optional[int] = None
-        # rotating preallocated wire buffers (page-warmed; the C side
-        # writes every element, so reuse needs no host zeroing)
-        self._ws = [self._alloc_wire() for _ in range(self._WS_DEPTH)]
-        self._ws_i = 0
 
     def _alloc_wire(self):
-        wire = (
+        # FRESH arrays per batch on purpose: jnp transfers may read the
+        # host buffer asynchronously after the call returns, so a
+        # rotating pool is a race (see CompactBatchWorkspace docstring
+        # in codecs/aac_lc_native.py — observed live on this path)
+        return (
             np.zeros((self.B, 2, 576), dtype=np.int16),   # quant
             np.zeros((self.B, 2, 576), dtype=np.int16),   # expq
             np.zeros((self.B, 2), dtype=np.int32),        # bt
@@ -53,9 +51,6 @@ class BatchedMp3Decoder:
             np.zeros((self.B, 2), dtype=np.uint8),        # valid
             np.zeros(self.B, dtype=np.int32),             # rate
         )
-        for a in wire:
-            a.fill(0)
-        return wire
 
     def push(self, stream_idx: int, data: bytes) -> None:
         self._counts[stream_idx] = self._parsers[stream_idx].push(data)
@@ -66,8 +61,7 @@ class BatchedMp3Decoder:
 
     def _pop_batch(self):
         """ONE C call pops a granule from every stream's queue."""
-        quant, expq, bt, mixed, nal, ms, valid, rate = self._ws[self._ws_i]
-        self._ws_i = (self._ws_i + 1) % self._WS_DEPTH
+        quant, expq, bt, mixed, nal, ms, valid, rate = self._alloc_wire()
         self._lib.skt_mp3_pop_batch(
             self._handles, self.B, quant.reshape(-1), expq.reshape(-1),
             bt.reshape(-1), mixed.reshape(-1), nal.reshape(-1),
@@ -103,17 +97,15 @@ class BatchedMp3Decoder:
             for b in range(self.B):
                 if valid[b].any():
                     self._counts[b] -= 1
-            # jnp.array (not asarray): on the CPU backend asarray may
-            # alias host memory zero-copy, and the rotating workspace
-            # would overwrite it while the async-dispatched step still
-            # reads it; array() guarantees a copy (on TPU it is the
-            # H2D transfer either way)
+            # zero-copy asarray is safe here because the wire buffers
+            # are freshly allocated per batch and never mutated after
+            # this point (see _alloc_wire)
             pcm, self._overlap, self._fifo = self._step(
-                jnp.array(quant[:, : self.C]), jnp.array(expq[:, : self.C]),
-                jnp.array(ms.astype(bool)), jnp.array(bt[:, : self.C]),
-                jnp.array(mixed[:, : self.C].astype(bool)),
-                jnp.array(nal[:, : self.C]),
-                jnp.array(valid[:, : self.C].astype(bool)),
+                jnp.asarray(quant[:, : self.C]), jnp.asarray(expq[:, : self.C]),
+                jnp.asarray(ms.astype(bool)), jnp.asarray(bt[:, : self.C]),
+                jnp.asarray(mixed[:, : self.C].astype(bool)),
+                jnp.asarray(nal[:, : self.C]),
+                jnp.asarray(valid[:, : self.C].astype(bool)),
                 self._overlap, self._fifo,
             )
             outs.append(pcm)
