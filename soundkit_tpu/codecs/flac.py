@@ -29,9 +29,12 @@ class FlacError(ValueError):
 
 class FlacDecoder:
     def __init__(self) -> None:
+        from soundkit_tpu.utils.tracing import debug_init
+
         self._lib = load()
         self._h = self._lib.skt_flac_new()
         self._info = None
+        debug_init("flac")  # reference: debug! on init, flac lib.rs:717
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -265,6 +265,13 @@ class Mp3NativeDecoder:
                 frame = self._decode_frame(hdr, frame_bytes)
                 if frame is not None:
                     frames.append(frame)
+                    # reference: trace! per MP3 frame, mp3 lib.rs:203
+                    from soundkit_tpu.utils.tracing import trace_frame
+
+                    trace_frame(
+                        "mp3", rate=hdr.sample_rate, ch=hdr.nb_channels,
+                        size=hdr.frame_size,
+                    )
             except Mp3Error:
                 continue  # tolerate bad frames (resync)
         return frames

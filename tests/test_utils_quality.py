@@ -66,3 +66,52 @@ def test_bench_result():
     assert abs(b.audio_seconds - 1000 * 1024 / 48000) < 1e-9
     assert b.real_time_factor < 0.01
     assert "x realtime" in str(b)
+
+
+def test_waveform_chart():
+    """ASCII waveform analog (soundkit-decoder lib.rs:2729-2853)."""
+    import numpy as np
+
+    from soundkit_tpu.utils.waveform import (
+        WAVEFORM_WIDTH,
+        render_waveform,
+        waveform_chart,
+        waveform_peaks,
+    )
+
+    t = np.arange(16000) / 16000.0
+    pcm = (np.sin(2 * np.pi * 3 * t) * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    peaks = waveform_peaks(pcm)
+    assert peaks.shape == (WAVEFORM_WIDTH,) and peaks.max() <= 1.0
+    lines = render_waveform(peaks)
+    assert len(lines) == 8 and all(len(ln) == 2 + WAVEFORM_WIDTH for ln in lines)
+    # mirrored: bottom half is the top half reversed
+    assert lines[:4] == list(reversed(lines[4:]))
+    chart = waveform_chart("test", pcm, 16000)
+    assert "(1.00s" in chart and "dB)" in chart
+    # silence renders empty rows, not a crash
+    assert "no audio data" in render_waveform(np.zeros(0))[0]
+
+
+def test_tracing_hooks(caplog):
+    """Silent by default; emits under DEBUG/TRACE like the reference's
+    subscriber-less tracing."""
+    import logging
+
+    from soundkit_tpu.utils.tracing import TRACE, debug_init, stage_timer, trace_frame
+
+    debug_init("flac", rate=16000)  # no handler configured: no output
+    with caplog.at_level(logging.DEBUG, logger="soundkit_tpu"):
+        debug_init("flac", rate=16000)
+    assert any("init flac" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(TRACE, logger="soundkit_tpu"):
+        trace_frame("mp3", rate=16000)
+    assert any("frame mp3" in r.getMessage() for r in caplog.records)
+
+    stages = {}
+    with stage_timer(stages, "parse"):
+        pass
+    with stage_timer(stages, "parse"):
+        pass
+    assert stages["parse"] >= 0.0
