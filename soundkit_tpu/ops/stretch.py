@@ -160,3 +160,77 @@ def stretch_pitch(
     if out.shape[1] >= target:
         return out[:, :target].astype(np.float32)
     return np.pad(out, ((0, 0), (0, target - out.shape[1]))).astype(np.float32)
+
+
+def stretch_batch_device(x, time_ratio: float):
+    """Batched device phase vocoder: [B, n] f32 -> [B, out] f32.
+
+    The same math as :func:`stretch_channels` expressed in jnp for a
+    jitted batched serving path (BASELINE "Rubber Band phase-vocoder
+    kernels" as owned device work): framing is a gather, rfft/irfft run
+    on device, the instantaneous-frequency estimate and synthesis-phase
+    accumulation are a cumsum over frames, and overlap-add is a
+    ``lax.scan`` of dynamic_update_slice adds over a carried output
+    buffer.  ``time_ratio`` and the input length are static (one
+    compiled program per (n, ratio) pair — serving uses fixed chunks).
+
+    jit me with static_argnums=(1,).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, n = x.shape
+    hop_s = max(1, int(round(HOP_A * time_ratio)))
+    win = jnp.asarray(np.hanning(FRAME).astype(np.float32))
+
+    pad = FRAME + HOP_A * int(np.ceil(n / HOP_A))
+    xp = jnp.pad(x, ((0, 0), (FRAME // 2, pad)))
+    T = (xp.shape[1] - FRAME) // HOP_A + 1
+    idx = np.arange(FRAME)[None, :] + HOP_A * np.arange(T)[:, None]
+    frames = xp[:, jnp.asarray(idx)] * win  # [B, T, FRAME]
+    spec = jnp.fft.rfft(frames, axis=-1)
+    K = spec.shape[-1]
+
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+
+    omega = 2 * jnp.pi * jnp.arange(K) / FRAME
+    dphi = jnp.diff(phase, axis=1, prepend=phase[:, :1])
+    dev = dphi - omega[None, None, :] * HOP_A
+    dev = (dev + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    true_freq = omega[None, None, :] + dev / HOP_A
+
+    syn_phase = jnp.cumsum(true_freq * hop_s, axis=1)
+    syn_phase = syn_phase + (phase[:, :1, :] - syn_phase[:, :1, :])
+
+    out_spec = mag * jnp.exp(1j * syn_phase)
+    out_frames = jnp.fft.irfft(out_spec, n=FRAME, axis=-1) * win  # [B, T, FRAME]
+
+    out_len = hop_s * (T - 1) + FRAME
+    win2 = (win * win)[None, :]
+
+    def ola(carry, xs):
+        out, norm, t = carry
+        frame = xs  # [B, FRAME]
+        pos = t * hop_s
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, pos), (B, FRAME)) + frame, (0, pos)
+        )
+        norm = jax.lax.dynamic_update_slice(
+            norm, jax.lax.dynamic_slice(norm, (0, pos), (1, FRAME)) + win2, (0, pos)
+        )
+        return (out, norm, t + 1), None
+
+    out0 = jnp.zeros((B, out_len), jnp.float32)
+    norm0 = jnp.zeros((1, out_len), jnp.float32)
+    (out, norm, _), _ = jax.lax.scan(
+        ola, (out0, norm0, jnp.int32(0)), jnp.swapaxes(out_frames, 0, 1)
+    )
+    out = out / jnp.maximum(norm, 1e-8)
+
+    target = int(round(n * time_ratio))
+    start = FRAME // 2
+    res = out[:, start : start + target]
+    if res.shape[1] < target:
+        res = jnp.pad(res, ((0, 0), (0, target - res.shape[1])))
+    return res

@@ -155,3 +155,24 @@ def test_formant_scale_validation():
     cfg = OfflineStretchConfig.recommended_for_music(16000, 1).with_formant_scale(-1.0)
     with pytest.raises(StretchError, match="formant_scale"):
         stretch_deinterleaved([np.zeros(100, np.float32)], cfg)
+
+
+def test_batched_device_vocoder_matches_host():
+    """jnp phase vocoder == numpy path (f32 vs f64 tolerance)."""
+    import jax
+
+    from soundkit_tpu.ops.stretch import stretch_batch_device, stretch_channels
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    sig = np.stack(
+        [np.sin(2 * np.pi * (180 + 60 * b) * t).astype(np.float32) * 0.5 for b in range(3)]
+    )
+    ratio = 1.25
+    ref = np.stack([stretch_channels(sig[b : b + 1], ratio)[0] for b in range(3)])
+    f = jax.jit(stretch_batch_device, static_argnums=(1,))
+    dev = np.asarray(f(sig, ratio))
+    assert dev.shape == ref.shape == (3, 20000)
+    err = ref - dev
+    snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+    assert snr > 50, f"device vocoder {snr:.1f} dB vs host"
