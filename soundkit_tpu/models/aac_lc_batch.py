@@ -56,10 +56,25 @@ class BatchedAacLcDecoder:
         """Frame batches decodable right now (min queue depth)."""
         return min(len(q) for q in self._queues)
 
+    def lane_ready(self, b: int) -> int:
+        return len(self._queues[b])
+
+    def reset_lane(self, b: int) -> None:
+        """Recycle lane ``b`` for a new stream: fresh parser + queue and
+        zeroed device carry (overlap/window state), so no audio bleeds
+        from the previous occupant."""
+        import jax.numpy as jnp
+
+        self._streams[b] = AdtsStream()
+        self._queues[b] = []
+        self._saved = jnp.asarray(self._saved).at[b].set(0.0)
+        self._prev_shape = jnp.asarray(self._prev_shape).at[b].set(0)
+
     def decode_ready(
         self, max_frames: Optional[int] = None, device_out: bool = False
     ):
-        """Decode up to max_frames lockstep batches.
+        """Decode up to max_frames lockstep batches (bounded by the
+        least-ready lane; :meth:`decode_batches` for ragged fleets).
 
         Returns [frames, B, C, 1024] f32.  Streams with empty queues
         decode silence for that batch (state frozen via chan_valid).
@@ -67,9 +82,14 @@ class BatchedAacLcDecoder:
         the right choice when a downstream device stage consumes the
         PCM or the host link is thin (see models/mp3_batch_model.py).
         """
+        n = self.ready_frames if max_frames is None else min(self.ready_frames, max_frames)
+        return self.decode_batches(n, device_out=device_out)
+
+    def decode_batches(self, n: int, device_out: bool = False):
+        """Decode exactly ``n`` lockstep batches; empty lanes decode as
+        silence with frozen state."""
         import jax.numpy as jnp
 
-        n = self.ready_frames if max_frames is None else min(self.ready_frames, max_frames)
         outs = []
         for _ in range(n):
             fb = self._next_frame_batch()

@@ -39,8 +39,18 @@ class BatchedFlacDecoder:
     def ready_frames(self) -> int:
         return min(len(p) for p in self._pending)
 
+    def lane_ready(self, b: int) -> int:
+        return len(self._pending[b])
+
+    def reset_lane(self, b: int) -> None:
+        """Recycle lane ``b``: fresh entropy stream + empty queue (FLAC
+        frames are independent; there is no device carry to clear)."""
+        self._streams[b] = FlacPartsStream(self.stride)
+        self._pending[b] = []
+
     def decode_ready(self, max_frames: Optional[int] = None):
-        """Decode lockstep frame batches.
+        """Decode lockstep frame batches (bounded by the least-ready
+        lane; use :meth:`decode_batches` for ragged fleets).
 
         Returns (samples [frames, B, 2, stride] int32, meta list of
         per-frame [B, 12] arrays — block_size/channels/rate live there).
@@ -48,6 +58,11 @@ class BatchedFlacDecoder:
         n = self.ready_frames
         if max_frames is not None:
             n = min(n, max_frames)
+        return self.decode_batches(n)
+
+    def decode_batches(self, n: int):
+        """Decode exactly ``n`` lockstep batches; lanes with nothing
+        pending decode as invalid (silent, meta row zero)."""
         outs, metas = [], []
         for _ in range(n):
             resw = np.zeros((self.B, 2, self.stride), dtype=np.int32)
@@ -60,6 +75,8 @@ class BatchedFlacDecoder:
             valid = np.zeros(self.B, dtype=bool)
             meta_all = np.zeros((self.B, 12), dtype=np.int32)
             for b in range(self.B):
+                if not self._pending[b]:
+                    continue
                 meta, rw, cf = self._pending[b].pop(0)
                 meta_all[b] = meta
                 resw[b], coef[b] = rw, cf

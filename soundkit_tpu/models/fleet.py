@@ -1,0 +1,243 @@
+"""StreamFleet — the multi-stream serving runtime.
+
+The reference serves N streams by spawning one DecodePipeline thread
+per stream (soundkit-decoder/src/lib.rs spawn*).  The TPU-native
+analog routes each arriving byte stream, after format detection, into
+a fixed-capacity **batched lane group** for its codec (AAC-LC, MP3,
+FLAC — the device-batched models) or a per-stream host fallback
+(everything else via StreamDecoder), decodes all groups in lockstep
+device batches, and returns per-stream PCM.  Lanes are recycled when a
+stream ends, so a long-running fleet serves an unbounded sequence of
+streams with bounded device state.
+
+Ragged arrival is first-class: a group decodes
+``max(lane_ready)`` batches per collect; lanes with no data decode as
+silence with frozen state (the models' validity masks), and the fleet
+slices each stream's true output by its per-lane produced count.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from soundkit_tpu.demux.detect import AudioType, detect_audio
+
+MIN_DETECT = 8192
+
+
+@dataclass
+class _Lane:
+    group: str
+    index: int
+    produced: int = 0  # batches decoded for this lane so far
+
+
+class _BatchedGroup:
+    """Wraps one batched model with lane allocation/recycling."""
+
+    def __init__(self, kind: str, capacity: int, channels: int):
+        self.kind = kind
+        self.capacity = capacity
+        self.channels = channels
+        self._free = list(range(capacity))
+        self._model = None  # built lazily (FLAC stride, AAC jit, ...)
+
+    def _ensure(self):
+        if self._model is not None:
+            return self._model
+        if self.kind == "aac":
+            from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+            self._model = BatchedAacLcDecoder(self.capacity, self.channels)
+        elif self.kind == "mp3":
+            from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+            self._model = BatchedMp3Decoder(self.capacity, self.channels)
+        elif self.kind == "flac":
+            from soundkit_tpu.models.flac_batch import BatchedFlacDecoder
+
+            self._model = BatchedFlacDecoder(self.capacity)
+        else:
+            raise ValueError(self.kind)
+        return self._model
+
+    def alloc(self) -> Optional[int]:
+        if not self._free:
+            return None
+        lane = self._free.pop()
+        if self._model is not None:
+            self._model.reset_lane(lane)  # clear the previous occupant
+        return lane
+
+    def release(self, lane: int) -> None:
+        self._free.append(lane)
+
+    def push(self, lane: int, data: bytes) -> None:
+        self._ensure().push(lane, data)
+
+    def lane_ready(self, lane: int) -> int:
+        return self._ensure().lane_ready(lane)
+
+    def decode(self, n: int):
+        m = self._ensure()
+        if self.kind == "flac":
+            return m.decode_batches(n)  # (samples, metas)
+        return m.decode_batches(n)
+
+
+class StreamFleet:
+    """Route detected streams into batched codec groups.
+
+    - ``push(stream_id, data)``: buffer until detection (8 KiB or
+      ``end_stream``), then feed the stream's lane / fallback decoder.
+    - ``end_stream(stream_id)``: EOF; triggers detection for small
+      streams, flushes fallbacks, and recycles the lane at the next
+      ``collect``.
+    - ``collect()``: decode all groups in lockstep batches and return
+      ``{stream_id: f32 PCM [C, samples]}`` newly produced since the
+      last collect.
+    """
+
+    BATCH_SAMPLES = {"aac": 1024, "mp3": 576}
+
+    def __init__(self, capacity_per_group: int = 16, channels: int = 2):
+        self.channels = channels
+        self._groups: Dict[str, _BatchedGroup] = {
+            k: _BatchedGroup(k, capacity_per_group, channels)
+            for k in ("aac", "mp3", "flac")
+        }
+        self._lanes: Dict[str, _Lane] = {}
+        self._detect: Dict[str, bytearray] = {}
+        self._fallback: Dict[str, object] = {}
+        self._ended: Dict[str, bool] = {}
+        self._pending_out: Dict[str, List[np.ndarray]] = {}
+
+    # -- ingest -----------------------------------------------------------
+
+    def push(self, stream_id: str, data: bytes) -> None:
+        self._ended.setdefault(stream_id, False)
+        if stream_id in self._lanes:
+            lane = self._lanes[stream_id]
+            self._groups[lane.group].push(lane.index, data)
+            return
+        if stream_id in self._fallback:
+            self._feed_fallback(stream_id, data)
+            return
+        buf = self._detect.setdefault(stream_id, bytearray())
+        buf.extend(data)
+        if len(buf) >= MIN_DETECT:
+            self._route(stream_id)
+
+    def end_stream(self, stream_id: str) -> None:
+        if stream_id in self._detect:
+            self._route(stream_id)
+        self._ended[stream_id] = True
+        if stream_id in self._fallback:
+            self._feed_fallback(stream_id, b"")
+
+    def _route(self, stream_id: str) -> None:
+        buf = bytes(self._detect.pop(stream_id, b""))
+        kind = {
+            AudioType.AAC: "aac",
+            AudioType.MP3: "mp3",
+            AudioType.FLAC: "flac",
+        }.get(detect_audio(buf))
+        if kind is not None:
+            lane_idx = self._groups[kind].alloc()
+            if lane_idx is not None:
+                self._lanes[stream_id] = _Lane(kind, lane_idx)
+                self._groups[kind].push(lane_idx, buf)
+                return
+        # unknown codec or group full: per-stream host pipeline
+        from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+
+        self._fallback[stream_id] = StreamDecoder()
+        self._feed_fallback(stream_id, buf)
+
+    def _feed_fallback(self, stream_id: str, data: bytes) -> None:
+        from soundkit_tpu.core.audio_types import AudioData
+
+        dec = self._fallback[stream_id]
+        outs = dec.process(data)
+        pcm = [
+            np.stack(_to_f32_channels(o))
+            for o in outs
+            if isinstance(o, AudioData)
+        ]
+        if pcm:
+            self._pending_out.setdefault(stream_id, []).extend(pcm)
+
+    # -- decode -----------------------------------------------------------
+
+    def collect(self) -> Dict[str, np.ndarray]:
+        """Decode every group and return newly produced PCM per stream."""
+        out: Dict[str, np.ndarray] = {}
+
+        for kind, group in self._groups.items():
+            active = {
+                sid: ln for sid, ln in self._lanes.items() if ln.group == kind
+            }
+            if not active:
+                continue
+            n = max(group.lane_ready(ln.index) for ln in active.values())
+            if n == 0:
+                continue
+            ready_before = {
+                sid: group.lane_ready(ln.index) for sid, ln in active.items()
+            }
+            if kind == "flac":
+                samples, metas = group.decode(n)
+                for sid, ln in active.items():
+                    k = min(ready_before[sid], n)
+                    if k == 0:
+                        continue
+                    parts = []
+                    for f in range(k):
+                        meta = metas[f][ln.index]
+                        ch = max(int(meta[1]), 1)
+                        parts.append(
+                            samples[f, ln.index, :ch, : meta[0]].astype(np.float32)
+                            / 32768.0
+                        )
+                    out[sid] = np.concatenate(parts, axis=1)
+                    ln.produced += k
+            else:
+                pcm = group.decode(n)  # [n, B, C, S] f32
+                if getattr(pcm, "shape", (0,))[0] == 0:
+                    continue
+                pcm = np.asarray(pcm)
+                for sid, ln in active.items():
+                    k = min(ready_before[sid], n)
+                    if k == 0:
+                        continue
+                    lanes = pcm[:k, ln.index]  # [k, C, S]
+                    out[sid] = np.transpose(lanes, (1, 0, 2)).reshape(
+                        lanes.shape[1], -1
+                    )
+                    ln.produced += k
+
+        # fallback streams: whatever their host decoders produced
+        for sid, parts in list(self._pending_out.items()):
+            if parts:
+                maxc = max(p.shape[0] for p in parts)
+                padded = [
+                    np.pad(p, ((0, maxc - p.shape[0]), (0, 0))) for p in parts
+                ]
+                out[sid] = np.concatenate(padded, axis=1)
+                self._pending_out[sid] = []
+
+        # recycle lanes of ended, fully drained streams
+        for sid in [s for s, e in self._ended.items() if e]:
+            ln = self._lanes.get(sid)
+            if ln is not None and self._groups[ln.group].lane_ready(ln.index) == 0:
+                self._groups[ln.group].release(ln.index)
+                del self._lanes[sid]
+        return out
+
+
+def _to_f32_channels(audio) -> List[np.ndarray]:
+    from soundkit_tpu.core.audio_pipeline import audio_to_f32_channels
+
+    return audio_to_f32_channels(audio)

@@ -59,6 +59,22 @@ class BatchedMp3Decoder:
     def ready_granules(self) -> int:
         return min(self._counts)
 
+    def lane_ready(self, b: int) -> int:
+        return self._counts[b]
+
+    def reset_lane(self, b: int) -> None:
+        """Recycle lane ``b``: fresh C parser (reservoir/queue) and
+        zeroed device carry (overlap + polyphase FIFO)."""
+        import ctypes
+
+        import jax.numpy as jnp
+
+        self._parsers[b] = NativeMp3Parser()
+        self._handles[b] = ctypes.c_void_p(self._parsers[b]._h)
+        self._counts[b] = 0
+        self._overlap = jnp.asarray(self._overlap).at[b].set(0.0)
+        self._fifo = jnp.asarray(self._fifo).at[b].set(0.0)
+
     def _pop_batch(self):
         """ONE C call pops a granule from every stream's queue."""
         quant, expq, bt, mixed, nal, ms, valid, rate = self._alloc_wire()
@@ -86,11 +102,16 @@ class BatchedMp3Decoder:
         on thin links (the axon dev tunnel moves D2H at ~15 MB/s vs
         ~800 MB/s H2D); production PCIe removes that wall.
         """
-        import jax.numpy as jnp
-
         n = self.ready_granules
         if max_granules is not None:
             n = min(n, max_granules)
+        return self.decode_batches(n, device_out=device_out)
+
+    def decode_batches(self, n: int, device_out: bool = False):
+        """Decode exactly ``n`` lockstep batches; lanes whose queue is
+        empty decode as silence with frozen state."""
+        import jax.numpy as jnp
+
         outs = []
         for _ in range(n):
             quant, expq, bt, mixed, nal, ms, valid = self._pop_batch()

@@ -1,0 +1,92 @@
+"""StreamFleet serving runtime: routing, ragged arrival, lane
+recycling, capacity-overflow fallback."""
+import numpy as np
+import pytest
+
+from soundkit_tpu.models.fleet import StreamFleet
+
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+
+
+@pytest.fixture(scope="module")
+def media(testdata):
+    golden = testdata.parent / "golden"
+    return {
+        "aac": (golden / "aac" / f"{CLIP}_encoded.aac").read_bytes(),
+        "mp3": (testdata / "mp3" / f"{CLIP}.mp3").read_bytes(),
+        "flac": (testdata / "flac" / f"{CLIP}.flac").read_bytes(),
+        "wav": (testdata / "wav_stereo" / f"{CLIP}.wav").read_bytes(),
+    }
+
+
+def _single_aac(aac):
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    m = BatchedAacLcDecoder(1, 2)
+    m.push(0, aac)
+    pcm = m.decode_ready()
+    return np.transpose(pcm[:, 0], (1, 0, 2)).reshape(2, -1)
+
+
+def test_fleet_mixed_routing_and_raggedness(media):
+    fleet = StreamFleet(capacity_per_group=2, channels=2)
+    fleet.push("a1", media["aac"])
+    fleet.push("m1", media["mp3"])
+    fleet.push("f1", media["flac"])
+    fleet.push("w1", media["wav"])  # no batched group: host fallback
+    for sid in ("a1", "m1", "f1", "w1"):
+        fleet.end_stream(sid)
+    got = fleet.collect()
+    # late, chunked second AAC stream while the group already ran
+    fleet.push("a2", media["aac"][:5000])
+    mid = fleet.collect()
+    fleet.push("a2", media["aac"][5000:])
+    fleet.end_stream("a2")
+    got2 = fleet.collect()
+    acc = dict(got)
+    for d in (mid, got2):
+        for k, v in d.items():
+            acc[k] = np.concatenate([acc[k], v], axis=1) if k in acc else v
+
+    ref = _single_aac(media["aac"])
+    for sid in ("a1", "a2"):
+        a = acc[sid][:, : ref.shape[1]]
+        np.testing.assert_allclose(a, ref[:, : a.shape[1]], atol=1e-6)
+
+    from soundkit_tpu.codecs.flac import FlacDecoder
+
+    fd = FlacDecoder()
+    ref_f = np.frombuffer(fd.add(media["flac"]).data, "<i2").astype(np.float32) / 32768
+    f = acc["f1"][0]
+    np.testing.assert_allclose(f[: len(ref_f)], ref_f[: len(f)], atol=1e-6)
+
+    assert acc["m1"].shape[0] == 2 and acc["m1"].shape[1] > 40000
+    assert acc["w1"].shape[1] > 40000  # fallback decoded the WAV
+
+
+def test_fleet_lane_recycling_resets_state(media):
+    fleet = StreamFleet(capacity_per_group=1, channels=2)
+    ref = _single_aac(media["aac"])
+
+    for wave in range(3):  # same single lane reused every wave
+        sid = f"s{wave}"
+        fleet.push(sid, media["aac"])
+        fleet.end_stream(sid)
+        got = fleet.collect()
+        a = got[sid][:, : ref.shape[1]]
+        np.testing.assert_allclose(
+            a, ref[:, : a.shape[1]], atol=1e-6,
+            err_msg=f"wave {wave}: stale lane state bled into the stream",
+        )
+
+
+def test_fleet_capacity_overflow_falls_back(media):
+    fleet = StreamFleet(capacity_per_group=2, channels=2)
+    for sid in ("x1", "x2", "x3"):  # 3 concurrent > capacity 2
+        fleet.push(sid, media["aac"])
+    for sid in ("x1", "x2", "x3"):
+        fleet.end_stream(sid)
+    got = fleet.collect()
+    assert set(got) == {"x1", "x2", "x3"}
+    for sid in got:
+        assert got[sid].shape[1] > 40000
