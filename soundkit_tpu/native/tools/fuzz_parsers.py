@@ -1,0 +1,192 @@
+"""Fuzz the C++ host parsers (AAC/MP3/FLAC) for crash-safety.
+
+Serving ingests hostile bytes; the parsers must reject malformed
+input without memory errors.  This harness builds an
+AddressSanitizer-instrumented copy of the native library, loads it in
+a subprocess (LD_PRELOAD=libasan), and drives each parser with
+byte-mutated copies of the real fixtures plus pure random data.  Any
+ASAN report or signal fails the run.
+
+Usage:  python soundkit_tpu/native/tools/fuzz_parsers.py [iterations]
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+NATIVE = Path(__file__).resolve().parent.parent
+REPO = NATIVE.parent.parent
+ASAN_LIB = NATIVE / "libsoundkit_host_asan.so"
+
+WORKER = r"""
+import ctypes, random, sys
+import numpy as np
+
+lib = ctypes.CDLL(sys.argv[1])
+seed = int(sys.argv[2]); iters = int(sys.argv[3])
+rng = random.Random(seed)
+
+lib.skt_aac_new.restype = ctypes.c_void_p
+lib.skt_aac_new.argtypes = [ctypes.c_int]
+lib.skt_mp3_new.restype = ctypes.c_void_p
+lib.skt_flac_new.restype = ctypes.c_void_p
+# without argtypes ctypes truncates 64-bit handles to int -> fake crash
+lib.skt_aac_free.argtypes = [ctypes.c_void_p]
+lib.skt_mp3_free.argtypes = [ctypes.c_void_p]
+lib.skt_flac_free.argtypes = [ctypes.c_void_p]
+from numpy.ctypeslib import ndpointer
+i16p = ndpointer(np.int16, flags="C_CONTIGUOUS")
+i32p = ndpointer(np.int32, flags="C_CONTIGUOUS")
+u8p = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+i8p = ndpointer(np.int8, flags="C_CONTIGUOUS")
+f32p = ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+lib.skt_aac_parse_batch_compact.argtypes = [
+    ctypes.c_void_p, ctypes.c_char_p,
+    ndpointer(np.int64, flags="C_CONTIGUOUS"), ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ctypes.c_int, i16p, u8p, i8p, i8p, u8p, i16p, f32p, i32p, i32p, u8p, i32p]
+lib.skt_mp3_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+lib.skt_mp3_push.restype = ctypes.c_long
+lib.skt_mp3_pop.argtypes = [ctypes.c_void_p, i16p, i16p, i32p]
+lib.skt_flac_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+lib.skt_flac_feed.restype = ctypes.c_int
+lib.skt_flac_next_parts.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_long]
+lib.skt_flac_next_parts.restype = ctypes.c_int
+lib.skt_flac_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+lib.skt_flac_push.restype = ctypes.c_int
+lib.skt_flac_pull.argtypes = [ctypes.c_void_p, i32p, ctypes.c_long]
+lib.skt_flac_pull.restype = ctypes.c_long
+
+corpora = {
+    "aac": open("/root/reference/golden/aac/A_Tusk_is_used_to_make_costly_gifts_encoded.aac","rb").read(),
+    "mp3": open("/root/reference/testdata/mp3/A_Tusk_is_used_to_make_costly_gifts.mp3","rb").read(),
+    "flac": open("/root/reference/testdata/flac/A_Tusk_is_used_to_make_costly_gifts.flac","rb").read(),
+}
+
+def mutate(data: bytes) -> bytes:
+    b = bytearray(data)
+    mode = rng.randrange(5)
+    if mode == 0:  # random byte flips
+        for _ in range(rng.randrange(1, 64)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+    elif mode == 1:  # truncate
+        b = b[: rng.randrange(1, len(b))]
+    elif mode == 2:  # splice two offsets
+        i, j = sorted(rng.randrange(len(b)) for _ in range(2))
+        b = b[:i] + b[j:]
+    elif mode == 3:  # pure random
+        b = bytearray(rng.randbytes(rng.randrange(16, 8192)))
+    else:  # random prefix + tail
+        b = bytearray(rng.randbytes(rng.randrange(0, 512))) + b
+    return bytes(b)
+
+def fuzz_aac(data):
+    h = lib.skt_aac_new(rng.randrange(12))
+    # chop into pseudo-AUs at random boundaries
+    aus, pos = [], 0
+    while pos < len(data) and len(aus) < 8:
+        n = rng.randrange(1, 4096)
+        aus.append(data[pos:pos+n]); pos += n
+    B = len(aus)
+    blob = b"".join(aus)
+    offsets = np.zeros(B, np.int64); lens = np.zeros(B, np.int64)
+    o = 0
+    for i, au in enumerate(aus):
+        offsets[i] = o; lens[i] = len(au); o += len(au)
+    quant = np.zeros((B,2,1024), np.int16); lsf = np.zeros((B,2,1024), np.uint8)
+    ip = np.zeros((B,1024), np.int8); isg = np.zeros((B,1024), np.int8)
+    msk = np.zeros((B,1024), np.uint8); reg = np.zeros((B,2,8,3), np.int16)
+    lpc = np.zeros((B,2,8,20), np.float32); seq = np.zeros((B,2), np.int32)
+    shp = np.zeros((B,2), np.int32); cv = np.zeros((B,2), np.uint8)
+    ov = np.zeros(1, np.int32)
+    lib.skt_aac_parse_batch_compact(h, blob, offsets, lens, B,
+        quant.reshape(-1), lsf.reshape(-1), ip.reshape(-1), isg.reshape(-1),
+        msk.reshape(-1), reg.reshape(-1), lpc.reshape(-1), seq.reshape(-1),
+        shp.reshape(-1), cv.reshape(-1), ov)
+    lib.skt_aac_free(h)
+
+def fuzz_mp3(data):
+    h = lib.skt_mp3_new()
+    step = rng.choice([17, 313, len(data) or 1])
+    for i in range(0, len(data), step):
+        lib.skt_mp3_push(h, data[i:i+step], len(data[i:i+step]))
+    q = np.zeros((2,576), np.int16); e = np.zeros((2,576), np.int16)
+    m = np.zeros(10, np.int32)
+    while lib.skt_mp3_pop(h, q.reshape(-1), e.reshape(-1), m):
+        pass
+    lib.skt_mp3_free(h)
+
+def fuzz_flac(data):
+    h = lib.skt_flac_new()
+    if rng.random() < 0.5:
+        lib.skt_flac_push(h, data, len(data))
+        buf = np.zeros(65536, np.int32)
+        while lib.skt_flac_pull(h, buf, len(buf)) > 0:
+            pass
+    else:
+        lib.skt_flac_feed(h, data, len(data))
+        meta = np.zeros(12, np.int32)
+        resw = np.zeros(2*8192, np.int32); coef = np.zeros(64, np.int32)
+        for _ in range(64):
+            if lib.skt_flac_next_parts(h, meta, resw, coef, 8192) != 1:
+                break
+    lib.skt_flac_free(h)
+
+fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac}
+for it in range(iters):
+    kind = rng.choice(list(fns))
+    fns[kind](mutate(corpora[kind]))
+print(f"worker seed={seed}: {iters} iterations clean")
+"""
+
+
+def build_asan() -> Path:
+    srcs = sorted((NATIVE / "src").glob("*.cpp"))
+    if not ASAN_LIB.exists() or any(
+        s.stat().st_mtime > ASAN_LIB.stat().st_mtime for s in srcs
+    ):
+        cmd = [
+            "g++", "-O1", "-g", "-fsanitize=address", "-fno-omit-frame-pointer",
+            "-fPIC", "-std=c++17", "-shared", "-o", str(ASAN_LIB),
+            *map(str, srcs), "-lavcodec", "-lavutil",
+        ]
+        subprocess.run(cmd, check=True, cwd=NATIVE)
+    return ASAN_LIB
+
+
+def main() -> int:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    lib = build_asan()
+    asan_rt = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    stdcxx = subprocess.run(
+        ["g++", "-print-file-name=libstdc++.so"], capture_output=True, text=True
+    ).stdout.strip()
+    env = dict(
+        os.environ,
+        # libstdc++ must be preloaded too, or ASAN's __cxa_throw
+        # interceptor finds no real implementation and aborts on the
+        # library's ordinary control-flow exceptions
+        LD_PRELOAD=f"{asan_rt} {stdcxx}",
+        ASAN_OPTIONS="detect_leaks=0:abort_on_error=1:exitcode=99",
+    )
+    failures = 0
+    for seed in range(8):
+        proc = subprocess.run(
+            [sys.executable, "-c", WORKER, str(lib), str(seed), str(iters)],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=180,
+        )
+        status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
+        print(f"seed {seed}: {status} {proc.stdout.strip()}", flush=True)
+        if proc.returncode != 0:
+            failures += 1
+            print(proc.stderr[-4000:])
+    print("FUZZ:", "CLEAN" if failures == 0 else f"{failures} failing workers")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
