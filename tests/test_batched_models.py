@@ -140,3 +140,57 @@ def test_batched_opus_decoder():
     # drained
     out2, lens2 = m.decode_ready()
     assert out2.shape[0] == 0
+
+
+def test_no_recompilation_steady_state(testdata):
+    """TPU analog of the reference's zero-allocation steady-state test
+    (soundkit-aac-lc/tests/no_alloc_decode.rs): after the first batch
+    compiles, every further lockstep batch must hit the jit cache.  A
+    retrace in the serving loop is the TPU equivalent of a per-frame
+    allocation regression (20-40 s stall on a real chip)."""
+    import logging
+
+    import jax
+
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+    class _CompileCounter(logging.Handler):
+        def __init__(self, name):
+            super().__init__()
+            self.name, self.n = name, 0
+
+        def emit(self, record):
+            if f"Compiling jit({self.name}" in record.getMessage():
+                self.n += 1
+
+    lg = logging.getLogger("jax._src.interpreters.pxla")
+    old_level = lg.level
+    counters = [_CompileCounter("aac_decode_frame_device"),
+                _CompileCounter("mp3_granule_device_compact")]
+    for c in counters:
+        lg.addHandler(c)
+    lg.setLevel(logging.DEBUG)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        aac = (testdata.parent / "golden" / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+        m = BatchedAacLcDecoder(2, 2)
+        m.push(0, aac)
+        m.push(1, aac[: len(aac) // 2])
+        m.decode_ready(max_frames=3)
+        m.push(1, aac[len(aac) // 2 :])
+        m.decode_ready()  # ragged + full drain: same program throughout
+        assert counters[0].n == 1, f"AAC step compiled {counters[0].n}x"
+
+        mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+        m2 = BatchedMp3Decoder(2, channels=1)
+        m2.push(0, mp3)
+        m2.push(1, mp3)
+        m2.decode_ready(max_granules=5)
+        m2.decode_ready()
+        assert counters[1].n == 1, f"MP3 step compiled {counters[1].n}x"
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for c in counters:
+            lg.removeHandler(c)
+        lg.setLevel(old_level)
