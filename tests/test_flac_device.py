@@ -186,3 +186,42 @@ def test_right_side_and_wasted_bits_synthetic():
     assert metas[0][0][2] == 9 and metas[0][0][0] == bs
     np.testing.assert_array_equal(samples[0, 0, 0, :bs], left.astype(np.int32))
     np.testing.assert_array_equal(samples[0, 0, 1, :bs], right.astype(np.int32))
+
+
+@pytest.mark.parametrize("variant,channels", [("16bit", 2), ("24bit", 1), ("32float", 1)])
+def test_golden_bitdepth_variants(testdata, variant, channels):
+    """The golden 16/24/32f FLAC variants (SURVEY §4 corpus): host path
+    MD5-validates, device split bit-exact.  The 24-bit file carries
+    wasted_bits=8 on every frame — live coverage for the wasted-shift
+    path the generated streams never exercise."""
+    golden = testdata.parent / "golden" / "flac"
+    data = (golden / f"{CLIP}_{variant}.flac").read_bytes()
+
+    d = FlacDecoder()
+    out = d.add(data)
+    assert d.verify_md5(out.data)
+    bits = d.info["bits_per_sample"]
+    if bits == 16:
+        host = np.frombuffer(out.data, "<i2").astype(np.int32)
+    elif bits == 24:
+        raw = np.frombuffer(out.data, np.uint8).reshape(-1, 3).astype(np.int32)
+        host = ((raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)) << 8) >> 8
+    else:
+        host = np.frombuffer(out.data, "<i4")
+
+    if variant == "24bit":
+        from soundkit_tpu.codecs.flac import FlacPartsStream
+
+        ps = FlacPartsStream(4608)
+        ps.feed(data)
+        meta = ps.next_parts()[0]
+        assert meta[6] == 8, "24-bit fixture must exercise wasted bits"
+
+    m = BatchedFlacDecoder(1, stride=4608)
+    m.push(0, data)
+    samples, metas = m.decode_ready()
+    parts = [samples[f, 0, :channels, : metas[f][0][0]] for f in range(samples.shape[0])]
+    dev = np.concatenate(parts, axis=1).T.reshape(-1)
+    n = min(len(dev), len(host))
+    assert n == len(host)
+    np.testing.assert_array_equal(dev[:n], host[:n])
