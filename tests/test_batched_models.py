@@ -180,7 +180,9 @@ def test_no_recompilation_steady_state(testdata):
         m.decode_ready(max_frames=3)
         m.push(1, aac[len(aac) // 2 :])
         m.decode_ready()  # ragged + full drain: same program throughout
-        assert counters[0].n == 1, f"AAC step compiled {counters[0].n}x"
+        # 0 is fine too: an identical program compiled by an earlier
+        # test is served from XLA's in-memory executable cache
+        assert counters[0].n <= 1, f"AAC step compiled {counters[0].n}x"
 
         mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
         m2 = BatchedMp3Decoder(2, channels=1)
@@ -188,7 +190,7 @@ def test_no_recompilation_steady_state(testdata):
         m2.push(1, mp3)
         m2.decode_ready(max_granules=5)
         m2.decode_ready()
-        assert counters[1].n == 1, f"MP3 step compiled {counters[1].n}x"
+        assert counters[1].n <= 1, f"MP3 step compiled {counters[1].n}x"
     finally:
         jax.config.update("jax_log_compiles", False)
         for c in counters:
