@@ -228,12 +228,22 @@ class StreamFleet:
                 out[sid] = np.concatenate(padded, axis=1)
                 self._pending_out[sid] = []
 
-        # recycle lanes of ended, fully drained streams
+        # recycle lanes of ended, fully drained streams — and drop all
+        # bookkeeping so a long-running fleet has bounded state
         for sid in [s for s, e in self._ended.items() if e]:
             ln = self._lanes.get(sid)
-            if ln is not None and self._groups[ln.group].lane_ready(ln.index) == 0:
-                self._groups[ln.group].release(ln.index)
-                del self._lanes[sid]
+            if ln is not None:
+                if self._groups[ln.group].lane_ready(ln.index) == 0:
+                    self._groups[ln.group].release(ln.index)
+                    del self._lanes[sid]
+                    del self._ended[sid]
+            elif sid in self._fallback:
+                if not self._pending_out.get(sid):
+                    del self._fallback[sid]
+                    self._pending_out.pop(sid, None)
+                    del self._ended[sid]
+            elif sid not in self._detect:
+                del self._ended[sid]
         return out
 
 
