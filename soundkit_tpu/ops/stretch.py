@@ -162,8 +162,12 @@ def stretch_pitch(
     return np.pad(out, ((0, 0), (0, target - out.shape[1]))).astype(np.float32)
 
 
-def stretch_batch_device(x, time_ratio: float):
+def stretch_batch_device(x, time_ratio: float, envelope_warp: float = 1.0):
     """Batched device phase vocoder: [B, n] f32 -> [B, out] f32.
+
+    ``envelope_warp`` != 1 applies the formant-preservation primitive
+    on device: cepstral envelope (rfft/irfft lifter, same order as the
+    host path) flattening + re-application at warped bin positions.
 
     The same math as :func:`stretch_channels` expressed in jnp for a
     jitted batched serving path (BASELINE "Rubber Band phase-vocoder
@@ -174,7 +178,7 @@ def stretch_batch_device(x, time_ratio: float):
     buffer.  ``time_ratio`` and the input length are static (one
     compiled program per (n, ratio) pair — serving uses fixed chunks).
 
-    jit me with static_argnums=(1,).
+    jit me with static_argnums=(1, 2).
     """
     import jax
     import jax.numpy as jnp
@@ -193,6 +197,21 @@ def stretch_batch_device(x, time_ratio: float):
 
     mag = jnp.abs(spec)
     phase = jnp.angle(spec)
+
+    if abs(envelope_warp - 1.0) > 1e-9:
+        logm = jnp.log(jnp.maximum(mag, 1e-9))
+        ceps = jnp.fft.irfft(logm, n=FRAME, axis=-1)
+        lift = np.zeros(FRAME, np.float32)
+        lift[0] = 1.0
+        lift[1:ENVELOPE_ORDER] = 2.0
+        env_log = jnp.fft.rfft(ceps * jnp.asarray(lift), n=FRAME, axis=-1).real
+        env = jnp.exp(env_log[..., :K])
+        pos = np.arange(K) * envelope_warp
+        i0 = np.clip(pos.astype(np.int64), 0, K - 1)
+        i1 = np.clip(i0 + 1, 0, K - 1)
+        fr = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+        env_w = env[..., i0] * (1.0 - fr) + env[..., i1] * fr
+        mag = mag / jnp.maximum(env, 1e-9) * env_w
 
     omega = 2 * jnp.pi * jnp.arange(K) / FRAME
     dphi = jnp.diff(phase, axis=1, prepend=phase[:, :1])

@@ -176,3 +176,28 @@ def test_batched_device_vocoder_matches_host():
     err = ref - dev
     snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
     assert snr > 50, f"device vocoder {snr:.1f} dB vs host"
+
+
+def test_batched_device_vocoder_formant_warp():
+    """Device envelope warp shifts formants like the host primitive."""
+    import jax
+
+    from soundkit_tpu.ops.stretch import stretch_batch_device, stretch_channels
+
+    rate = 44100
+    sig = _vowel(rate, 110.0, rate)
+    f = jax.jit(stretch_batch_device, static_argnums=(1, 2))
+
+    # numeric agreement with the host path (f32 vs f64 chain)
+    warp = 1.5
+    ref = stretch_channels(sig[None], 1.2, envelope_warp=warp)[0]
+    dev = np.asarray(f(sig[None], 1.2, warp))[0]
+    err = ref - dev
+    snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+    assert snr > 25, f"device warp path {snr:.1f} dB vs host"
+
+    # acoustic: formants divided by the warp factor
+    f_in = _formants(sig, rate)
+    f_out = _formants(dev, rate)
+    for a, b in zip(f_out, f_in):
+        assert abs(a / (b / warp) - 1.0) < 0.12, (f_in, f_out)
