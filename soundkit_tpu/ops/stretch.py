@@ -253,3 +253,33 @@ def stretch_batch_device(x, time_ratio: float, envelope_warp: float = 1.0):
     if res.shape[1] < target:
         res = jnp.pad(res, ((0, 0), (0, target - res.shape[1])))
     return res
+
+
+def pitch_shift_batch_device(x, time_ratio: float, pitch_scale: float,
+                             formant_scale: Optional[float] = None):
+    """Fully on-device batched pitch shift: [B, n] f32 -> [B, out].
+
+    Composes the device vocoder with the device polyphase resampler
+    (ops.resample.resample — one conv_general_dilated) inside one
+    jittable program: stretch by ``time_ratio * pitch_scale`` (with the
+    envelope warp compensating the resample's spectral scaling when
+    ``formant_scale`` is set, same algebra as :func:`stretch_pitch`),
+    then resample by ``1/pitch_scale``.
+
+    jit me with static_argnums=(1, 2, 3).
+    """
+    from soundkit_tpu.ops import resample as rs
+
+    if abs(pitch_scale - 1.0) < 1e-9:
+        warp = 1.0 if formant_scale is None else 1.0 / formant_scale
+        return stretch_batch_device(x, time_ratio, warp)
+    warp = 1.0 if formant_scale is None else pitch_scale / formant_scale
+    stretched = stretch_batch_device(x, time_ratio * pitch_scale, warp)
+    num, den = pitch_ratio_fraction(pitch_scale)
+    out = rs.resample(stretched, num * 1000, den * 1000)
+    target = int(round(x.shape[1] * time_ratio))
+    if out.shape[1] >= target:
+        return out[:, :target]
+    import jax.numpy as jnp
+
+    return jnp.pad(out, ((0, 0), (0, target - out.shape[1])))

@@ -201,3 +201,28 @@ def test_batched_device_vocoder_formant_warp():
     f_out = _formants(dev, rate)
     for a, b in zip(f_out, f_in):
         assert abs(a / (b / warp) - 1.0) < 0.12, (f_in, f_out)
+
+
+def test_batched_device_pitch_shift():
+    """Fully on-device pitch shift (vocoder + conv resampler)."""
+    import jax
+
+    from soundkit_tpu.ops.stretch import pitch_shift_batch_device, stretch_pitch
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    sig = np.stack(
+        [np.sin(2 * np.pi * (200 + 50 * b) * t).astype(np.float32) * 0.5 for b in range(3)]
+    )
+    f = jax.jit(pitch_shift_batch_device, static_argnums=(1, 2, 3))
+    ref = np.stack([stretch_pitch(sig[b : b + 1], 1.0, 1.5)[0] for b in range(3)])
+    dev = np.asarray(f(sig, 1.0, 1.5, None))
+    assert dev.shape == (3, rate)
+    n = min(ref.shape[1], dev.shape[1])
+    err = ref[:, :n] - dev[:, :n]
+    snr = 10 * np.log10(np.mean(ref[:, :n] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 40, f"device pitch shift {snr:.1f} dB vs host"
+    # pitch actually moved on the device output itself
+    spec = np.abs(np.fft.rfft(dev[0] * np.hanning(rate)))
+    peak = np.argmax(spec) * rate / rate
+    assert abs(peak - 300) < 5, peak
