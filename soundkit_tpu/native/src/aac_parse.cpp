@@ -170,6 +170,7 @@ struct IcsData {
 struct Parser {
     int sr_index;
     char error[128] = {0};
+    uint32_t pns_state = 0x12345678u;  // PNS sign-noise LCG
 
     bool fail(const char* msg) {
         snprintf(error, sizeof error, "%s", msg);
@@ -253,6 +254,8 @@ struct Parser {
                     if (noise_first) { noise += (int)br.get(9) - 256; noise_first = false; }
                     else noise += g_tables.sf.read(br) - 60;
                     ics.band_scale[g][s] = std::pow(2.0, 0.25 * (noise - 100));
+                    // clamp into the u8 line_sf wire (0 means silent)
+                    ics.band_sf[g][s] = noise < 1 ? 1 : (noise > 255 ? 255 : noise);
                 } else {
                     sf += g_tables.sf.read(br) - 60;
                     if (sf < 0 || sf > 255) return fail("scalefactor out of range");
@@ -394,7 +397,8 @@ struct Parser {
         for (int g = 0; g < ii.num_window_groups; ++g) {
             for (int s = 0; s < ii.max_sfb; ++s) {
                 int cb = ics.band_type[g][s];
-                if (cb == 0 || cb >= 13) continue;
+                if (cb == 0 || cb == 14 || cb == 15) continue;
+                bool pns = cb == 13;
                 int lo = ii.swb[s], hi = ii.swb[s + 1];
                 for (int w = 0; w < ii.group_lens[g]; ++w) {
                     int off = short_win ? (wbase + w) * 128 : 0;
@@ -402,6 +406,17 @@ struct Parser {
                         if (full) lane.scale[off + k] = (float)ics.band_scale[g][s];
                         int sfv = ics.band_sf[g][s];
                         line_sf[off + k] = (uint8_t)(sfv > 0 ? sfv : 0);
+                        if (pns) {
+                            // perceptual noise substitution as sign
+                            // noise on the quant wire: |+-1|^(4/3) = 1
+                            // so coef = +-scale, band energy n*scale^2
+                            // (exactly the host apply_pns target); the
+                            // RNG is unspecified by the spec
+                            pns_state = pns_state * 1664525u + 1013904223u;
+                            int32_t v = (pns_state >> 16) & 1 ? 1 : -1;
+                            if (full) lane.quant[off + k] = v;
+                            else lane.quant16[off + k] = (int16_t)v;
+                        }
                     }
                 }
             }

@@ -193,3 +193,57 @@ def test_compact_wire_path_matches_full(parsed, golden_adts):
         if pwr > 1e-12:
             snr = 10 * np.log10(pwr / max(np.mean((a - b) ** 2), 1e-30))
             assert snr > 90, f"compact path diverged: {snr:.1f} dB"
+
+
+def test_pns_streams_match_host_and_oracle_energy():
+    """Perceptual noise substitution: encoder-generated streams carry
+    NOISE_HCB bands; the C parser injects energy-exact sign noise on
+    the quant wire so every batched path renders PNS (silence before).
+    Waveform SNR vs the oracle is PNS-limited by design (~23 dB even
+    for the host path — noise realizations differ), so the gates are
+    batched==host and total-energy parity with the oracle."""
+    import soundkit_tpu.ops.aac_dsp as dsp
+    from soundkit_tpu.codecs.aac_lc import NOISE_BT, AacLcDecoder
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.encoders import AacEncoder
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    rng = np.random.default_rng(9)
+    rate = 44100
+    n = int(rate * 1.5)
+    t = np.arange(n) / rate
+    l = np.sin(2 * np.pi * 440 * t) * 0.5 + rng.standard_normal(n) * 0.05
+    r = np.sin(2 * np.pi * 660 * t) * 0.5 + rng.standard_normal(n) * 0.05
+    pcm = (np.stack([l, r], 1).reshape(-1) * 20000).clip(-32768, 32767).astype(np.int16)
+    enc = AacEncoder(rate, 2, 192000)
+    adts = enc.encode_i16(pcm) + enc.flush()
+
+    stream = AdtsStream()
+    aus = stream.push(adts)
+    dec = AacLcDecoder(stream.sr_index)
+    frames = [dec.decode_au(au) for au in aus]
+    n_noise = sum(
+        int(np.sum(ics.band_type[: ics.num_window_groups, : ics.max_sfb] == NOISE_BT))
+        for fr in frames
+        for el in fr.elements
+        for ics in el.ics
+    )
+    assert n_noise > 100, f"fixture must exercise PNS, got {n_noise} bands"
+
+    synth = dsp.AacLcSynth(stream.sr_index)
+    host = np.concatenate([synth.process_frame(fr) for fr in frames], axis=1)
+
+    m = BatchedAacLcDecoder(1, 2)
+    m.push(0, adts)
+    out = m.decode_ready()
+    got = np.transpose(out[:, 0], (1, 0, 2)).reshape(2, -1)
+    k = min(host.shape[1], got.shape[1])
+    err = host[:, :k] - got[:, :k]
+    snr = 10 * np.log10(np.mean(host[:, :k] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 90, f"batched vs host on a PNS stream: {snr:.1f} dB"
+
+    o = AvDecoder("aac", use_parser=True)
+    ref = np.concatenate([o.push(adts), o.flush()]).reshape(-1, 2).T
+    k2 = min(ref.shape[1], got.shape[1])
+    rms_ratio = np.sqrt(np.mean(got[:, :k2] ** 2) / np.mean(ref[:, :k2] ** 2))
+    assert abs(rms_ratio - 1.0) < 0.02, f"energy parity vs oracle: {rms_ratio:.3f}"
