@@ -247,3 +247,49 @@ def test_pns_streams_match_host_and_oracle_energy():
     k2 = min(ref.shape[1], got.shape[1])
     rms_ratio = np.sqrt(np.mean(got[:, :k2] ** 2) / np.mean(ref[:, :k2] ** 2))
     assert abs(rms_ratio - 1.0) < 0.02, f"energy parity vs oracle: {rms_ratio:.3f}"
+
+
+@pytest.mark.parametrize("rate,ch,kbps", [(48000, 2, 128000), (24000, 2, 64000), (8000, 1, 24000)])
+def test_rate_sweep_batched_matches_host(rate, ch, kbps):
+    """Encoder-generated streams across sr_index values: the batched
+    device path must match the host numpy decoder (>90 dB; PNS noise
+    realizations are the only allowed difference) and keep energy
+    parity with the libavcodec oracle."""
+    import soundkit_tpu.ops.aac_dsp as dsp
+    from soundkit_tpu.codecs.aac_lc import AacLcDecoder
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.encoders import AacEncoder
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    rng = np.random.default_rng(7)
+    n = rate  # 1 s
+    t = np.arange(n) / rate
+    base = np.sin(2 * np.pi * 440 * t) * 0.5 + rng.standard_normal(n) * 0.05
+    if ch == 2:
+        r = np.sin(2 * np.pi * 660 * t) * 0.5 + rng.standard_normal(n) * 0.05
+        pcm = np.stack([base, r], 1).reshape(-1)
+    else:
+        pcm = base
+    pcm = (pcm * 20000).clip(-32768, 32767).astype(np.int16)
+    enc = AacEncoder(rate, ch, kbps)
+    adts = enc.encode_i16(pcm) + enc.flush()
+
+    stream = AdtsStream()
+    aus = stream.push(adts)
+    dec = AacLcDecoder(stream.sr_index)
+    synth = dsp.AacLcSynth(stream.sr_index)
+    host = np.concatenate([synth.process_frame(dec.decode_au(au)) for au in aus], axis=1)
+
+    m = BatchedAacLcDecoder(1, ch)
+    m.push(0, adts)
+    out = m.decode_ready()
+    got = np.transpose(out[:, 0, :ch], (1, 0, 2)).reshape(ch, -1)
+    k = min(host.shape[1], got.shape[1])
+    err = host[:, :k] - got[:, :k]
+    snr = 10 * np.log10(np.mean(host[:, :k] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 90, f"{rate}Hz/{ch}ch batched vs host: {snr:.1f} dB"
+
+    o = AvDecoder("aac", use_parser=True)
+    ref = np.concatenate([o.push(adts), o.flush()])
+    rms_ratio = np.sqrt(np.mean(got[:, : len(ref) // ch] ** 2) / np.mean(ref**2))
+    assert abs(rms_ratio - 1.0) < 0.05, f"energy vs oracle: {rms_ratio:.3f}"
