@@ -232,3 +232,31 @@ def test_mpeg25_8khz_short_block_regions():
     got = out[:, 0, 0].reshape(-1)
     snr2 = _snr(ours, got)
     assert snr2 > 90, f"batched 8 kHz {snr2:.1f} dB"
+
+
+@pytest.mark.parametrize("rate,kbps", [(44100, 128000), (22050, 64000), (12000, 40000)])
+def test_rate_sweep_batched_matches_host(rate, kbps):
+    """MPEG-1/2/2.5 sr_index sweep: the batched serving model must
+    match the numpy reference decode (>90 dB) on encoder content."""
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+    rng = np.random.default_rng(5)
+    n = rate
+    t = np.arange(n) / rate
+    sig = np.sin(2 * np.pi * 400 * t) * 0.4 + rng.standard_normal(n) * 0.05
+    step = n // 8
+    for k in range(8):
+        sig[k * step : k * step + 200] += np.sin(2 * np.pi * 900 * t[:200]) * 0.6
+    pcm = (sig * 24000).clip(-32768, 32767).astype(np.int16)
+    mp3 = _lame(pcm, rate, 1, kbps)
+
+    frames = Mp3NativeDecoder().push(mp3)
+    synth = Mp3Synth()
+    ref = np.concatenate([synth.process_frame(f) for f in frames], axis=1)[0]
+
+    m = BatchedMp3Decoder(1, channels=1)
+    m.push(0, mp3)
+    got = m.decode_ready()[:, 0, 0].reshape(-1)
+    assert m.sample_rate == rate
+    snr = _snr(ref, got)
+    assert snr > 90, f"{rate}Hz batched vs host: {snr:.1f} dB"
