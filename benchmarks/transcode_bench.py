@@ -10,11 +10,12 @@ DecodePipeline per stream feeding a G.711 encoder thread;
 soundkit-decoder spawn_* + soundkit-g711).
 
 Prints the aggregate realtime factor for the FULL chain on one chip.
-Output verified 100% byte-exact against a host-reference transcode
-(same chunking).  Note: the stateless conv resampler restarts its
-filter history at each CHUNK boundary — a production pipeline carries
-resampler state across chunks (pipeline/resampler.py does this on the
-host path; a carried-state device variant is a follow-up).
+Output verified 100% byte-exact against a CONTINUOUS host-reference
+transcode: the carried-state device resampler
+(ops.resample.resample_stateful) makes chunking seam-free — CHUNK=49
+granules gives 49*576 = 28224 = 64*441 input samples, so the 80/441
+polyphase phase realigns at every boundary and only the SINC window
+history is carried.
 
 Usage: python benchmarks/transcode_bench.py [n_streams]
 """
@@ -49,14 +50,14 @@ def main() -> int:
     enc = Mp3Encoder(src_rate, 2, 192000)
     mp3 = enc.encode_i16(pcm) + enc.flush()
 
-    # chunk granularity: accumulate CHUNK granules before each device
-    # resample+encode stage so the conv sees long windows
-    CHUNK = 32  # 32 * 576 = 18432 samples @44.1k -> ~3343 @8k
+    # CHUNK granules per device stage; 49*576 = 28224 = 64*441 keeps the
+    # 80/441 polyphase phase aligned at chunk boundaries (seam-free)
+    CHUNK = 49
 
-    def tail_stage(pcm_block):  # [B, C, CHUNK*576] -> u8 [B, out]
+    def tail_stage(pcm_block, hist):  # [B, C, CHUNK*576] -> (u8 codes, hist)
         mono = pcm_block.mean(axis=1)
-        lo = rs.resample(mono, src_rate, dst_rate)
-        return companding.encode_mulaw(jnp.clip(lo * 32768.0, -32768, 32767))
+        lo, hist = rs.resample_stateful(mono, hist, src_rate, dst_rate)
+        return companding.encode_mulaw(jnp.clip(lo * 32768.0, -32768, 32767)), hist
 
     tail = jax.jit(tail_stage)
 
@@ -67,8 +68,10 @@ def main() -> int:
     t_parse = time.perf_counter() - t0
 
     # warmup/compile both stages
+    hist0 = jnp.asarray(rs.resample_init_state(B))
     warm = m.decode_ready(max_granules=CHUNK, device_out=True)
-    tail(jnp.transpose(warm, (1, 2, 0, 3)).reshape(B, 2, -1)).block_until_ready()
+    c, _ = tail(jnp.transpose(warm, (1, 2, 0, 3)).reshape(B, 2, -1), hist0)
+    c.block_until_ready()
 
     # best-of-3 passes: the dev tunnel's latency swings dominate single
     # runs (same policy as bench.py); each pass re-feeds the parsers
@@ -77,6 +80,7 @@ def main() -> int:
     for _ in range(3):
         for b in range(B):
             m.push(b, mp3)
+        hist = hist0
         out_bytes = 0
         granules = 0
         t0 = time.perf_counter()
@@ -85,7 +89,7 @@ def main() -> int:
             g = block.shape[0]
             granules += g
             merged = jnp.transpose(block, (1, 2, 0, 3)).reshape(B, 2, g * 576)
-            codes = tail(merged)
+            codes, hist = tail(merged, hist)
             out_bytes += codes.size  # stays on device until here
         codes_host = np.asarray(codes)  # drain the last batch to host
         elapsed = time.perf_counter() - t0

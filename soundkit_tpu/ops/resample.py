@@ -162,3 +162,49 @@ def resample(x, in_rate: int, out_rate: int):
     out = out[:, :, :n_cycles]
     out = jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], n_cycles * L)
     return out[:, :n_out]
+
+
+def resample_stateful(x, hist, in_rate: int, out_rate: int):
+    """Carried-state chunked resample: seam-free streaming on device.
+
+    ``x``: [B, n] f32 chunk; ``hist``: [B, SINC_LEN-1] carried input
+    history (zeros for the first chunk).  Requires ``n * L % M == 0``
+    (choose the chunk so the polyphase phase realigns at the boundary;
+    e.g. 44.1k->8k has L/M = 80/441, so n must be a multiple of 441)
+    — then concatenating chunk outputs equals the one-shot
+    :func:`resample` of the concatenated input exactly, because each
+    window sees the true preceding samples instead of zeros.
+
+    Returns (out [B, n*L//M], new_hist [B, SINC_LEN-1]).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if in_rate == out_rate:
+        return x, hist
+    kern, L, M, Kc = _conv_kernel(in_rate, out_rate)
+    S = SINC_LEN
+    n = x.shape[-1]
+    if (n * L) % M != 0:
+        raise ValueError(f"chunk length {n} must satisfy n*{L} % {M} == 0")
+    n_out = n * L // M
+    n_cycles = (n_out + L - 1) // L
+
+    xa = jnp.concatenate([hist, x], axis=1)  # [B, S-1+n]
+    need = (n_cycles - 1) * M + Kc
+    right = max(0, need - xa.shape[1])
+    xp = jnp.pad(xa, ((0, 0), (0, right)))[:, None, :]
+
+    out = lax.conv_general_dilated(
+        xp, jnp.asarray(kern), window_strides=(M,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out[:, :, :n_cycles]
+    out = jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], n_cycles * L)[:, :n_out]
+    new_hist = xa[:, -(S - 1):]
+    return out, new_hist
+
+
+def resample_init_state(B: int) -> "np.ndarray":
+    return np.zeros((B, SINC_LEN - 1), dtype=np.float32)

@@ -148,3 +148,30 @@ def test_audio_to_f32_channels_s32_path():
     chans = audio_to_f32_channels(audio)
     np.testing.assert_allclose(chans[0], [1.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(chans[1], [-1.0, 0.5], atol=1e-6)
+
+
+def test_stateful_chunked_matches_one_shot():
+    """Carried-state device resample: chunked == one-shot bit-exact
+    when the chunk keeps the polyphase phase aligned (n*L % M == 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.ops import resample as rs
+
+    rng = np.random.default_rng(1)
+    B, CH = 2, 441 * 16
+    x = (rng.standard_normal((B, CH * 3)) * 0.5).astype(np.float32)
+    one = np.asarray(rs.resample(jnp.asarray(x), 44100, 8000))
+
+    f = jax.jit(rs.resample_stateful, static_argnums=(2, 3))
+    hist = jnp.asarray(rs.resample_init_state(B))
+    outs = []
+    for k in range(3):
+        o, hist = f(jnp.asarray(x[:, k * CH : (k + 1) * CH]), hist, 44100, 8000)
+        outs.append(np.asarray(o))
+    chunked = np.concatenate(outs, axis=1)
+    n = min(one.shape[1], chunked.shape[1])
+    np.testing.assert_array_equal(chunked[:, :n], one[:, :n])
+
+    with pytest.raises(ValueError, match="must satisfy"):
+        rs.resample_stateful(jnp.asarray(x[:, :1000]), hist, 44100, 8000)
