@@ -123,3 +123,108 @@ class BatchedTelephonyDecoder:
             del q[:nbytes]
             return len(cs)
         return 0
+
+
+class BatchedTelephonyEncoder:
+    """Batched multi-stream telephony ENCODE (PCM -> G.711/722/726).
+
+    The transcode-farm counterpart of :class:`BatchedTelephonyDecoder`
+    (reference role: one soundkit-g711/g722/g726 encoder per pipeline
+    thread): N concurrent i16 PCM streams encode in one jitted step per
+    fixed-size chunk with ragged validity masks; packing to the wire
+    bytes (G.726 bit packing) happens on the host.
+    """
+
+    def __init__(self, codec: str, num_streams: int, chunk_samples: int = 2048):
+        import jax
+
+        if codec not in CODECS:
+            raise ValueError(f"unknown codec {codec!r}; one of {CODECS}")
+        if codec == "g722" and chunk_samples % 2:
+            raise ValueError("g722 needs an even chunk (2 samples/code)")
+        self.codec = codec
+        self.B = num_streams
+        self.chunk = chunk_samples
+        self._queues: List[np.ndarray] = [
+            np.zeros(0, dtype=np.int16) for _ in range(num_streams)
+        ]
+        self._g726_rate: Optional[G726Rate] = None
+
+        if codec.startswith("g711"):
+            is_alaw = codec.endswith("alaw")
+            self._state = None
+            self._step = jax.jit(
+                lambda pcm, valid: jax.numpy.where(
+                    valid,
+                    companding.encode_alaw(pcm) if is_alaw
+                    else companding.encode_mulaw(pcm),
+                    0,
+                )
+            )
+            self.codes_per_sample = 1.0
+        elif codec == "g722":
+            self._state = g722_ops.g722_init_state(num_streams)
+            self._step = jax.jit(
+                lambda pcm, valid, st: g722_ops.g722_encode_scan(pcm, st, valid)
+            )
+            self.codes_per_sample = 0.5
+        else:
+            bits = int(codec.split("_")[1]) // 8
+            self._bits = bits
+            self._g726_rate = {2: G726Rate.RATE_16000, 3: G726Rate.RATE_24000,
+                               4: G726Rate.RATE_32000, 5: G726Rate.RATE_40000}[bits]
+            self._state = adpcm.g726_init_state(num_streams)
+            self._step = jax.jit(
+                lambda pcm, valid, st, _b=bits: adpcm.g726_encode_scan(pcm, st, _b, valid)
+            )
+            self.codes_per_sample = 1.0
+
+    def push(self, stream_idx: int, pcm: np.ndarray) -> None:
+        self._queues[stream_idx] = np.concatenate(
+            [self._queues[stream_idx], np.asarray(pcm, np.int16)]
+        )
+
+    def encode_step(self) -> List[bytes]:
+        """Encode up to chunk samples per stream -> wire bytes per lane."""
+        import jax.numpy as jnp
+
+        pcm = np.zeros((self.B, self.chunk), dtype=np.int32)
+        valid = np.zeros((self.B, self.chunk), dtype=bool)
+        taken = np.zeros(self.B, dtype=np.int64)
+        for i, q in enumerate(self._queues):
+            n = min(len(q), self.chunk)
+            if self.codec == "g722":
+                n -= n % 2
+            if self._g726_rate is not None:
+                # whole packing groups only
+                spg = self._g726_rate.samples_per_byte_group
+                n -= n % spg
+            pcm[i, :n] = q[:n]
+            valid[i, :n] = True
+            taken[i] = n
+            self._queues[i] = q[n:]
+
+        if self.codec.startswith("g711"):
+            codes = np.asarray(self._step(jnp.asarray(pcm), jnp.asarray(valid)))
+        else:
+            # g722's scan masks per CODE (one code = a sample pair)
+            v = valid[:, ::2] if self.codec == "g722" else valid
+            codes_j, self._state = self._step(
+                jnp.asarray(pcm), jnp.asarray(v), self._state
+            )
+            codes = np.asarray(codes_j)
+
+        out: List[bytes] = []
+        for i in range(self.B):
+            n = int(taken[i])
+            if n == 0:
+                out.append(b"")
+            elif self.codec.startswith("g711"):
+                out.append(codes[i, :n].astype(np.uint8).tobytes())
+            elif self.codec == "g722":
+                out.append(codes[i, : n // 2].astype(np.uint8).tobytes())
+            else:
+                from soundkit_tpu.codecs.g726 import pack_codes
+
+                out.append(pack_codes(codes[i, :n], self._bits, G726Packing.LEFT))
+        return out

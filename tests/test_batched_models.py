@@ -196,3 +196,42 @@ def test_no_recompilation_steady_state(testdata):
         for c in counters:
             lg.removeHandler(c)
         lg.setLevel(old_level)
+
+
+@pytest.mark.parametrize("codec", ["g711_mulaw", "g726_32", "g722"])
+def test_batched_telephony_encoder_matches_single_stream(codec):
+    """Batched encode wire bytes == single-stream encoder, ragged lanes."""
+    from soundkit_tpu.models.telephony_batch import BatchedTelephonyEncoder
+
+    rng = np.random.default_rng(2)
+    n = 16000 if codec != "g722" else 32000
+    rate = 8000 if codec != "g722" else 16000
+    t = np.arange(n) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 12000 + rng.standard_normal(n) * 200).astype(np.int16)
+
+    enc = BatchedTelephonyEncoder(codec, 2)
+    enc.push(0, pcm)
+    enc.push(1, pcm[: n // 2])  # ragged
+    wires = [b"", b""]
+    while True:
+        outs = enc.encode_step()
+        if not any(outs):
+            break
+        for i in range(2):
+            wires[i] += outs[i]
+
+    if codec == "g711_mulaw":
+        from soundkit_tpu.ops import companding
+
+        ref = companding.encode_mulaw_np(pcm).astype(np.uint8).tobytes()
+    elif codec == "g722":
+        from soundkit_tpu.codecs.g722 import G722Encoder
+
+        ref = G722Encoder().encode_i16(pcm)
+    else:
+        from soundkit_tpu.codecs.g726 import G726Encoder, G726Packing, G726Rate
+
+        ref = G726Encoder(G726Rate.RATE_32000, G726Packing.LEFT).encode_i16(pcm)
+
+    assert wires[0] == ref[: len(wires[0])] and len(wires[0]) >= len(ref) - 8
+    assert wires[1] == ref[: len(wires[1])]  # ragged lane = prefix
