@@ -34,6 +34,7 @@ class BatchedMp3Decoder:
         self._overlap = overlap
         self._fifo = fifo
         self._step = jax.jit(mb.mp3_granule_device_compact)
+        self._multi_step = None  # built on first decode_multi
         self.sample_rate: Optional[int] = None
 
     def _alloc_wire(self):
@@ -106,6 +107,54 @@ class BatchedMp3Decoder:
         if max_granules is not None:
             n = min(n, max_granules)
         return self.decode_batches(n, device_out=device_out)
+
+    def decode_multi(self, n: int, device_out: bool = False):
+        """Decode ``n`` lockstep granule batches with ONE device call
+        (lax.scan over the granule axis).
+
+        Measured on the dev tunnel at B=512/G=32 this is SLOWER than
+        the per-granule path (158x vs 204x in the same phase): the
+        per-granule loop pipelines host pops against async transfers,
+        while this path serializes pop-all -> transfer-all -> scan.
+        Use it when dispatch latency dominates (small B, high-RTT
+        links) or when a single program per window is required.
+        Compiles one program per distinct ``n``."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._multi_step is None:
+            self._multi_step = jax.jit(mb.mp3_granules_device_compact_multi)
+        G = n
+        quant = np.zeros((G, self.B, 2, 576), dtype=np.int16)
+        expq = np.zeros((G, self.B, 2, 576), dtype=np.int16)
+        bt = np.zeros((G, self.B, 2), dtype=np.int32)
+        mixed = np.zeros((G, self.B, 2), dtype=np.uint8)
+        nal = np.zeros((G, self.B, 2), dtype=np.int32)
+        ms = np.zeros((G, self.B), dtype=np.uint8)
+        valid = np.zeros((G, self.B, 2), dtype=np.uint8)
+        rate = np.zeros(self.B, dtype=np.int32)
+        for g in range(G):
+            self._lib.skt_mp3_pop_batch(
+                self._handles, self.B, quant[g].reshape(-1), expq[g].reshape(-1),
+                bt[g].reshape(-1), mixed[g].reshape(-1), nal[g].reshape(-1),
+                ms[g], valid[g].reshape(-1), rate,
+            )
+            if self.sample_rate is None:
+                nz = rate[rate > 0]
+                if len(nz):
+                    self.sample_rate = int(nz[0])
+        for b in range(self.B):
+            self._counts[b] -= int(valid[:, b].any(axis=1).sum())
+        C = self.C
+        pcm, self._overlap, self._fifo = self._multi_step(
+            jnp.asarray(quant[:, :, :C]), jnp.asarray(expq[:, :, :C]),
+            jnp.asarray(ms.astype(bool)), jnp.asarray(bt[:, :, :C]),
+            jnp.asarray(mixed[:, :, :C].astype(bool)),
+            jnp.asarray(nal[:, :, :C]),
+            jnp.asarray(valid[:, :, :C].astype(bool)),
+            self._overlap, self._fifo,
+        )
+        return pcm if device_out else np.asarray(pcm)
 
     def decode_batches(self, n: int, device_out: bool = False):
         """Decode exactly ``n`` lockstep batches; lanes whose queue is

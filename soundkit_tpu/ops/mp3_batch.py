@@ -232,3 +232,28 @@ def mp3_granule_device_compact(quant_i16, expq, ms, block_type, mixed,
         quant_i16.astype(jnp.int32), scale, ms, block_type, mixed,
         n_alias_sb, lane_valid, overlap, v_fifo,
     )
+
+
+def mp3_granules_device_compact_multi(quant_i16, expq, ms, block_type, mixed,
+                                      n_alias_sb, lane_valid, overlap, v_fifo):
+    """G granule batches in ONE device program: a ``lax.scan`` of the
+    compact single-granule step over the leading G axis.
+
+    Inputs are the compact wire with a [G, ...] granule axis; returns
+    (pcm [G, B, C, 576], overlap, fifo).  One dispatch and one H2D
+    transfer amortize G granules — the serving hot path's answer to
+    per-granule dispatch overhead on thin links.  jit me.
+    """
+    import jax
+
+    def step(carry, xs):
+        ov, ff = carry
+        q, e, m_, bt, mx, nal, lv = xs
+        pcm, ov, ff = mp3_granule_device_compact(q, e, m_, bt, mx, nal, lv, ov, ff)
+        return (ov, ff), pcm
+
+    (overlap, v_fifo), pcm = jax.lax.scan(
+        step, (overlap, v_fifo),
+        (quant_i16, expq, ms, block_type, mixed, n_alias_sb, lane_valid),
+    )
+    return pcm, overlap, v_fifo

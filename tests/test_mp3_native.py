@@ -260,3 +260,19 @@ def test_rate_sweep_batched_matches_host(rate, kbps):
     assert m.sample_rate == rate
     snr = _snr(ref, got)
     assert snr > 90, f"{rate}Hz batched vs host: {snr:.1f} dB"
+
+
+def test_decode_multi_matches_per_granule(testdata):
+    """One-dispatch lax.scan path == per-granule path exactly."""
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    m1 = BatchedMp3Decoder(2, channels=1)
+    m1.push(0, mp3)
+    m1.push(1, mp3[: len(mp3) // 2])  # ragged
+    ref = m1.decode_batches(40)
+    m2 = BatchedMp3Decoder(2, channels=1)
+    m2.push(0, mp3)
+    m2.push(1, mp3[: len(mp3) // 2])
+    got = m2.decode_multi(40)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
