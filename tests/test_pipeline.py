@@ -198,3 +198,72 @@ def test_detection_rejects_payload_sync_patterns(testdata):
     assert detect_audio(amr[:65536]) == AudioType.UNKNOWN
     g726 = next((testdata / "g726").glob("*")).read_bytes()
     assert detect_audio(g726[:65536]) == AudioType.UNKNOWN
+
+
+@pytest.mark.parametrize("method,path,want_rate", [
+    ("spawn", "flac/{}.flac", 16000),                      # autodetect
+    ("spawn_flac", "flac/{}.flac", 16000),
+    ("spawn_aac_adts", None, 16000),                       # golden adts
+    ("spawn_ac3", "ac3/{}.ac3", 48000),  # AC-3 min rate is 32k; fixture was upsampled
+    ("spawn_speex", "speex/{}.spx", 8000),  # narrowband fixture
+    ("spawn_ogg_opus", "ogg_opus/{}.ogg", 48000),
+    ("spawn_opus", "opus/{}.opus", 48000),
+    ("spawn_aiff", "aiff/{}.aiff", 8000),  # fixture COMM says 8 kHz
+    ("spawn_webm", "itag171/yt_itag_171_vorbis.webm", 44100),
+])
+def test_every_spawn_method_decodes(testdata, method, path, want_rate):
+    """Each explicit spawn_* handle decodes its fixture to non-silent
+    PCM at the expected rate (the reference's per-format
+    test_decode_explicit_* matrix, threaded-handle edition)."""
+    from soundkit_tpu.core.audio_types import AudioData
+    from soundkit_tpu.pipeline.decode_pipeline import DecodePipeline
+
+    if path is None:
+        data = (testdata.parent / "golden" / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    elif "{}" in path:
+        data = (testdata / path.format(CLIP)).read_bytes()
+    else:
+        data = (testdata / path).read_bytes()
+
+    h = getattr(DecodePipeline, method)()
+    outs = []
+    for i in range(0, len(data), 4096):
+        h.send_blocking(data[i : i + 4096], outs)
+    h.send_blocking(b"", outs)  # EOF
+    outs.extend(h.recv_all())
+    audio = [o for o in outs if isinstance(o, AudioData)]
+    assert audio, f"{method} produced no audio"
+    assert audio[0].sampling_rate == want_rate
+    pcm = np.concatenate([np.frombuffer(a.data, "<i2") for a in audio]).astype(np.float64)
+    assert len(pcm) > 8000
+    assert np.sqrt(np.mean((pcm / 32768) ** 2)) > 1e-4, f"{method} decoded silence"
+
+
+def test_spawn_variants_with_buffers_and_rate(testdata):
+    from soundkit_tpu.core.audio_types import AudioData
+    from soundkit_tpu.codecs.g726 import G726Rate
+    from soundkit_tpu.pipeline.decode_pipeline import DecodePipeline
+    from soundkit_tpu.pipeline.output_options import DecodeOptions
+
+    data = (testdata / "g726" / f"{CLIP}_40.g726").read_bytes()
+    from soundkit_tpu.codecs.g726 import G726Packing
+
+    h = DecodePipeline.spawn_g726_with_rate(G726Rate.RATE_40000, G726Packing.LEFT)
+    outs = []
+    h.send_blocking(data, outs)
+    h.send_blocking(b"", outs)
+    outs.extend(h.recv_all())
+    audio = [o for o in outs if isinstance(o, AudioData)]
+    assert audio and audio[0].sampling_rate == 8000
+
+    wav = (testdata / "wav_stereo" / f"{CLIP}.wav").read_bytes()
+    h2 = DecodePipeline.spawn_with_buffers_and_options(
+        16, 16, DecodeOptions(output_sample_rate=8000, output_channels=1)
+    )
+    outs2 = []
+    for i in range(0, len(wav), 2048):
+        h2.send_blocking(wav[i : i + 2048], outs2)
+    h2.send_blocking(b"", outs2)
+    outs2.extend(h2.recv_all())
+    audio2 = [o for o in outs2 if isinstance(o, AudioData)]
+    assert audio2 and audio2[0].sampling_rate == 8000 and audio2[0].channel_count == 1
