@@ -92,12 +92,20 @@ def prepare_frame_batch_native(
     return fb
 
 
-def prepare_frame_batch_batched(
-    parser: NativeAacParser, aus: List[Optional[bytes]]
-) -> FrameBatch:
-    """All lanes in ONE C call (no per-AU Python overhead)."""
+def _parse_batch_into(
+    parser: NativeAacParser,
+    aus: List[Optional[bytes]],
+    fb: FrameBatch,
+    chan_valid_u8: np.ndarray,
+    ms_u8: np.ndarray,
+) -> None:
+    """One C call parsing every non-None lane of ``aus`` into ``fb``.
+
+    Lanes passed as None are left untouched (the C side skips them
+    before writing defaults), so several calls with disjoint lane
+    subsets — one per sample-rate subgroup — compose into one batch.
+    """
     B = len(aus)
-    fb = empty_frame_batch(B)
     blob = bytearray()
     offsets = np.zeros(B, dtype=np.int64)
     lens = np.full(B, -1, dtype=np.int64)
@@ -106,8 +114,6 @@ def prepare_frame_batch_batched(
             offsets[i] = len(blob)
             lens[i] = len(au)
             blob.extend(au)
-    chan_valid_u8 = np.zeros((B, 2), dtype=np.uint8)
-    ms_u8 = np.zeros((B, 1024), dtype=np.uint8)
     parser._lib.skt_aac_parse_batch(
         parser._h, bytes(blob), offsets, lens, B,
         fb.quant.reshape(-1), fb.scale.reshape(-1), fb.perm.reshape(-1),
@@ -115,6 +121,47 @@ def prepare_frame_batch_batched(
         fb.shape.reshape(-1), chan_valid_u8.reshape(-1),
         ms_u8.reshape(-1), fb.int_factor.reshape(-1),
     )
+
+
+def prepare_frame_batch_batched(
+    parser: NativeAacParser, aus: List[Optional[bytes]]
+) -> FrameBatch:
+    """All lanes in ONE C call (no per-AU Python overhead)."""
+    B = len(aus)
+    fb = empty_frame_batch(B)
+    chan_valid_u8 = np.zeros((B, 2), dtype=np.uint8)
+    ms_u8 = np.zeros((B, 1024), dtype=np.uint8)
+    _parse_batch_into(parser, aus, fb, chan_valid_u8, ms_u8)
+    fb.chan_valid[:] = chan_valid_u8.astype(bool)
+    fb.ms_mask[:] = ms_u8.astype(bool)
+    return fb
+
+
+def prepare_frame_batch_grouped(
+    parsers: dict,
+    lane_sr: List[Optional[int]],
+    aus: List[Optional[bytes]],
+) -> FrameBatch:
+    """Mixed-rate batch: one C call per distinct sr_index subgroup.
+
+    ``parsers`` maps sr_index -> NativeAacParser; ``lane_sr[i]`` is the
+    sr_index of lane i's stream. The scalefactor-band tables the parser
+    uses depend on sr_index, so lanes must be parsed by a parser built
+    for THEIR rate — the single-parser path mis-banded any lane whose
+    rate differed from the first stream's. Single-rate groups still
+    take exactly one C call.
+    """
+    B = len(aus)
+    fb = empty_frame_batch(B)
+    chan_valid_u8 = np.zeros((B, 2), dtype=np.uint8)
+    ms_u8 = np.zeros((B, 1024), dtype=np.uint8)
+    for sr, parser in parsers.items():
+        sub = [
+            au if (au is not None and lane_sr[i] == sr) else None
+            for i, au in enumerate(aus)
+        ]
+        if any(a is not None for a in sub):
+            _parse_batch_into(parser, sub, fb, chan_valid_u8, ms_u8)
     fb.chan_valid[:] = chan_valid_u8.astype(bool)
     fb.ms_mask[:] = ms_u8.astype(bool)
     return fb

@@ -37,7 +37,7 @@ class BatchedAacLcDecoder:
         self._prev_shape = prev_shape
         self._mesh = mesh
         self._step = jax.jit(ab.aac_decode_frame_device)
-        self._native = None
+        self._native = {}  # sr_index -> NativeAacParser (mixed-rate groups)
         if use_native:
             try:
                 from soundkit_tpu.codecs.aac_lc_native import NativeAacParser
@@ -58,6 +58,15 @@ class BatchedAacLcDecoder:
 
     def lane_ready(self, b: int) -> int:
         return len(self._queues[b])
+
+    def lane_sample_rate(self, b: int) -> Optional[int]:
+        """Sample rate of lane ``b``'s stream (None until its first
+        ADTS header parses). Lanes in one group may differ — each is
+        parsed with its own rate's band tables."""
+        from soundkit_tpu.codecs.aac_lc import SAMPLE_RATES
+
+        sr = self._streams[b].sr_index
+        return SAMPLE_RATES[sr] if sr is not None else None
 
     def reset_lane(self, b: int) -> None:
         """Recycle lane ``b`` for a new stream: fresh parser + queue and
@@ -91,15 +100,19 @@ class BatchedAacLcDecoder:
         import jax.numpy as jnp
 
         outs = []
+        C = self.C
         for _ in range(n):
             fb = self._next_frame_batch()
+            # the native parser emits C=2 wire arrays; slice to the
+            # model's channel count so the carried state shapes match
+            # (a mono model at B=1 used to broadcast silently here)
             pcm, self._saved, self._prev_shape = self._step(
-                jnp.asarray(fb.quant), jnp.asarray(fb.scale),
+                jnp.asarray(fb.quant[:, :C]), jnp.asarray(fb.scale[:, :C]),
                 jnp.asarray(fb.ms_mask), jnp.asarray(fb.int_factor),
-                jnp.asarray(fb.perm), jnp.asarray(fb.filt_id),
-                jnp.asarray(fb.lpc), jnp.asarray(fb.seq),
-                jnp.asarray(fb.shape), self._prev_shape,
-                jnp.asarray(fb.chan_valid), self._saved,
+                jnp.asarray(fb.perm[:, :C]), jnp.asarray(fb.filt_id[:, :C]),
+                jnp.asarray(fb.lpc[:, :C]), jnp.asarray(fb.seq[:, :C]),
+                jnp.asarray(fb.shape[:, :C]), self._prev_shape,
+                jnp.asarray(fb.chan_valid[:, :C]), self._saved,
             )
             outs.append(pcm if device_out else np.asarray(pcm))
         if not outs:
@@ -112,18 +125,20 @@ class BatchedAacLcDecoder:
         for i, q in enumerate(self._queues):
             aus.append(q.pop(0) if q else None)
         if self._native_cls is not None:
-            if self._native is None:
-                sr = next(
-                    (s.sr_index for s in self._streams if s.sr_index is not None), None
-                )
-                if sr is not None:
-                    self._native = self._native_cls(sr)
-            if self._native is not None:
+            lane_sr = [s.sr_index for s in self._streams]
+            need = {
+                lane_sr[i]
+                for i, au in enumerate(aus)
+                if au is not None and lane_sr[i] is not None
+            }
+            for sr in need - self._native.keys():
+                self._native[sr] = self._native_cls(sr)
+            if need:
                 from soundkit_tpu.codecs.aac_lc_native import (
-                    prepare_frame_batch_batched,
+                    prepare_frame_batch_grouped,
                 )
 
-                return prepare_frame_batch_batched(self._native, aus)
+                return prepare_frame_batch_grouped(self._native, lane_sr, aus)
         frames = []
         for i, au in enumerate(aus):
             dec = self._streams[i].decoder

@@ -42,6 +42,18 @@ class BatchedFlacDecoder:
     def lane_ready(self, b: int) -> int:
         return len(self._pending[b])
 
+    def lane_sample_rate(self, b: int) -> Optional[int]:
+        """Sample rate of lane ``b``'s stream (None until STREAMINFO
+        parses); mixed-rate groups report each lane's true rate."""
+        import ctypes
+
+        st = self._streams[b]
+        ch, bits = ctypes.c_int(), ctypes.c_int()
+        rate, total = ctypes.c_long(), ctypes.c_longlong()
+        if st._lib.skt_flac_info(st._h, ch, bits, rate, total):
+            return int(rate.value)
+        return None
+
     def reset_lane(self, b: int) -> None:
         """Recycle lane ``b``: fresh entropy stream + empty queue (FLAC
         frames are independent; there is no device carry to clear)."""

@@ -80,6 +80,11 @@ class _BatchedGroup:
     def lane_ready(self, lane: int) -> int:
         return self._ensure().lane_ready(lane)
 
+    def lane_sample_rate(self, lane: int) -> Optional[int]:
+        if self._model is None:
+            return None
+        return self._model.lane_sample_rate(lane)
+
     def decode(self, n: int):
         m = self._ensure()
         if self.kind == "flac":
@@ -113,6 +118,10 @@ class StreamFleet:
         self._fallback: Dict[str, object] = {}
         self._ended: Dict[str, bool] = {}
         self._pending_out: Dict[str, List[np.ndarray]] = {}
+        self._rates: Dict[str, int] = {}  # last known rate per stream
+        self._retired: List[str] = []  # recycled last collect; rates
+        # kept one extra collect-cycle so callers can still query the
+        # rate of PCM they just received, then purged (bounded state)
 
     # -- ingest -----------------------------------------------------------
 
@@ -161,19 +170,31 @@ class StreamFleet:
 
         dec = self._fallback[stream_id]
         outs = dec.process(data)
-        pcm = [
-            np.stack(_to_f32_channels(o))
-            for o in outs
-            if isinstance(o, AudioData)
-        ]
-        if pcm:
-            self._pending_out.setdefault(stream_id, []).extend(pcm)
+        audio = [o for o in outs if isinstance(o, AudioData)]
+        if audio:
+            self._rates[stream_id] = audio[-1].sampling_rate
+            self._pending_out.setdefault(stream_id, []).extend(
+                np.stack(_to_f32_channels(o)) for o in audio
+            )
+
+    def sample_rate(self, stream_id: str) -> Optional[int]:
+        """Per-stream sample rate: a lane stream reports its OWN lane's
+        rate (mixed-rate groups surface each lane's true rate), a
+        fallback stream its decoder's last output rate. None until the
+        stream's first header has parsed."""
+        ln = self._lanes.get(stream_id)
+        if ln is not None:
+            return self._groups[ln.group].lane_sample_rate(ln.index)
+        return self._rates.get(stream_id)
 
     # -- decode -----------------------------------------------------------
 
     def collect(self) -> Dict[str, np.ndarray]:
         """Decode every group and return newly produced PCM per stream."""
         out: Dict[str, np.ndarray] = {}
+        for sid in self._retired:
+            self._rates.pop(sid, None)
+        self._retired = []
 
         for kind, group in self._groups.items():
             active = {
@@ -234,6 +255,10 @@ class StreamFleet:
             ln = self._lanes.get(sid)
             if ln is not None:
                 if self._groups[ln.group].lane_ready(ln.index) == 0:
+                    rate = self._groups[ln.group].lane_sample_rate(ln.index)
+                    if rate is not None:
+                        self._rates[sid] = rate
+                    self._retired.append(sid)
                     self._groups[ln.group].release(ln.index)
                     del self._lanes[sid]
                     del self._ended[sid]
@@ -241,6 +266,7 @@ class StreamFleet:
                 if not self._pending_out.get(sid):
                     del self._fallback[sid]
                     self._pending_out.pop(sid, None)
+                    self._retired.append(sid)
                     del self._ended[sid]
             elif sid not in self._detect:
                 del self._ended[sid]

@@ -35,7 +35,8 @@ class BatchedMp3Decoder:
         self._fifo = fifo
         self._step = jax.jit(mb.mp3_granule_device_compact)
         self._multi_step = None  # built on first decode_multi
-        self.sample_rate: Optional[int] = None
+        self.sample_rate: Optional[int] = None  # first rate seen (legacy)
+        self._rates = np.zeros(num_streams, dtype=np.int32)  # per lane
 
     def _alloc_wire(self):
         # FRESH arrays per batch on purpose: jnp transfers may read the
@@ -63,6 +64,13 @@ class BatchedMp3Decoder:
     def lane_ready(self, b: int) -> int:
         return self._counts[b]
 
+    def lane_sample_rate(self, b: int) -> Optional[int]:
+        """Sample rate of lane ``b``'s stream (None until its first
+        frame pops). Mixed-rate groups decode correctly per lane; this
+        surfaces each lane's true rate instead of the group's first."""
+        r = int(self._rates[b])
+        return r if r > 0 else None
+
     def reset_lane(self, b: int) -> None:
         """Recycle lane ``b``: fresh C parser (reservoir/queue) and
         zeroed device carry (overlap + polyphase FIFO)."""
@@ -73,6 +81,7 @@ class BatchedMp3Decoder:
         self._parsers[b] = NativeMp3Parser()
         self._handles[b] = ctypes.c_void_p(self._parsers[b]._h)
         self._counts[b] = 0
+        self._rates[b] = 0
         self._overlap = jnp.asarray(self._overlap).at[b].set(0.0)
         self._fifo = jnp.asarray(self._fifo).at[b].set(0.0)
 
@@ -84,11 +93,14 @@ class BatchedMp3Decoder:
             bt.reshape(-1), mixed.reshape(-1), nal.reshape(-1),
             ms, valid.reshape(-1), rate,
         )
-        if self.sample_rate is None:
-            nz = rate[rate > 0]
-            if len(nz):
-                self.sample_rate = int(nz[0])
+        self._note_rates(rate)
         return quant, expq, bt, mixed, nal, ms, valid
+
+    def _note_rates(self, rate: np.ndarray) -> None:
+        live = rate > 0
+        self._rates[live] = rate[live]
+        if self.sample_rate is None and live.any():
+            self.sample_rate = int(rate[live][0])
 
     def decode_ready(
         self,
@@ -139,10 +151,7 @@ class BatchedMp3Decoder:
                 bt[g].reshape(-1), mixed[g].reshape(-1), nal[g].reshape(-1),
                 ms[g], valid[g].reshape(-1), rate,
             )
-            if self.sample_rate is None:
-                nz = rate[rate > 0]
-                if len(nz):
-                    self.sample_rate = int(nz[0])
+            self._note_rates(rate)
         for b in range(self.B):
             self._counts[b] -= int(valid[:, b].any(axis=1).sum())
         C = self.C

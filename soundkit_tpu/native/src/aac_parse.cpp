@@ -685,7 +685,13 @@ int skt_aac_parse_batch(void* h, const uint8_t* au_data,
         float* lp = lpc + (long)b * 2 * MAX_FILTERS * MAX_ORDER;
         uint8_t* msk = ms + (long)b * 1024;
         float* inf = intf + (long)b * 1024;
-        // defaults
+        // Skip silent lanes BEFORE writing defaults: callers may issue
+        // one parse call per sample-rate subgroup into the same output
+        // arrays (mixed-rate lane groups), so untouched lanes must stay
+        // untouched. Python's empty_frame_batch pre-fills the defaults.
+        if (lens[b] < 0) continue;
+
+        // defaults (also the failure state for unparseable lanes)
         memset(q, 0, 2 * 1024 * 4);
         memset(sc, 0, 2 * 1024 * 4);
         for (int c = 0; c < 2; ++c)
@@ -697,8 +703,6 @@ int skt_aac_parse_batch(void* h, const uint8_t* au_data,
         seq[b * 2] = seq[b * 2 + 1] = 0;
         shape[b * 2] = shape[b * 2 + 1] = 0;
         chan_valid[b * 2] = chan_valid[b * 2 + 1] = 0;
-
-        if (lens[b] < 0) continue;
         if (!p->parse_au(au_data + offsets[b], lens[b], out)) {
             ++failures;
             continue;

@@ -235,3 +235,92 @@ def test_batched_telephony_encoder_matches_single_stream(codec):
 
     assert wires[0] == ref[: len(wires[0])] and len(wires[0]) >= len(ref) - 8
     assert wires[1] == ref[: len(wires[1])]  # ragged lane = prefix
+
+
+def _snr(ref, test):
+    n = min(len(ref), len(test))
+    err = ref[:n] - test[:n]
+    return 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+
+
+def _tone_i16(rate, ch, seed):
+    rng = np.random.default_rng(seed)
+    n = rate
+    t = np.arange(n) / rate
+    sig = np.sin(2 * np.pi * 440 * t) * 0.5 + rng.standard_normal(n) * 0.05
+    if ch == 2:
+        r = np.sin(2 * np.pi * 660 * t) * 0.5 + rng.standard_normal(n) * 0.05
+        sig = np.stack([sig, r], 1).reshape(-1)
+    return (sig * 20000).clip(-32768, 32767).astype(np.int16)
+
+
+def test_mixed_rate_aac_group_per_lane_banding():
+    """Two ADTS streams at DIFFERENT sample rates share one batched
+    group: each lane must be parsed with its own rate's scalefactor
+    band tables (one C parse call per distinct sr_index) and report its
+    own rate. Regression: a single group-wide parser mis-banded every
+    lane whose rate differed from the first stream's."""
+    import soundkit_tpu.ops.aac_dsp as dsp
+    from soundkit_tpu.codecs.aac_lc import AacLcDecoder, AdtsStream
+    from soundkit_tpu.codecs.encoders import AacEncoder
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    streams = []
+    for rate, kbps, seed in ((48000, 96000, 1), (16000, 48000, 2)):
+        pcm = _tone_i16(rate, 1, seed)
+        enc = AacEncoder(rate, 1, kbps)
+        streams.append(enc.encode_i16(pcm) + enc.flush())
+
+    hosts = []
+    for adts in streams:
+        st = AdtsStream()
+        aus = st.push(adts)
+        dec = AacLcDecoder(st.sr_index)
+        synth = dsp.AacLcSynth(st.sr_index)
+        hosts.append(
+            np.concatenate([synth.process_frame(dec.decode_au(au)) for au in aus], axis=1)[0]
+        )
+
+    m = BatchedAacLcDecoder(2, 1)
+    m.push(0, streams[0])
+    m.push(1, streams[1])
+    assert m.lane_sample_rate(0) == 48000
+    assert m.lane_sample_rate(1) == 16000
+    out = m.decode_batches(max(m.lane_ready(0), m.lane_ready(1)))
+    for lane, host in enumerate(hosts):
+        got = out[:, lane, 0].reshape(-1)
+        snr = _snr(host, got)
+        assert snr > 90, f"lane {lane} ({m.lane_sample_rate(lane)} Hz): {snr:.1f} dB"
+
+
+def test_mixed_rate_mp3_group_reports_per_lane_rates():
+    """Mixed-rate MP3 lanes in one group: correct decode per lane and
+    per-lane rate surfacing (the group-level .sample_rate only reports
+    the first rate seen)."""
+    from soundkit_tpu.codecs.encoders import Mp3Encoder
+    from soundkit_tpu.codecs.mp3_native import Mp3NativeDecoder
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+    from soundkit_tpu.ops.mp3_dsp import Mp3Synth
+
+    streams, hosts = [], []
+    for rate, kbps, seed in ((44100, 128000, 3), (12000, 40000, 4)):
+        pcm = _tone_i16(rate, 1, seed)
+        e = Mp3Encoder(rate, 1, kbps)
+        mp3 = e.encode_i16(pcm) + e.flush()
+        streams.append(mp3)
+        frames = Mp3NativeDecoder().push(mp3)
+        synth = Mp3Synth()
+        hosts.append(np.concatenate([synth.process_frame(f) for f in frames], axis=1)[0])
+
+    m = BatchedMp3Decoder(2, channels=1)
+    m.push(0, streams[0])
+    m.push(1, streams[1])
+    out = m.decode_batches(max(m.lane_ready(0), m.lane_ready(1)))
+    assert m.lane_sample_rate(0) == 44100
+    assert m.lane_sample_rate(1) == 12000
+    for lane, host in enumerate(hosts):
+        got = out[:, lane, 0].reshape(-1)
+        snr = _snr(host, got)
+        assert snr > 90, f"lane {lane} ({m.lane_sample_rate(lane)} Hz): {snr:.1f} dB"
+    m.reset_lane(1)
+    assert m.lane_sample_rate(1) is None

@@ -90,3 +90,33 @@ def test_fleet_capacity_overflow_falls_back(media):
     assert set(got) == {"x1", "x2", "x3"}
     for sid in got:
         assert got[sid].shape[1] > 40000
+
+
+def test_fleet_per_stream_sample_rates(media):
+    """sample_rate(sid) surfaces each stream's own rate: lane streams
+    from their lane's parser state (mixed-rate groups included),
+    fallback streams from their decoder's output."""
+    fleet = StreamFleet(capacity_per_group=2, channels=2)
+    for sid, key in (("a1", "aac"), ("m1", "mp3"), ("f1", "flac"), ("w1", "wav")):
+        fleet.push(sid, media[key])
+        fleet.end_stream(sid)
+    assert fleet.sample_rate("w1") == 16000  # fallback WAV
+    fleet.collect()
+    assert fleet.sample_rate("a1") == 16000
+    assert fleet.sample_rate("m1") == 16000
+    assert fleet.sample_rate("f1") == 16000
+
+    # a second MP3 stream at a different rate shares the group but
+    # reports its own rate
+    from soundkit_tpu.codecs.encoders import Mp3Encoder
+
+    t = np.arange(44100) / 44100.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 16000).astype(np.int16)
+    e = Mp3Encoder(44100, 1, 128000)
+    hi = e.encode_i16(pcm) + e.flush()
+    fleet2 = StreamFleet(capacity_per_group=2, channels=2)
+    fleet2.push("lo", media["mp3"])
+    fleet2.push("hi", hi)
+    fleet2.collect()
+    assert fleet2.sample_rate("lo") == 16000
+    assert fleet2.sample_rate("hi") == 44100
