@@ -44,6 +44,7 @@ from soundkit_tpu.pipeline.output_options import (
     DecodingFailed,
     FormatDetectionFailed,
     InputBufferFull,
+    NoAudioDecoded,
     UnsupportedFormat,
     apply_output_options,
 )
@@ -239,6 +240,8 @@ class StreamDecoder:
         self._detect_buf = bytearray()
         self._resampler_box: List[Optional[object]] = [None]
         self._finished = False
+        self._emitted_audio = False
+        self._fed_bytes = False  # any nonzero chunk ever arrived
 
     def process(self, chunk: bytes) -> List[DecodeOutput]:
         """Feed a chunk; empty chunk = EOF (triggers flush)."""
@@ -246,6 +249,7 @@ class StreamDecoder:
             return []
         if len(chunk) == 0:
             return self._flush()
+        self._fed_bytes = True
 
         outputs: List[DecodeOutput] = []
         if self._decoder is None:
@@ -278,6 +282,7 @@ class StreamDecoder:
         return outputs
 
     def _apply_options(self, audio: AudioData) -> List[DecodeOutput]:
+        self._emitted_audio = True
         try:
             return list(apply_output_options(audio, self.options, self._resampler_box))
         except DecodeError as e:
@@ -316,6 +321,16 @@ class StreamDecoder:
             tail = rs.flush()
             if tail.shape[1]:
                 pass  # eager resampler never holds a tail
+        # a decoder that swallowed the entire stream without one PCM
+        # frame (syncword-coincidence corrupt input) is an error, not a
+        # clean empty EOF — unless an error was already reported
+        if (
+            not self._emitted_audio
+            and self._fed_bytes
+            and self._decoder is not None
+            and not any(isinstance(o, DecodeError) for o in outputs)
+        ):
+            outputs.append(NoAudioDecoded())
         return outputs
 
 

@@ -45,6 +45,16 @@ class DecodingFailed(DecodeError):
     pass
 
 
+class NoAudioDecoded(DecodeError):
+    """The detected decoder consumed the whole stream without emitting
+    a single PCM frame (e.g. a syncword coincidence routed a corrupt
+    stream into a decoder that skipped everything). Distinguishes
+    'decoded to nothing' from a clean empty result at EOF."""
+
+    def __str__(self):
+        return "Stream ended without any decodable audio"
+
+
 class InputBufferFull(DecodeError):
     def __str__(self):
         return "Input buffer full"

@@ -267,3 +267,37 @@ def test_spawn_variants_with_buffers_and_rate(testdata):
     outs2.extend(h2.recv_all())
     audio2 = [o for o in outs2 if isinstance(o, AudioData)]
     assert audio2 and audio2[0].sampling_rate == 8000 and audio2[0].channel_count == 1
+
+
+def test_no_audio_decoded_error_on_silent_consumption(testdata):
+    """A stream the detector routes to a decoder which then consumes
+    everything without emitting one PCM frame must end with
+    NoAudioDecoded, not a clean empty EOF. Real shape: an Ogg-Opus
+    stream truncated right after the header page — the demuxer parses
+    the OpusHead and waits for audio packets that never arrive."""
+    from soundkit_tpu.core.audio_types import AudioData
+    from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+    from soundkit_tpu.pipeline.output_options import DecodeError, NoAudioDecoded
+
+    ogg = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()[:9000]
+    sd = StreamDecoder()
+    outs = []
+    for i in range(0, len(ogg), 313):
+        outs.extend(sd.process(ogg[i : i + 313]))
+    outs.extend(sd.process(b""))
+    assert not any(isinstance(o, AudioData) for o in outs)
+    assert sum(isinstance(o, NoAudioDecoded) for o in outs) == 1
+    assert sum(isinstance(o, DecodeError) for o in outs) == 1  # exactly one
+
+    # empty stream on autodetect: clean empty EOF, no error
+    assert StreamDecoder().process(b"") == []
+
+    # healthy stream: audio, no NoAudioDecoded
+    mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
+    sd2 = StreamDecoder()
+    outs2 = []
+    for i in range(0, len(mp3), 4096):
+        outs2.extend(sd2.process(mp3[i : i + 4096]))
+    outs2.extend(sd2.process(b""))
+    assert any(isinstance(o, AudioData) for o in outs2)
+    assert not any(isinstance(o, DecodeError) for o in outs2)
