@@ -34,6 +34,12 @@ struct BitReader {
     // 32-bit window starting at bit `pos` (MSB-first), zero-padded past EOF
     inline uint32_t window32(long p) const {
         long byte = p >> 3;
+        if (byte + 8 <= nbytes) {  // hot path: one unaligned 64-bit load
+            uint64_t w;
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+            return (uint32_t)(w >> (32 - (p & 7)));
+        }
         uint64_t w = 0;
         for (int i = 0; i < 5; ++i) {
             uint64_t b = (byte + i) < nbytes ? data[byte + i] : 0;
@@ -58,33 +64,31 @@ struct BitReader {
 
 struct Vlc {
     int max_len = 0;
-    std::vector<int32_t> sym;
-    std::vector<int8_t> len;
+    // one packed entry per prefix: (sym << 8) | code_len; -1 = invalid.
+    // A single load per decode (sym+len used to live in two vectors =
+    // two cache lines per read on the hottest loop in the parser).
+    std::vector<int32_t> tab;
 
     void build(const uint32_t* codes32, const uint16_t* codes16,
                const uint8_t* bits, int n) {
         max_len = 0;
         for (int i = 0; i < n; ++i) max_len = std::max<int>(max_len, bits[i]);
-        sym.assign(1u << max_len, -1);
-        len.assign(1u << max_len, 0);
+        tab.assign(1u << max_len, -1);
         for (int i = 0; i < n; ++i) {
             uint32_t c = codes32 ? codes32[i] : codes16[i];
             int l = bits[i];
             uint32_t base = c << (max_len - l);
             uint32_t span = 1u << (max_len - l);
-            for (uint32_t j = 0; j < span; ++j) {
-                sym[base + j] = i;
-                len[base + j] = (int8_t)l;
-            }
+            for (uint32_t j = 0; j < span; ++j)
+                tab[base + j] = (int32_t)((i << 8) | l);
         }
     }
 
     int read(BitReader& br) const {
-        uint32_t w = br.peek(max_len);
-        int s = sym[w];
-        if (s < 0) { br.bad = true; return 0; }
-        br.pos += len[w];
-        return s;
+        int32_t e = tab[br.peek(max_len)];
+        if (e < 0) { br.bad = true; return 0; }
+        br.pos += e & 0xFF;
+        return e >> 8;
     }
 };
 
@@ -231,6 +235,10 @@ struct Parser {
                 if (cb == 12) return fail("invalid codebook 12");
                 int run = 0, incr;
                 do { incr = (int)br.get(bits); run += incr; } while (incr == esc);
+                // an exhausted reader returns 0 without advancing, so a
+                // zero-length run must bail or this loop never ends
+                // (fuzz: 21-byte AU spun forever here)
+                if (br.bad) return fail("bitstream overrun");
                 if (k + run > ii.max_sfb) return fail("section overrun");
                 for (int s = k; s < k + run; ++s) ics.band_type[g][s] = cb;
                 k += run;

@@ -45,6 +45,16 @@ class BitReader {
     }
 
     uint32_t read_bits(unsigned n) {  // n <= 32
+        if (n && pos_ + 8 <= len_) {  // hot path: one unaligned 64-bit load
+            uint64_t w;
+            memcpy(&w, data_ + pos_, 8);
+            w = __builtin_bswap64(w);
+            uint32_t v = (uint32_t)((w << bitpos_) >> (64 - n));
+            bitpos_ += n;
+            pos_ += bitpos_ >> 3;
+            bitpos_ &= 7;
+            return v;
+        }
         uint32_t v = 0;
         while (n > 0) {
             if (pos_ >= len_) throw OutOfData{};
@@ -78,6 +88,23 @@ class BitReader {
 
     uint32_t read_unary() {
         uint32_t q = 0;
+        while (pos_ + 8 <= len_) {  // hot path: clz over a 64-bit window
+            uint64_t w;
+            memcpy(&w, data_ + pos_, 8);
+            w = __builtin_bswap64(w);
+            w <<= bitpos_;  // drop already-consumed bits (zero-fill)
+            if (w) {
+                unsigned lz = (unsigned)__builtin_clzll(w);
+                q += lz;
+                bitpos_ += lz + 1;  // zeros + terminating 1
+                pos_ += bitpos_ >> 3;
+                bitpos_ &= 7;
+                return q;
+            }
+            q += 64 - bitpos_;  // whole window is zeros
+            pos_ += 8;
+            bitpos_ = 0;
+        }
         for (;;) {
             if (pos_ >= len_) throw OutOfData{};
             uint8_t byte = data_[pos_];

@@ -28,6 +28,12 @@ struct BitReader {
 
     inline uint32_t window32(long p) const {
         long byte = p >> 3;
+        if (byte + 8 <= nbytes) {  // hot path: one unaligned 64-bit load
+            uint64_t w;
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+            return (uint32_t)(w >> (32 - (p & 7)));
+        }
         uint64_t w = 0;
         for (int i = 0; i < 5; ++i) {
             uint64_t b = (byte + i) < nbytes ? data[byte + i] : 0;
@@ -46,14 +52,14 @@ struct BitReader {
 
 struct Vlc {  // from-lengths canonical (ff_init_vlc_from_lengths semantics)
     int max_len = 0;
-    std::vector<int16_t> sym;
-    std::vector<int8_t> len;
+    // packed (sym << 8) | len per prefix, -1 = invalid: one load per
+    // decode instead of two parallel-vector cache lines
+    std::vector<int32_t> tab;
 
     void build_from_lengths(const int8_t* lens, const uint8_t* syms, int n) {
         max_len = 0;
         for (int i = 0; i < n; ++i) if (lens[i] > 0) max_len = std::max<int>(max_len, lens[i]);
-        sym.assign(1u << max_len, -1);
-        len.assign(1u << max_len, 0);
+        tab.assign(1u << max_len, -1);
         uint64_t code = 0;
         for (int i = 0; i < n; ++i) {
             int l = lens[i];
@@ -61,28 +67,28 @@ struct Vlc {  // from-lengths canonical (ff_init_vlc_from_lengths semantics)
             uint32_t cw = (uint32_t)(code >> (32 - l));
             uint32_t base = cw << (max_len - l);
             uint32_t span = 1u << (max_len - l);
-            for (uint32_t j = 0; j < span; ++j) { sym[base + j] = syms[i]; len[base + j] = (int8_t)l; }
+            for (uint32_t j = 0; j < span; ++j)
+                tab[base + j] = (int32_t)(((int32_t)syms[i] << 8) | l);
             code += 1ull << (32 - l);
         }
     }
     void build_explicit(const uint8_t* bits, const uint8_t* codes, int n) {
         max_len = 0;
         for (int i = 0; i < n; ++i) max_len = std::max<int>(max_len, bits[i]);
-        sym.assign(1u << max_len, -1);
-        len.assign(1u << max_len, 0);
+        tab.assign(1u << max_len, -1);
         for (int i = 0; i < n; ++i) {
             if (!bits[i]) continue;
             uint32_t base = (uint32_t)codes[i] << (max_len - bits[i]);
             uint32_t span = 1u << (max_len - bits[i]);
-            for (uint32_t j = 0; j < span; ++j) { sym[base + j] = (int16_t)i; len[base + j] = (int8_t)bits[i]; }
+            for (uint32_t j = 0; j < span; ++j)
+                tab[base + j] = (int32_t)((i << 8) | bits[i]);
         }
     }
     int read(BitReader& br) const {
-        uint32_t w = br.peek(max_len);
-        int s = sym[w];
-        if (s < 0) { br.bad = true; return 0; }
-        br.pos += len[w];
-        return s;
+        int32_t e = tab[br.peek(max_len)];
+        if (e < 0) { br.bad = true; return 0; }
+        br.pos += e & 0xFF;
+        return e >> 8;
     }
 };
 

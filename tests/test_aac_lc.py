@@ -293,3 +293,32 @@ def test_rate_sweep_batched_matches_host(rate, ch, kbps):
     ref = np.concatenate([o.push(adts), o.flush()])
     rms_ratio = np.sqrt(np.mean(got[:, : len(ref) // ch] ** 2) / np.mean(ref**2))
     assert abs(rms_ratio - 1.0) < 0.05, f"energy vs oracle: {rms_ratio:.3f}"
+
+
+def test_truncated_section_data_terminates():
+    """Regression (found by the ASAN fuzzer): a truncated AU whose
+    section-data run-length loop hits bitstream exhaustion with a
+    zero-length run used to spin forever in the C++ parser — the
+    exhausted reader returns 0 without advancing. Must return a failed
+    lane promptly, not hang."""
+    import signal
+
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_frame_batch_batched,
+    )
+
+    au = bytes.fromhex("8307fff1608042dffc211ad4320ac421a2b3a0cc5a")
+    parser = NativeAacParser(9)
+
+    def boom(signum, frame):
+        raise TimeoutError("parser hung on truncated section data")
+
+    old = signal.signal(signal.SIGALRM, boom)
+    signal.alarm(10)
+    try:
+        fb = prepare_frame_batch_batched(parser, [au, au, None])
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert not fb.chan_valid.any()
