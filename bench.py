@@ -8,17 +8,18 @@ chip batched over 1024 streams.  This measures the FULL flagship path
 per frame batch over 512 stereo streams:
 
   C++ host syntax parse (ADTS AUs -> compact int wire tensors, one
-  batched call) + jitted device decode (wire reconstruction + dequant +
-  stereo + TNS scan + matmul IMDCT + windowing + overlap-add); the
-  compact wire (~6MB/frame-batch vs 21MB full) matters because the
-  host->device link is the e2e binding constraint in this environment
+  batched call, ~10 us/AU) + jitted device decode (wire reconstruction
+  + dequant + stereo + TNS scan + matmul IMDCT + windowing +
+  overlap-add); the compact wire (~5.4MB/frame-batch vs 21MB full) is
+  PACKED into one uint8 buffer so each batch is ONE transfer — the
+  host->device link is the e2e binding constraint here, and ten
+  separate jnp.asarray calls cost ~2ms of issue overhead per batch.
 
 x-realtime is computed at 48 kHz.  Device-only throughput is ~274k x
 (see git history); the single host core is the system bottleneck.
-With the light C++ parse mode (i16 wire emitted directly, no
-intermediate full-precision lane arrays) and the rotating wire
-workspace, host parse is ~10 us/AU and the e2e figure clears the
-1000x north star on the one tunnel-attached chip (typ. 1030-1180x).
+With the light C++ parse mode, the 64-bit-window bitreader, and the
+packed single-transfer wire, the e2e figure clears the 1000x north
+star on the one tunnel-attached chip (typ. 1180-1280x).
 """
 import json
 import time
@@ -32,9 +33,8 @@ def main() -> None:
 
     from soundkit_tpu.codecs.aac_lc import AdtsStream
     from soundkit_tpu.codecs.aac_lc_native import (
-        CompactBatchWorkspace,
         NativeAacParser,
-        prepare_compact_batch,
+        prepare_compact_batch_packed,
     )
     from soundkit_tpu.ops import aac_batch as ab
 
@@ -48,21 +48,16 @@ def main() -> None:
     stream = AdtsStream()
     aus = stream.push(data)[:16]
     parser = NativeAacParser(stream.sr_index)
-    ws = CompactBatchWorkspace(B)
 
-    step = jax.jit(ab.aac_decode_frame_device_compact)
+    step = jax.jit(ab.aac_decode_frame_device_compact_packed)
     saved, prev_shape = ab.init_state(B)
     saved = jnp.asarray(saved)
     prev_shape = jnp.asarray(prev_shape)
 
     def one_frame(au, s, p):
-        cb, _overflow = prepare_compact_batch(parser, [au] * B, workspace=ws)
-        pcm, s, p = step(
-            jnp.asarray(cb.quant), jnp.asarray(cb.line_sf), jnp.asarray(cb.is_pos),
-            jnp.asarray(cb.is_sign), jnp.asarray(cb.ms_mask), jnp.asarray(cb.regions),
-            jnp.asarray(cb.lpc), jnp.asarray(cb.seq), jnp.asarray(cb.shape),
-            p, jnp.asarray(cb.chan_valid), s,
-        )
+        # ONE packed wire buffer -> ONE host->device transfer per batch
+        buf, _overflow = prepare_compact_batch_packed(parser, [au] * B)
+        pcm, s, p = step(jnp.asarray(buf), p, s)
         return pcm, s, p
 
     # warmup / compile

@@ -241,3 +241,43 @@ def prepare_compact_batch(
         cb.chan_valid.reshape(-1), overflow,
     )
     return cb, bool(overflow[0])
+
+
+def prepare_compact_batch_packed(
+    parser: NativeAacParser, aus: List[Optional[bytes]]
+):
+    """Compact wire in ONE packed uint8 buffer (one host->device
+    transfer instead of ten; see ops.aac_batch.compact_wire_layout).
+
+    Returns (buf uint8[total], overflow: bool). The buffer is freshly
+    allocated per batch — async transfers may read it after dispatch,
+    so it must never be pooled (see CompactBatchWorkspace docstring).
+    Decode with ops.aac_batch.aac_decode_frame_device_compact_packed.
+    """
+    from soundkit_tpu.ops.aac_batch import compact_wire_layout
+
+    B = len(aus)
+    layout, total = compact_wire_layout(B)
+    buf = np.zeros(total, dtype=np.uint8)
+    views = {
+        name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
+        .view(dt)
+        .reshape(-1)
+        for name, off, dt, shp in layout
+    }
+    blob = bytearray()
+    offsets = np.zeros(B, dtype=np.int64)
+    lens = np.full(B, -1, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            offsets[i] = len(blob)
+            lens[i] = len(au)
+            blob.extend(au)
+    overflow = np.zeros(1, dtype=np.int32)
+    parser._lib.skt_aac_parse_batch_compact(
+        parser._h, bytes(blob), offsets, lens, B,
+        views["quant"], views["line_sf"], views["is_pos"], views["is_sign"],
+        views["ms_mask"], views["regions"], views["lpc"],
+        views["seq"], views["shape"], views["chan_valid"], overflow,
+    )
+    return buf, bool(overflow[0])

@@ -387,3 +387,68 @@ def aac_decode_frame_device_compact(
         quant.astype(jnp.int32), scale, ms_mask != 0, int_factor, perm, filt_id,
         lpc, seq, shape, prev_shape, chan_valid != 0, saved,
     )
+
+
+# ---------------------------------------------------------------------------
+# packed compact wire: ALL compact fields in ONE host buffer so the
+# host->device feed is a single transfer (each separate jnp.asarray
+# costs ~90us of issue overhead plus a staging copy; ten per frame
+# batch was ~2ms at B=512 on the tunnel-attached chip)
+# ---------------------------------------------------------------------------
+
+def compact_wire_layout(B: int):
+    """(name, offset, dtype, shape) for every compact field inside the
+    packed uint8 buffer, plus the total byte size. Fields are ordered
+    by alignment (f32/i32, i16, bytes); offsets stay 4-byte aligned."""
+    fields = [
+        ("lpc", np.float32, (B, 2, MAX_FILTERS, MAX_ORDER)),
+        ("seq", np.int32, (B, 2)),
+        ("shape", np.int32, (B, 2)),
+        ("quant", np.int16, (B, 2, 1024)),
+        ("regions", np.int16, (B, 2, MAX_FILTERS, 3)),
+        ("line_sf", np.uint8, (B, 2, 1024)),
+        ("is_pos", np.int8, (B, 1024)),
+        ("is_sign", np.int8, (B, 1024)),
+        ("ms_mask", np.uint8, (B, 1024)),
+        ("chan_valid", np.uint8, (B, 2)),
+    ]
+    layout = []
+    off = 0
+    for name, dt, shp in fields:
+        size = int(np.prod(shp)) * np.dtype(dt).itemsize
+        layout.append((name, off, dt, shp))
+        off = (off + size + 3) & ~3
+    return layout, off
+
+
+def unpack_compact_wire(buf, B: int):
+    """Slice + bitcast the packed buffer back into compact fields
+    (device-side, inside jit; little-endian bitcast verified on TPU)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {}
+    for name, off, dt, shp in compact_wire_layout(B)[0]:
+        n = int(np.prod(shp))
+        width = np.dtype(dt).itemsize
+        raw = lax.slice(buf, (off,), (off + n * width,))
+        jdt = jnp.dtype(dt)
+        if width == 1:
+            x = lax.bitcast_convert_type(raw, jdt)
+        else:
+            x = lax.bitcast_convert_type(raw.reshape(n, width), jdt)
+        out[name] = x.reshape(shp)
+    return out
+
+
+def aac_decode_frame_device_compact_packed(buf, prev_shape, saved):
+    """One-transfer variant of :func:`aac_decode_frame_device_compact`:
+    ``buf`` is the packed uint8 wire from
+    ``codecs.aac_lc_native.prepare_compact_batch_packed``."""
+    B = prev_shape.shape[0]
+    f = unpack_compact_wire(buf, B)
+    return aac_decode_frame_device_compact(
+        f["quant"], f["line_sf"], f["is_pos"], f["is_sign"], f["ms_mask"],
+        f["regions"], f["lpc"], f["seq"], f["shape"], prev_shape,
+        f["chan_valid"], saved,
+    )

@@ -322,3 +322,43 @@ def test_truncated_section_data_terminates():
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
     assert not fb.chan_valid.any()
+
+
+def test_packed_compact_wire_matches_unpacked(golden_adts):
+    """The single-transfer packed wire (one uint8 buffer, device-side
+    slice+bitcast) must be float-identical to the per-field compact
+    path across frames with carried overlap state, ragged lanes
+    included."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.codecs.aac_lc import AdtsStream
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_compact_batch,
+        prepare_compact_batch_packed,
+    )
+    from soundkit_tpu.ops import aac_batch as ab
+
+    B = 4
+    stream = AdtsStream()
+    aus = stream.push(golden_adts)[:12]
+    p1, p2 = NativeAacParser(stream.sr_index), NativeAacParser(stream.sr_index)
+    s1, v1 = map(jnp.asarray, ab.init_state(B))
+    s2, v2 = map(jnp.asarray, ab.init_state(B))
+    step = jax.jit(ab.aac_decode_frame_device_compact)
+    stepP = jax.jit(ab.aac_decode_frame_device_compact_packed)
+    for k, au in enumerate(aus):
+        lanes = [au] * (B - 1) + [au if k % 2 else None]  # ragged lane
+        cb, ov1 = prepare_compact_batch(p1, lanes)
+        buf, ov2 = prepare_compact_batch_packed(p2, lanes)
+        assert ov1 == ov2
+        pcm1, s1, v1 = step(
+            jnp.asarray(cb.quant), jnp.asarray(cb.line_sf),
+            jnp.asarray(cb.is_pos), jnp.asarray(cb.is_sign),
+            jnp.asarray(cb.ms_mask), jnp.asarray(cb.regions),
+            jnp.asarray(cb.lpc), jnp.asarray(cb.seq), jnp.asarray(cb.shape),
+            v1, jnp.asarray(cb.chan_valid), s1,
+        )
+        pcm2, s2, v2 = stepP(jnp.asarray(buf), v2, s2)
+        np.testing.assert_array_equal(np.asarray(pcm1), np.asarray(pcm2))
