@@ -34,6 +34,7 @@ class BatchedMp3Decoder:
         self._overlap = overlap
         self._fifo = fifo
         self._step = jax.jit(mb.mp3_granule_device_compact)
+        self._step_packed = jax.jit(mb.mp3_granule_device_compact_packed)
         self._multi_step = None  # built on first decode_multi
         self.sample_rate: Optional[int] = None  # first rate seen (legacy)
         self._rates = np.zeros(num_streams, dtype=np.int32)  # per lane
@@ -95,6 +96,27 @@ class BatchedMp3Decoder:
         )
         self._note_rates(rate)
         return quant, expq, bt, mixed, nal, ms, valid
+
+    def _pop_batch_packed(self):
+        """One C pop into ONE packed uint8 wire buffer (one transfer).
+
+        Freshly allocated per batch — never pooled (async transfers may
+        read the host buffer after dispatch)."""
+        layout, total = mb.mp3_wire_layout(self.B)
+        buf = np.zeros(total, dtype=np.uint8)
+        v = {
+            name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
+            .view(dt)
+            .reshape(-1)
+            for name, off, dt, shp in layout
+        }
+        rate = np.zeros(self.B, dtype=np.int32)
+        self._lib.skt_mp3_pop_batch(
+            self._handles, self.B, v["quant"], v["expq"], v["bt"],
+            v["mixed"], v["nal"], v["ms"], v["valid"], rate,
+        )
+        self._note_rates(rate)
+        return buf, v["valid"].reshape(self.B, 2)
 
     def _note_rates(self, rate: np.ndarray) -> None:
         live = rate > 0
@@ -172,20 +194,14 @@ class BatchedMp3Decoder:
 
         outs = []
         for _ in range(n):
-            quant, expq, bt, mixed, nal, ms, valid = self._pop_batch()
+            # packed wire: one C pop -> one transfer -> one dispatch;
+            # buffers are fresh per batch, never pooled (async reads)
+            buf, valid = self._pop_batch_packed()
             for b in range(self.B):
                 if valid[b].any():
                     self._counts[b] -= 1
-            # zero-copy asarray is safe here because the wire buffers
-            # are freshly allocated per batch and never mutated after
-            # this point (see _alloc_wire)
-            pcm, self._overlap, self._fifo = self._step(
-                jnp.asarray(quant[:, : self.C]), jnp.asarray(expq[:, : self.C]),
-                jnp.asarray(ms.astype(bool)), jnp.asarray(bt[:, : self.C]),
-                jnp.asarray(mixed[:, : self.C].astype(bool)),
-                jnp.asarray(nal[:, : self.C]),
-                jnp.asarray(valid[:, : self.C].astype(bool)),
-                self._overlap, self._fifo,
+            pcm, self._overlap, self._fifo = self._step_packed(
+                jnp.asarray(buf), self._overlap, self._fifo,
             )
             outs.append(pcm)
         if not outs:

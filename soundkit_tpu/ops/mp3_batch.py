@@ -257,3 +257,60 @@ def mp3_granules_device_compact_multi(quant_i16, expq, ms, block_type, mixed,
         (quant_i16, expq, ms, block_type, mixed, n_alias_sb, lane_valid),
     )
     return pcm, overlap, v_fifo
+
+
+# ---------------------------------------------------------------------------
+# packed wire: the whole granule batch in ONE host buffer / ONE
+# transfer (same rationale as ops.aac_batch.compact_wire_layout —
+# per-array jnp.asarray issue overhead dominates thin links)
+# ---------------------------------------------------------------------------
+
+def mp3_wire_layout(B: int):
+    """(name, offset, dtype, shape) inside the packed uint8 granule
+    wire + total bytes. Always carries both channels; the device step
+    slices to the model's channel count."""
+    fields = [
+        ("bt", np.int32, (B, 2)),
+        ("nal", np.int32, (B, 2)),
+        ("quant", np.int16, (B, 2, 576)),
+        ("expq", np.int16, (B, 2, 576)),
+        ("mixed", np.uint8, (B, 2)),
+        ("ms", np.uint8, (B,)),
+        ("valid", np.uint8, (B, 2)),
+    ]
+    layout = []
+    off = 0
+    for name, dt, shp in fields:
+        size = int(np.prod(shp)) * np.dtype(dt).itemsize
+        layout.append((name, off, dt, shp))
+        off = (off + size + 3) & ~3
+    return layout, off
+
+
+def unpack_mp3_wire(buf, B: int):
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {}
+    for name, off, dt, shp in mp3_wire_layout(B)[0]:
+        n = int(np.prod(shp))
+        width = np.dtype(dt).itemsize
+        raw = lax.slice(buf, (off,), (off + n * width,))
+        if width == 1:  # every 1-byte field here is uint8
+            x = raw
+        else:
+            x = lax.bitcast_convert_type(raw.reshape(n, width), jnp.dtype(dt))
+        out[name] = x.reshape(shp)
+    return out
+
+
+def mp3_granule_device_compact_packed(buf, overlap, v_fifo):
+    """One-transfer variant of :func:`mp3_granule_device_compact`;
+    ``buf`` from models.mp3_batch_model.BatchedMp3Decoder (packed pop)."""
+    B, C = overlap.shape[0], overlap.shape[1]
+    f = unpack_mp3_wire(buf, B)
+    return mp3_granule_device_compact(
+        f["quant"][:, :C], f["expq"][:, :C], f["ms"] != 0,
+        f["bt"][:, :C], f["mixed"][:, :C] != 0, f["nal"][:, :C],
+        f["valid"][:, :C] != 0, overlap, v_fifo,
+    )
