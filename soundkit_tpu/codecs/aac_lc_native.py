@@ -281,3 +281,51 @@ def prepare_compact_batch_packed(
         views["seq"], views["shape"], views["chan_valid"], overflow,
     )
     return buf, bool(overflow[0])
+
+
+def prepare_compact_batch_packed_grouped(
+    parsers: dict,
+    lane_sr: List[Optional[int]],
+    aus: List[Optional[bytes]],
+):
+    """Packed compact wire for mixed-rate groups: one C call per
+    distinct sr_index subgroup into the SAME pre-zeroed buffer (the C
+    side skips silent lanes without writing defaults).
+
+    Returns (buf uint8[total], overflow: bool).
+    """
+    from soundkit_tpu.ops.aac_batch import compact_wire_layout
+
+    B = len(aus)
+    layout, total = compact_wire_layout(B)
+    buf = np.zeros(total, dtype=np.uint8)
+    views = {
+        name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
+        .view(dt)
+        .reshape(-1)
+        for name, off, dt, shp in layout
+    }
+    overflow = np.zeros(1, dtype=np.int32)
+    any_overflow = False
+    for sr, parser in parsers.items():
+        blob = bytearray()
+        offsets = np.zeros(B, dtype=np.int64)
+        lens = np.full(B, -1, dtype=np.int64)
+        hit = False
+        for i, au in enumerate(aus):
+            if au is not None and lane_sr[i] == sr:
+                offsets[i] = len(blob)
+                lens[i] = len(au)
+                blob.extend(au)
+                hit = True
+        if not hit:
+            continue
+        parser._lib.skt_aac_parse_batch_compact(
+            parser._h, bytes(blob), offsets, lens, B,
+            views["quant"], views["line_sf"], views["is_pos"],
+            views["is_sign"], views["ms_mask"], views["regions"],
+            views["lpc"], views["seq"], views["shape"],
+            views["chan_valid"], overflow,
+        )
+        any_overflow |= bool(overflow[0])
+    return buf, any_overflow

@@ -37,6 +37,7 @@ class BatchedAacLcDecoder:
         self._prev_shape = prev_shape
         self._mesh = mesh
         self._step = jax.jit(ab.aac_decode_frame_device)
+        self._step_packed = jax.jit(ab.aac_decode_frame_device_compact_packed)
         self._native = {}  # sr_index -> NativeAacParser (mixed-rate groups)
         if use_native:
             try:
@@ -96,48 +97,80 @@ class BatchedAacLcDecoder:
 
     def decode_batches(self, n: int, device_out: bool = False):
         """Decode exactly ``n`` lockstep batches; empty lanes decode as
-        silence with frozen state."""
+        silence with frozen state.
+
+        Hot path: packed compact wire (~5.4MB/batch at B=512, ONE
+        host->device transfer). Falls back to the full wire for a batch
+        whose quant escapes overflow int16, or when the native parser
+        is unavailable."""
         import jax.numpy as jnp
 
         outs = []
         C = self.C
         for _ in range(n):
-            fb = self._next_frame_batch()
-            # the native parser emits C=2 wire arrays; slice to the
-            # model's channel count so the carried state shapes match
-            # (a mono model at B=1 used to broadcast silently here)
-            pcm, self._saved, self._prev_shape = self._step(
-                jnp.asarray(fb.quant[:, :C]), jnp.asarray(fb.scale[:, :C]),
-                jnp.asarray(fb.ms_mask), jnp.asarray(fb.int_factor),
-                jnp.asarray(fb.perm[:, :C]), jnp.asarray(fb.filt_id[:, :C]),
-                jnp.asarray(fb.lpc[:, :C]), jnp.asarray(fb.seq[:, :C]),
-                jnp.asarray(fb.shape[:, :C]), self._prev_shape,
-                jnp.asarray(fb.chan_valid[:, :C]), self._saved,
-            )
+            aus: List[Optional[bytes]] = [
+                q.pop(0) if q else None for q in self._queues
+            ]
+            buf = self._try_packed(aus)
+            if buf is not None:
+                pcm, self._saved, self._prev_shape = self._step_packed(
+                    jnp.asarray(buf), self._prev_shape, self._saved
+                )
+            else:
+                fb = self._frame_batch_full(aus)
+                # the native parser emits C=2 wire arrays; slice to the
+                # model's channel count so the carried state shapes
+                # match (a mono model at B=1 used to broadcast here)
+                pcm, self._saved, self._prev_shape = self._step(
+                    jnp.asarray(fb.quant[:, :C]), jnp.asarray(fb.scale[:, :C]),
+                    jnp.asarray(fb.ms_mask), jnp.asarray(fb.int_factor),
+                    jnp.asarray(fb.perm[:, :C]), jnp.asarray(fb.filt_id[:, :C]),
+                    jnp.asarray(fb.lpc[:, :C]), jnp.asarray(fb.seq[:, :C]),
+                    jnp.asarray(fb.shape[:, :C]), self._prev_shape,
+                    jnp.asarray(fb.chan_valid[:, :C]), self._saved,
+                )
             outs.append(pcm if device_out else np.asarray(pcm))
         if not outs:
             empty = np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
             return jnp.asarray(empty) if device_out else empty
         return jnp.stack(outs) if device_out else np.stack(outs)
 
-    def _next_frame_batch(self):
-        aus: List[Optional[bytes]] = []
-        for i, q in enumerate(self._queues):
-            aus.append(q.pop(0) if q else None)
-        if self._native_cls is not None:
-            lane_sr = [s.sr_index for s in self._streams]
-            need = {
-                lane_sr[i]
-                for i, au in enumerate(aus)
-                if au is not None and lane_sr[i] is not None
-            }
-            for sr in need - self._native.keys():
-                self._native[sr] = self._native_cls(sr)
-            if need:
-                from soundkit_tpu.codecs.aac_lc_native import (
-                    prepare_frame_batch_grouped,
-                )
+    def _lane_parsers(self, aus):
+        """Ensure a native parser exists per sr_index present; returns
+        the per-lane sr list (None entries = rate not yet known)."""
+        lane_sr = [s.sr_index for s in self._streams]
+        need = {
+            lane_sr[i]
+            for i, au in enumerate(aus)
+            if au is not None and lane_sr[i] is not None
+        }
+        for sr in need - self._native.keys():
+            self._native[sr] = self._native_cls(sr)
+        return lane_sr
 
+    def _try_packed(self, aus):
+        """Packed compact wire for this batch, or None to fall back
+        (no native parser, or a lane's quant overflowed int16)."""
+        if self._native_cls is None:
+            return None
+        from soundkit_tpu.codecs.aac_lc_native import (
+            prepare_compact_batch_packed_grouped,
+        )
+
+        lane_sr = self._lane_parsers(aus)
+        buf, overflow = prepare_compact_batch_packed_grouped(
+            self._native, lane_sr, aus
+        )
+        return None if overflow else buf
+
+    def _frame_batch_full(self, aus):
+        if self._native_cls is not None:
+            from soundkit_tpu.codecs.aac_lc_native import (
+                prepare_frame_batch_grouped,
+            )
+
+            lane_sr = self._lane_parsers(aus)
+            if any(sr is not None for sr in lane_sr):
                 return prepare_frame_batch_grouped(self._native, lane_sr, aus)
         frames = []
         for i, au in enumerate(aus):

@@ -759,13 +759,14 @@ int skt_aac_parse_batch_compact(void* h, const uint8_t* au_data,
         uint8_t* msk = ms + (long)b * 1024;
         int16_t* reg = regions + (long)b * 2 * MAX_FILTERS * 3;
         float* lp = lpc + (long)b * 2 * MAX_FILTERS * MAX_ORDER;
+        // Skip silent lanes entirely (callers pre-zero the wire and may
+        // compose one call per sample-rate subgroup into it — writing
+        // defaults here would clobber other subgroups' lanes).
+        if (lens[b] < 0) continue;
         // parse first (light mode: i16 quant, no scale/perm/filt
         // per-line arrays), then write every destination exactly once
-        bool ok = false;
-        if (lens[b] >= 0) {
-            ok = p->parse_au(au_data + offsets[b], lens[b], out, /*full=*/false);
-            if (!ok) ++failures;
-        }
+        bool ok = p->parse_au(au_data + offsets[b], lens[b], out, /*full=*/false);
+        if (!ok) ++failures;
         int nch = ok ? (out.n_channels < 2 ? out.n_channels : 2) : 0;
         for (int c = 0; c < 2; ++c) {
             if (c < nch) {

@@ -444,11 +444,13 @@ def unpack_compact_wire(buf, B: int):
 def aac_decode_frame_device_compact_packed(buf, prev_shape, saved):
     """One-transfer variant of :func:`aac_decode_frame_device_compact`:
     ``buf`` is the packed uint8 wire from
-    ``codecs.aac_lc_native.prepare_compact_batch_packed``."""
-    B = prev_shape.shape[0]
+    ``codecs.aac_lc_native.prepare_compact_batch_packed``. The wire
+    always carries two channels; the carried state's channel count
+    (mono models) selects how many are decoded."""
+    B, C = prev_shape.shape[0], prev_shape.shape[1]
     f = unpack_compact_wire(buf, B)
     return aac_decode_frame_device_compact(
-        f["quant"], f["line_sf"], f["is_pos"], f["is_sign"], f["ms_mask"],
-        f["regions"], f["lpc"], f["seq"], f["shape"], prev_shape,
-        f["chan_valid"], saved,
+        f["quant"][:, :C], f["line_sf"][:, :C], f["is_pos"], f["is_sign"],
+        f["ms_mask"], f["regions"][:, :C], f["lpc"][:, :C], f["seq"][:, :C],
+        f["shape"][:, :C], prev_shape, f["chan_valid"][:, :C], saved,
     )
