@@ -19,6 +19,23 @@ class NativeAacError(ValueError):
     pass
 
 
+def _parse_threads() -> int:
+    """Worker threads for the batched compact parse.
+
+    Defaults to the core count (1 on the single-core bench host, so
+    the inline path runs and results stay fully deterministic there);
+    override with SKT_PARSE_THREADS.  With >1 workers the PNS sign
+    noise is drawn from per-worker RNG streams, so PNS band signs
+    (not energies) differ from the single-threaded parse.
+    """
+    import os
+
+    env = os.environ.get("SKT_PARSE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
 class NativeAacParser:
     def __init__(self, sr_index: int):
         self._lib = load()
@@ -258,24 +275,30 @@ def prepare_compact_batch_packed(
 
     B = len(aus)
     layout, total = compact_wire_layout(B)
-    buf = np.zeros(total, dtype=np.uint8)
+    # Every lane field is written by the C side when all lanes are
+    # active, so skip the 10+ MB zero-fill in the common case (silent
+    # lanes must see pre-zeroed wire, so keep zeros for those).
+    all_active = all(au is not None for au in aus)
+    buf = (np.empty if all_active else np.zeros)(total, dtype=np.uint8)
     views = {
         name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
         .view(dt)
         .reshape(-1)
         for name, off, dt, shp in layout
     }
-    blob = bytearray()
-    offsets = np.zeros(B, dtype=np.int64)
-    lens = np.full(B, -1, dtype=np.int64)
+    # pointer-array entry: no concatenated blob copy; the bytes objects
+    # are borrowed for the duration of the (GIL-released) C call only
+    ptrs = (ctypes.c_char_p * B)()
+    lens = np.empty(B, dtype=np.int64)
     for i, au in enumerate(aus):
         if au is not None:
-            offsets[i] = len(blob)
+            ptrs[i] = au
             lens[i] = len(au)
-            blob.extend(au)
+        else:
+            lens[i] = -1
     overflow = np.zeros(1, dtype=np.int32)
-    parser._lib.skt_aac_parse_batch_compact(
-        parser._h, bytes(blob), offsets, lens, B,
+    parser._lib.skt_aac_parse_batch_compact_ptrs(
+        parser._h, ptrs, lens, B, _parse_threads(),
         views["quant"], views["line_sf"], views["is_pos"], views["is_sign"],
         views["ms_mask"], views["regions"], views["lpc"],
         views["seq"], views["shape"], views["chan_valid"], overflow,

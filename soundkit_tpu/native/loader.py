@@ -99,6 +99,7 @@ def load() -> ctypes.CDLL:
     _bind_aac(lib)
     _bind_aac_batch(lib)
     _bind_aac_compact(lib)
+    _bind_aac_compact_ptrs(lib)
     _bind_mp3(lib)
     return lib
 
@@ -186,6 +187,31 @@ def _bind_aac_compact(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p,
         ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+
+
+def _bind_aac_compact_ptrs(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_aac_parse_batch_compact_ptrs.restype = ctypes.c_int
+    lib.skt_aac_parse_batch_compact_ptrs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
         ctypes.c_int,
         ndpointer(np.int16, flags="C_CONTIGUOUS"),
         ndpointer(np.uint8, flags="C_CONTIGUOUS"),

@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "../generated/aac_tables.h"
@@ -23,91 +24,174 @@ constexpr int MAX_ORDER = 20;
 constexpr int MAX_FILTERS = 8;
 
 struct BitReader {
+    // Register-cached reader: `cache` holds bits [pos, pos+ncached)
+    // MSB-aligned, refilled 32 bits at a time, so the hot VLC loop
+    // peeks and consumes from a register instead of re-loading and
+    // byte-swapping memory on every code (the load+bswap dependency
+    // chain was the bulk of spectral decode latency).  Invariant:
+    // pos + ncached is always byte-aligned.  Reads past EOF yield
+    // zero bits; get() reports the overrun via `bad`.
     const uint8_t* data;
     long nbytes;
     long nbits;
-    long pos = 0;
+    long pos = 0;  // next unconsumed bit (absolute)
     bool bad = false;
+    uint64_t cache = 0;
+    int ncached = 0;
 
-    BitReader(const uint8_t* d, long len) : data(d), nbytes(len), nbits(len * 8) {}
+    BitReader(const uint8_t* d, long len) : data(d), nbytes(len), nbits(len * 8) {
+        resync();
+    }
 
-    // 32-bit window starting at bit `pos` (MSB-first), zero-padded past EOF
-    inline uint32_t window32(long p) const {
-        long byte = p >> 3;
-        if (byte + 8 <= nbytes) {  // hot path: one unaligned 64-bit load
-            uint64_t w;
+    void resync() {
+        long byte = pos >> 3;
+        uint64_t w = 0;
+        if (byte + 8 <= nbytes) {
             memcpy(&w, data + byte, 8);
             w = __builtin_bswap64(w);
-            return (uint32_t)(w >> (32 - (p & 7)));
+        } else {
+            for (int i = 0; i < 8; ++i) {
+                uint64_t b = (byte + i) < nbytes ? data[byte + i] : 0;
+                w = (w << 8) | b;
+            }
         }
-        uint64_t w = 0;
-        for (int i = 0; i < 5; ++i) {
-            uint64_t b = (byte + i) < nbytes ? data[byte + i] : 0;
-            w = (w << 8) | b;
+        int sh = (int)(pos & 7);
+        cache = w << sh;
+        ncached = 64 - sh;
+    }
+
+    inline void refill() {
+        long b = (pos + ncached) >> 3;
+        if (b + 4 <= nbytes && ncached <= 32) {
+            uint32_t w;
+            memcpy(&w, data + b, 4);
+            w = __builtin_bswap32(w);
+            cache |= (uint64_t)w << (32 - ncached);
+            ncached += 32;
+            return;
         }
-        return (uint32_t)(w >> (8 - (p & 7)));
+        while (ncached <= 56) {
+            uint64_t v = b < nbytes ? data[b] : 0;
+            cache |= v << (56 - ncached);
+            ncached += 8;
+            ++b;
+        }
+    }
+
+    // top 32 bits at `pos`, zero-padded past EOF
+    inline uint32_t peek32() {
+        if (ncached < 32) refill();
+        return (uint32_t)(cache >> 32);
+    }
+
+    inline void consume(int n) {
+        cache <<= n;
+        ncached -= n;
+        pos += n;
     }
 
     inline uint32_t get(int n) {
-        if (pos + n > nbits) { bad = true; pos = nbits; return 0; }
-        uint32_t v = n ? (window32(pos) >> (32 - n)) : 0;
-        pos += n;
+        if (pos + n > nbits) { bad = true; pos = nbits; cache = 0; ncached = 0; return 0; }
+        if (!n) return 0;
+        if (ncached < n) refill();
+        uint32_t v = (uint32_t)(cache >> (64 - n));
+        consume(n);
         return v;
     }
 
-    inline uint32_t peek(int n) const {
-        return n ? (window32(pos) >> (32 - n)) : 0;
+    // forward skip of arbitrary bit count (DSE/FIL payloads)
+    inline void skip(long n) {
+        pos += n;
+        if (pos > nbits) { bad = true; pos = nbits; }
+        resync();
     }
 
     long left() const { return nbits - pos; }
 };
 
 struct Vlc {
+    // Two-level table.  A flat 2^max_len LUT is catastrophic for long
+    // books: the scalefactor book has max_len 19, so the flat table is
+    // 2 MiB and a 1-bit code strides 1 MiB of it -- nearly every read
+    // was an L2/L3 miss.  Level 1 covers L1_BITS (4 KiB, cache
+    // resident, hits every code <= L1_BITS which is all the hot ones);
+    // longer codes escape to small per-prefix subtables.
+    // Entry encoding: (sym << 8) | code_len for a direct hit;
+    // ~((sub_off << 8) | rem_bits) for an escape; INT32_MIN invalid.
+    static constexpr int L1_BITS = 10;
+    int l1 = 0;
     int max_len = 0;
-    // one packed entry per prefix: (sym << 8) | code_len; -1 = invalid.
-    // A single load per decode (sym+len used to live in two vectors =
-    // two cache lines per read on the hottest loop in the parser).
     std::vector<int32_t> tab;
+    std::vector<int32_t> sub;
 
     void build(const uint32_t* codes32, const uint16_t* codes16,
                const uint8_t* bits, int n) {
         max_len = 0;
         for (int i = 0; i < n; ++i) max_len = std::max<int>(max_len, bits[i]);
-        tab.assign(1u << max_len, -1);
+        l1 = std::min(max_len, L1_BITS);
+        tab.assign(1u << l1, INT32_MIN);
+        sub.clear();
+
+        // pass 1: direct entries + per-prefix max remainder
+        std::vector<int> rem(1u << l1, 0);
         for (int i = 0; i < n; ++i) {
             uint32_t c = codes32 ? codes32[i] : codes16[i];
             int l = bits[i];
-            uint32_t base = c << (max_len - l);
-            uint32_t span = 1u << (max_len - l);
+            if (l <= l1) {
+                uint32_t base = c << (l1 - l);
+                uint32_t span = 1u << (l1 - l);
+                for (uint32_t j = 0; j < span; ++j)
+                    tab[base + j] = (int32_t)((i << 8) | l);
+            } else {
+                uint32_t prefix = c >> (l - l1);
+                rem[prefix] = std::max(rem[prefix], l - l1);
+            }
+        }
+        // pass 2: allocate one subtable per escaping prefix
+        for (uint32_t p = 0; p < (1u << l1); ++p) {
+            if (!rem[p]) continue;
+            uint32_t off = (uint32_t)sub.size();
+            sub.resize(sub.size() + (1u << rem[p]), INT32_MIN);
+            tab[p] = ~(int32_t)((off << 8) | (uint32_t)rem[p]);
+        }
+        // pass 3: fill subtables
+        for (int i = 0; i < n; ++i) {
+            uint32_t c = codes32 ? codes32[i] : codes16[i];
+            int l = bits[i];
+            if (l <= l1) continue;
+            uint32_t prefix = c >> (l - l1);
+            int32_t e = ~tab[prefix];
+            uint32_t off = (uint32_t)e >> 8;
+            int r = e & 0xFF;
+            uint32_t lo = (c & ((1u << (l - l1)) - 1)) << (r - (l - l1));
+            uint32_t span = 1u << (r - (l - l1));
             for (uint32_t j = 0; j < span; ++j)
-                tab[base + j] = (int32_t)((i << 8) | l);
+                sub[off + lo + j] = (int32_t)((i << 8) | l);
         }
     }
 
-    int read(BitReader& br) const {
-        int32_t e = tab[br.peek(max_len)];
-        if (e < 0) { br.bad = true; return 0; }
-        br.pos += e & 0xFF;
+    // resolve the packed (sym << 8 | len) entry for window `w`
+    // without consuming; sets br.bad (and returns 0) on invalid codes
+    inline int32_t entry_for(uint32_t w, BitReader& br) const {
+        int32_t e = tab[w >> (32 - l1)];
+        if (e >= 0) return e;
+        if (e == INT32_MIN) { br.bad = true; return 0; }
+        e = ~e;
+        int r = e & 0xFF;
+        uint32_t idx = (uint32_t)((uint64_t)w << l1) >> (32 - r);
+        int32_t e2 = sub[((uint32_t)e >> 8) + idx];
+        if (e2 < 0) { br.bad = true; return 0; }
+        return e2;
+    }
+
+    inline int read(BitReader& br) const {
+        int32_t e = entry_for(br.peek32(), br);
+        if (br.bad) return 0;
+        br.consume(e & 0xFF);
+        if (br.pos > br.nbits) { br.bad = true; return 0; }
         return e >> 8;
     }
 };
-
-struct Tables {
-    Vlc spectral[11];
-    Vlc sf;
-    bool ready = false;
-
-    void init() {
-        if (ready) return;
-        for (int i = 0; i < 11; ++i)
-            spectral[i].build(nullptr, AAC_SPECTRAL_CODES[i], AAC_SPECTRAL_BITS[i],
-                              AAC_SPECTRAL_SIZES[i]);
-        sf.build(AAC_SF_CODE, nullptr, AAC_SF_BITS, 121);
-        ready = true;
-    }
-};
-
-Tables g_tables;
 
 // codebook properties
 struct CbInfo { int dim; int base; bool sign; };
@@ -116,6 +200,57 @@ static const CbInfo CB[12] = {
     {2,9,true}, {2,9,true}, {2,8,false}, {2,8,false},
     {2,13,false}, {2,13,false}, {2,17,false},
 };
+
+struct Tables {
+    Vlc spectral[11];
+    Vlc sf;
+    // per-codebook tuple unpack: 4 int8 values per symbol, pre-offset
+    // for the signed books (replaces a div/mod chain per decoded tuple
+    // on the hottest loop in the parser)
+    std::vector<int8_t> unpack[11];
+    // nonzero-value count per symbol (= sign-bit count for the
+    // unsigned books, letting the sign bits come out of the same
+    // 32-bit window as the codeword)
+    std::vector<uint8_t> nzcnt[11];
+    // 2^(0.25*(sf-100)) for sf in [0,255] (pow per band was ~25% of
+    // the full-mode parse)
+    double sf_scale[256];
+    bool ready = false;
+
+    void init() {
+        if (ready) return;
+        for (int i = 0; i < 11; ++i) {
+            spectral[i].build(nullptr, AAC_SPECTRAL_CODES[i], AAC_SPECTRAL_BITS[i],
+                              AAC_SPECTRAL_SIZES[i]);
+            const CbInfo& ci = CB[i + 1];
+            int n = AAC_SPECTRAL_SIZES[i];
+            unpack[i].assign((size_t)n * 4, 0);
+            for (int s = 0; s < n; ++s) {
+                int tmp = s;
+                int vals[4] = {0, 0, 0, 0};
+                for (int d = ci.dim - 1; d >= 0; --d) {
+                    vals[d] = tmp % ci.base;
+                    tmp /= ci.base;
+                }
+                if (ci.sign) {
+                    int offv = (ci.base - 1) / 2;
+                    for (int d = 0; d < ci.dim; ++d) vals[d] -= offv;
+                }
+                for (int d = 0; d < 4; ++d)
+                    unpack[i][(size_t)s * 4 + d] = (int8_t)vals[d];
+                int nz = 0;
+                for (int d = 0; d < ci.dim; ++d) nz += vals[d] != 0;
+                nzcnt[i].push_back((uint8_t)(ci.sign ? 0 : nz));
+            }
+        }
+        sf.build(AAC_SF_CODE, nullptr, AAC_SF_BITS, 121);
+        for (int s = 0; s < 256; ++s)
+            sf_scale[s] = std::pow(2.0, 0.25 * (s - 100));
+        ready = true;
+    }
+};
+
+Tables g_tables;
 
 // per-channel lane output (matches FrameBatch lane layout)
 struct LaneOut {
@@ -168,6 +303,7 @@ struct IcsData {
     int band_sf[8][64];      // integer sf (or noise sf); -1 = silent
     int n_tns[8] = {0};
     TnsFilt tns[8][4];
+    int coded_limit = 1024;  // quant[coded_limit:] is implicitly zero
     int32_t quant[1024];
 };
 
@@ -213,10 +349,56 @@ struct Parser {
         return true;
     }
 
+    // one scalefactor band's worth of spectral tuples; DIM/SIGNED/ESC
+    // are compile-time so the hot loop is branch-minimal
+    template <int DIM, bool SIGNED, bool ESC>
+    static bool decode_band(BitReader& br, const Vlc& vlc,
+                            const int8_t* up_tab, const uint8_t* nz_tab,
+                            int lo, int hi, int32_t* q) {
+        for (int k = lo; k < hi; k += DIM) {
+            uint32_t w = br.peek32();
+            int32_t e = vlc.entry_for(w, br);
+            if (br.bad) return false;
+            int sym = e >> 8;
+            int len = e & 0xFF;
+            const int8_t* up = up_tab + (size_t)sym * 4;
+            if (SIGNED) {
+                br.consume(len);
+                if (br.pos > br.nbits) { br.bad = true; return false; }
+                for (int d = 0; d < DIM; ++d) q[k + d] = up[d];
+            } else {
+                // sign bits follow the codeword, one per nonzero value
+                // in value order -- they come out of the same window
+                int nz = nz_tab[sym];
+                uint32_t sbits = (w >> (32 - len - nz)) & ((1u << nz) - 1u);
+                br.consume(len + nz);
+                if (br.pos > br.nbits) { br.bad = true; return false; }
+                int bit = nz;
+                for (int d = 0; d < DIM; ++d) {
+                    int v = up[d];
+                    if (v) {
+                        bool neg = (sbits >> --bit) & 1;
+                        if (ESC && v == 16) {
+                            int n = 4;
+                            while (br.get(1)) {
+                                if (++n > 28) { br.bad = true; return false; }
+                            }
+                            v = (1 << n) | (int)br.get(n);
+                        }
+                        if (neg) v = -v;
+                    }
+                    q[k + d] = v;
+                }
+            }
+        }
+        return true;
+    }
+
     bool decode_ics(BitReader& br, bool common, const IcsInfo* shared, IcsData& ics,
                     double* is_scale /* [8][64] out for intensity */,
                     int* is_sign /* [8][64] */,
-                    int* is_ipos /* [8][64] */) {
+                    int* is_ipos /* [8][64] */,
+                    bool full = true /* compact wire skips float scales */) {
         ics.global_gain = (int)br.get(8);
         if (common) ics.info = *shared;
         else if (!decode_ics_info(br, ics.info)) return false;
@@ -227,7 +409,7 @@ struct Parser {
         int esc = (1 << bits) - 1;
 
         memset(ics.band_type, 0, sizeof ics.band_type);
-        memset(ics.band_scale, 0, sizeof ics.band_scale);
+        if (full) memset(ics.band_scale, 0, sizeof ics.band_scale);
         for (int g = 0; g < ii.num_window_groups; ++g) {
             int k = 0;
             while (k < ii.max_sfb) {
@@ -255,19 +437,27 @@ struct Parser {
                 if (cb == 0) continue;
                 if (cb == 14 || cb == 15) {
                     is_pos += g_tables.sf.read(br) - 60;
-                    is_scale[g * 64 + s] = std::pow(2.0, -0.25 * is_pos);
+                    if (full) {
+                        int t = 100 - is_pos;
+                        is_scale[g * 64 + s] = (t >= 0 && t < 256)
+                            ? g_tables.sf_scale[t]
+                            : std::pow(2.0, -0.25 * is_pos);
+                    }
                     is_sign[g * 64 + s] = (cb == 14) ? -1 : 1;
                     is_ipos[g * 64 + s] = is_pos;
                 } else if (cb == 13) {
                     if (noise_first) { noise += (int)br.get(9) - 256; noise_first = false; }
                     else noise += g_tables.sf.read(br) - 60;
-                    ics.band_scale[g][s] = std::pow(2.0, 0.25 * (noise - 100));
+                    if (full)
+                        ics.band_scale[g][s] = (noise >= 0 && noise < 256)
+                            ? g_tables.sf_scale[noise]
+                            : std::pow(2.0, 0.25 * (noise - 100));
                     // clamp into the u8 line_sf wire (0 means silent)
                     ics.band_sf[g][s] = noise < 1 ? 1 : (noise > 255 ? 255 : noise);
                 } else {
                     sf += g_tables.sf.read(br) - 60;
                     if (sf < 0 || sf > 255) return fail("scalefactor out of range");
-                    ics.band_scale[g][s] = std::pow(2.0, 0.25 * (sf - 100));
+                    if (full) ics.band_scale[g][s] = g_tables.sf_scale[sf];
                     ics.band_sf[g][s] = sf;
                 }
                 if (br.bad) return fail("bitstream overrun");
@@ -320,8 +510,10 @@ struct Parser {
 
         if (br.get(1)) return fail("gain control (SSR) not supported");
 
-        // spectral data
-        memset(ics.quant, 0, sizeof ics.quant);
+        // spectral data.  Only lines below swb[max_sfb] are ever coded
+        // (long windows), so zero and later convert just that prefix.
+        ics.coded_limit = (short_win || n_pulse) ? 1024 : ii.swb[ii.max_sfb];
+        memset(ics.quant, 0, (size_t)ics.coded_limit * 4);
         int win_base[8];
         int acc = 0;
         for (int g = 0; g < ii.num_window_groups; ++g) { win_base[g] = acc; acc += ii.group_lens[g]; }
@@ -331,37 +523,32 @@ struct Parser {
                 if (cb == 0 || cb >= 13) continue;
                 int lo = ii.swb[s], hi = ii.swb[s + 1];
                 const Vlc& vlc = g_tables.spectral[cb - 1];
-                const CbInfo& ci = CB[cb];
+                const int8_t* up_tab = g_tables.unpack[cb - 1].data();
+                const uint8_t* nz_tab = g_tables.nzcnt[cb - 1].data();
                 for (int w = 0; w < ii.group_lens[g]; ++w) {
                     int off = short_win ? (win_base[g] + w) * 128 : 0;
-                    for (int k = lo; k < hi; k += ci.dim) {
-                        int idx = vlc.read(br);
-                        if (br.bad) return fail("spectral overrun");
-                        int vals[4];
-                        int tmp = idx;
-                        for (int d = ci.dim - 1; d >= 0; --d) {
-                            vals[d] = tmp % ci.base;
-                            tmp /= ci.base;
-                        }
-                        if (ci.sign) {
-                            int offv = (ci.base - 1) / 2;
-                            for (int d = 0; d < ci.dim; ++d) vals[d] -= offv;
-                        } else {
-                            for (int d = 0; d < ci.dim; ++d)
-                                if (vals[d] && br.get(1)) vals[d] = -vals[d];
-                        }
-                        if (cb == 11) {
-                            for (int d = 0; d < ci.dim; ++d) {
-                                if (vals[d] == 16 || vals[d] == -16) {
-                                    int n = 4;
-                                    while (br.get(1)) { if (++n > 28) return fail("escape overflow"); }
-                                    int mag = (1 << n) | (int)br.get(n);
-                                    vals[d] = vals[d] > 0 ? mag : -mag;
-                                }
-                            }
-                        }
-                        for (int d = 0; d < ci.dim; ++d) ics.quant[off + k + d] = vals[d];
+                    int32_t* q = ics.quant + off;
+                    bool ok;
+                    // dim/sign/escape as compile-time constants so the
+                    // per-tuple loop carries no data-dependent branches
+                    switch (cb) {
+                        case 1: case 2:
+                            ok = decode_band<4, true, false>(br, vlc, up_tab, nz_tab, lo, hi, q);
+                            break;
+                        case 3: case 4:
+                            ok = decode_band<4, false, false>(br, vlc, up_tab, nz_tab, lo, hi, q);
+                            break;
+                        case 5: case 6:
+                            ok = decode_band<2, true, false>(br, vlc, up_tab, nz_tab, lo, hi, q);
+                            break;
+                        case 11:
+                            ok = decode_band<2, false, true>(br, vlc, up_tab, nz_tab, lo, hi, q);
+                            break;
+                        default:  // 7, 8, 9, 10
+                            ok = decode_band<2, false, false>(br, vlc, up_tab, nz_tab, lo, hi, q);
+                            break;
                     }
+                    if (!ok) return fail("spectral overrun");
                 }
             }
         }
@@ -377,8 +564,10 @@ struct Parser {
                    uint8_t* line_sf, int16_t (*regions)[3], bool full = true) {
         const IcsInfo& ii = ics.info;
         bool short_win = ii.window_sequence == 2;
+        int lim = ics.coded_limit;
         if (full) {
-            memcpy(lane.quant, ics.quant, sizeof lane.quant);
+            memcpy(lane.quant, ics.quant, (size_t)lim * 4);
+            memset(lane.quant + lim, 0, (size_t)(1024 - lim) * 4);
             memset(lane.scale, 0, sizeof lane.scale);
             for (int i = 0; i < 1024; ++i) lane.perm[i] = i;
             for (int i = 0; i < 1024; ++i) lane.filt_id[i] = -1;
@@ -386,7 +575,7 @@ struct Parser {
             // compact wire: i16 quant only; scale/perm/filt are
             // reconstructed on device from line_sf/regions/seq
             lane.overflow = 0;
-            for (int i = 0; i < 1024; ++i) {
+            for (int i = 0; i < lim; ++i) {
                 int32_t v = ics.quant[i];
                 if (v > 32767 || v < -32768) {
                     lane.overflow = 1;
@@ -394,6 +583,7 @@ struct Parser {
                 }
                 lane.quant16[i] = (int16_t)v;
             }
+            memset(lane.quant16 + lim, 0, (size_t)(1024 - lim) * 2);
         }
         memset(lane.lpc, 0, sizeof lane.lpc);
         lane.seq = ii.window_sequence;
@@ -474,6 +664,230 @@ struct Parser {
         }
     }
 
+    // ---- compact wire, written directly into the caller's packed
+    // buffer (no LaneOut staging + memcpy: the copies were ~20% of the
+    // batch entry's time) ----
+
+    struct CompactLaneDest {
+        int16_t* quant;    // [1024]
+        uint8_t* line_sf;  // [1024]
+        int16_t* regions;  // [MAX_FILTERS*3]
+        float* lpc;        // [MAX_FILTERS*MAX_ORDER]
+    };
+
+    struct CompactDest {
+        CompactLaneDest ch[2];
+        int8_t* int_pos;   // [1024]
+        int8_t* int_sign;  // [1024]
+        uint8_t* ms;       // [1024]
+        int32_t* seq;      // [2]
+        int32_t* shape;    // [2]
+        uint8_t* valid;    // [2]
+        int32_t* overflow; // accumulated across lanes
+    };
+
+    static void zero_lane_compact(const CompactLaneDest& d) {
+        memset(d.quant, 0, 1024 * 2);
+        memset(d.line_sf, 0, 1024);
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.lpc, 0, MAX_FILTERS * MAX_ORDER * 4);
+    }
+
+    void fill_lane_compact(const IcsData& ics, const CompactLaneDest& d,
+                           int32_t* overflow) {
+        const IcsInfo& ii = ics.info;
+        bool short_win = ii.window_sequence == 2;
+        int lim = ics.coded_limit;
+        for (int i = 0; i < lim; ++i) {
+            int32_t v = ics.quant[i];
+            if (v > 32767 || v < -32768) {
+                *overflow = 1;
+                v = v > 0 ? 32767 : -32768;
+            }
+            d.quant[i] = (int16_t)v;
+        }
+        memset(d.quant + lim, 0, (size_t)(1024 - lim) * 2);
+
+        memset(d.line_sf, 0, 1024);
+        int wbase = 0;
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            for (int s = 0; s < ii.max_sfb; ++s) {
+                int cb = ics.band_type[g][s];
+                if (cb == 0 || cb == 14 || cb == 15) continue;
+                bool pns = cb == 13;
+                int lo = ii.swb[s], hi = ii.swb[s + 1];
+                uint8_t sfv = (uint8_t)std::max(ics.band_sf[g][s], 0);
+                for (int w = 0; w < ii.group_lens[g]; ++w) {
+                    int off = short_win ? (wbase + w) * 128 : 0;
+                    if (pns) {
+                        for (int k = lo; k < hi; ++k) {
+                            d.line_sf[off + k] = sfv;
+                            // PNS as sign noise (see fill_lane)
+                            pns_state = pns_state * 1664525u + 1013904223u;
+                            d.quant[off + k] = (pns_state >> 16) & 1 ? 1 : -1;
+                        }
+                    } else {
+                        memset(d.line_sf + off + lo, sfv, (size_t)(hi - lo));
+                    }
+                }
+            }
+            wbase += ii.group_lens[g];
+        }
+
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.lpc, 0, MAX_FILTERS * MAX_ORDER * 4);
+        int tmax = short_win ? AAC_TNS_MAX_128[sr_index] : AAC_TNS_MAX_1024[sr_index];
+        int mmax = std::min(tmax, ii.max_sfb);
+        int nf = 0;
+        for (int w = 0; w < ii.num_windows; ++w) {
+            int bottom = ii.num_swb;
+            for (int f = 0; f < ics.n_tns[w]; ++f) {
+                const TnsFilt& tf = ics.tns[w][f];
+                int top = bottom;
+                bottom = std::max(0, top - tf.length);
+                int order = std::min(tf.order, MAX_ORDER);
+                if (!order || nf >= MAX_FILTERS) continue;
+                int start = ii.swb[std::min(bottom, mmax)];
+                int end = ii.swb[std::min(top, mmax)];
+                if (end - start <= 0) continue;
+                int off = short_win ? w * 128 : 0;
+                double lpc[MAX_ORDER] = {0};
+                for (int m = 0; m < order; ++m) {
+                    double kk = tf.coefs[m];
+                    double nw[MAX_ORDER];
+                    for (int i = 0; i < m; ++i) nw[i] = lpc[i] + kk * lpc[m - 1 - i];
+                    nw[m] = kk;
+                    for (int i = 0; i <= m; ++i) lpc[i] = nw[i];
+                }
+                for (int i = 0; i < order; ++i)
+                    d.lpc[nf * MAX_ORDER + i] = (float)lpc[i];
+                d.regions[nf * 3 + 0] = (int16_t)(off + start);
+                d.regions[nf * 3 + 1] = (int16_t)(off + end);
+                d.regions[nf * 3 + 2] = (int16_t)tf.direction;
+                ++nf;
+            }
+        }
+    }
+
+    bool parse_au_compact(const uint8_t* au, long len, const CompactDest& d) {
+        g_tables.init();
+        BitReader br(au, len);
+        memset(d.ms, 0, 1024);
+        memset(d.int_pos, 0, 1024);
+        memset(d.int_sign, 0, 1024);
+        d.valid[0] = d.valid[1] = 0;
+        d.seq[0] = d.seq[1] = 0;
+        d.shape[0] = d.shape[1] = 0;
+
+        while (br.left() >= 3) {
+            int ide = (int)br.get(3);
+            if (ide == 7) break;
+            if (ide == 0 || ide == 3) {  // SCE / LFE
+                br.get(4);
+                IcsData ics;
+                double is_scale[8 * 64];
+                int is_sign[8 * 64];
+                int is_ipos[8 * 64];
+                if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign,
+                                is_ipos, /*full=*/false))
+                    return false;
+                fill_lane_compact(ics, d.ch[0], d.overflow);
+                zero_lane_compact(d.ch[1]);
+                d.seq[0] = ics.info.window_sequence;
+                d.shape[0] = ics.info.window_shape;
+                d.valid[0] = 1;
+                return true;
+            }
+            if (ide == 1) {  // CPE
+                br.get(4);
+                int common = (int)br.get(1);
+                IcsInfo shared;
+                uint8_t ms_band[8][64];
+                memset(ms_band, 0, sizeof ms_band);
+                int ms_present = 0;
+                if (common) {
+                    if (!decode_ics_info(br, shared)) return false;
+                    ms_present = (int)br.get(2);
+                    if (ms_present == 1) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = (uint8_t)br.get(1);
+                    } else if (ms_present == 2) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = 1;
+                    } else if (ms_present == 3) {
+                        return fail("reserved ms_mask_present");
+                    }
+                }
+                IcsData ics0, ics1;
+                double is_sc0[8 * 64], is_sc1[8 * 64];
+                int is_sg0[8 * 64], is_sg1[8 * 64];
+                int is_ip0[8 * 64], is_ip1[8 * 64];
+                if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0,
+                                is_ip0, false) ||
+                    !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1,
+                                is_ip1, false))
+                    return false;
+                fill_lane_compact(ics0, d.ch[0], d.overflow);
+                fill_lane_compact(ics1, d.ch[1], d.overflow);
+                d.seq[0] = ics0.info.window_sequence;
+                d.shape[0] = ics0.info.window_shape;
+                d.seq[1] = ics1.info.window_sequence;
+                d.shape[1] = ics1.info.window_shape;
+                d.valid[0] = d.valid[1] = 1;
+
+                const IcsInfo& ii = ics0.info;
+                bool short_win = ii.window_sequence == 2;
+                int wbase = 0;
+                for (int g = 0; g < ii.num_window_groups; ++g) {
+                    for (int s = 0; s < ii.max_sfb; ++s) {
+                        int bt1 = ics1.band_type[g][s];
+                        int lo = ii.swb[s], hi = ii.swb[s + 1];
+                        bool is_int = bt1 == 14 || bt1 == 15;
+                        for (int w = 0; w < ii.group_lens[g]; ++w) {
+                            int off = short_win ? (wbase + w) * 128 : 0;
+                            if (is_int) {
+                                int c = is_sg1[g * 64 + s];
+                                if (ms_present && ms_band[g][s]) c = -c;
+                                int ip = is_ip1[g * 64 + s];
+                                int8_t ipc =
+                                    (int8_t)std::max(-128, std::min(127, ip));
+                                int8_t sgn = (int8_t)(c < 0 ? -1 : 1);
+                                for (int k = lo; k < hi; ++k) {
+                                    d.int_pos[off + k] = ipc;
+                                    d.int_sign[off + k] = sgn;
+                                }
+                            } else if (ms_band[g][s] &&
+                                       ics0.band_type[g][s] < 13 && bt1 < 13) {
+                                memset(d.ms + off + lo, 1, (size_t)(hi - lo));
+                            }
+                        }
+                    }
+                    wbase += ii.group_lens[g];
+                }
+                return true;
+            }
+            if (ide == 4) {  // DSE
+                br.get(4);
+                int align = (int)br.get(1);
+                int count = (int)br.get(8);
+                if (count == 255) count += (int)br.get(8);
+                long sk = count * 8L;
+                if (align) sk += (8 - br.pos % 8) % 8;
+                br.skip(sk);
+            } else if (ide == 6) {  // FIL
+                int count = (int)br.get(4);
+                if (count == 15) count += (int)br.get(8) - 1;
+                br.skip(count * 8L);
+            } else {
+                return fail("unsupported element");
+            }
+            if (br.bad) return fail("bitstream overrun");
+        }
+        return fail("empty access unit");
+    }
+
     bool parse_au(const uint8_t* au, long len, FrameOut& out, bool full = true) {
         g_tables.init();
         BitReader br(au, len);
@@ -495,7 +909,7 @@ struct Parser {
                 double is_scale[8 * 64];
                 int is_sign[8 * 64];
                 int is_ipos[8 * 64];
-                if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign, is_ipos)) {
+                if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign, is_ipos, full)) {
                     snprintf(out.error, sizeof out.error, "%s", error);
                     return false;
                 }
@@ -537,8 +951,8 @@ struct Parser {
                 double is_sc0[8 * 64], is_sc1[8 * 64];
                 int is_sg0[8 * 64], is_sg1[8 * 64];
                 int is_ip0[8 * 64], is_ip1[8 * 64];
-                if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0, is_ip0) ||
-                    !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1, is_ip1)) {
+                if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0, is_ip0, full) ||
+                    !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1, is_ip1, full)) {
                     snprintf(out.error, sizeof out.error, "%s", error);
                     return false;
                 }
@@ -588,12 +1002,13 @@ struct Parser {
                 int align = (int)br.get(1);
                 int count = (int)br.get(8);
                 if (count == 255) count += (int)br.get(8);
-                if (align) br.pos += (8 - br.pos % 8) % 8;
-                br.pos += count * 8;
+                long sk = count * 8L;
+                if (align) sk += (8 - br.pos % 8) % 8;
+                br.skip(sk);
             } else if (ide == 6) {  // FIL
                 int count = (int)br.get(4);
                 if (count == 15) count += (int)br.get(8) - 1;
-                br.pos += count * 8;
+                br.skip(count * 8L);
             } else {
                 snprintf(out.error, sizeof out.error, "unsupported element %d", ide);
                 return false;
@@ -734,6 +1149,54 @@ int skt_aac_parse_batch(void* h, const uint8_t* au_data,
 
 }  // extern "C"
 
+namespace {
+
+struct CompactOutputs {
+    int16_t* quant;
+    uint8_t* line_sf;
+    int8_t* int_pos;
+    int8_t* int_sign;
+    uint8_t* ms;
+    int16_t* regions;
+    float* lpc;
+    int32_t* seq;
+    int32_t* shape;
+    uint8_t* chan_valid;
+    int32_t* overflow;
+};
+
+// one lane parsed directly into the packed wire; on failure the lane
+// is reset to silent defaults.  Returns false on failure.
+inline bool compact_lane(Parser* p, const uint8_t* au, long len, long b,
+                         const CompactOutputs& o) {
+    Parser::CompactDest d;
+    for (int c = 0; c < 2; ++c) {
+        d.ch[c].quant = o.quant + (b * 2 + c) * 1024;
+        d.ch[c].line_sf = o.line_sf + (b * 2 + c) * 1024;
+        d.ch[c].regions = o.regions + (b * 2 + c) * MAX_FILTERS * 3;
+        d.ch[c].lpc = o.lpc + (b * 2 + c) * MAX_FILTERS * MAX_ORDER;
+    }
+    d.int_pos = o.int_pos + b * 1024;
+    d.int_sign = o.int_sign + b * 1024;
+    d.ms = o.ms + b * 1024;
+    d.seq = o.seq + b * 2;
+    d.shape = o.shape + b * 2;
+    d.valid = o.chan_valid + b * 2;
+    d.overflow = o.overflow;
+    if (p->parse_au_compact(au, len, d)) return true;
+    Parser::zero_lane_compact(d.ch[0]);
+    Parser::zero_lane_compact(d.ch[1]);
+    memset(d.int_pos, 0, 1024);
+    memset(d.int_sign, 0, 1024);
+    memset(d.ms, 0, 1024);
+    d.seq[0] = d.seq[1] = 0;
+    d.shape[0] = d.shape[1] = 0;
+    d.valid[0] = d.valid[1] = 0;
+    return false;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Compact-wire batched parse: int16 quant, u8 line_sf, i8 intensity
@@ -750,54 +1213,66 @@ int skt_aac_parse_batch_compact(void* h, const uint8_t* au_data,
     auto* p = (Parser*)h;
     int failures = 0;
     *overflow = 0;
-    static thread_local FrameOut out;
+    CompactOutputs o{quant, line_sf, int_pos, int_sign, ms,
+                     regions, lpc, seq, shape, chan_valid, overflow};
     for (int b = 0; b < B; ++b) {
-        int16_t* q = quant + (long)b * 2 * 1024;
-        uint8_t* lsf = line_sf + (long)b * 2 * 1024;
-        int8_t* ip = int_pos + (long)b * 1024;
-        int8_t* isg = int_sign + (long)b * 1024;
-        uint8_t* msk = ms + (long)b * 1024;
-        int16_t* reg = regions + (long)b * 2 * MAX_FILTERS * 3;
-        float* lp = lpc + (long)b * 2 * MAX_FILTERS * MAX_ORDER;
         // Skip silent lanes entirely (callers pre-zero the wire and may
         // compose one call per sample-rate subgroup into it — writing
         // defaults here would clobber other subgroups' lanes).
         if (lens[b] < 0) continue;
-        // parse first (light mode: i16 quant, no scale/perm/filt
-        // per-line arrays), then write every destination exactly once
-        bool ok = p->parse_au(au_data + offsets[b], lens[b], out, /*full=*/false);
-        if (!ok) ++failures;
-        int nch = ok ? (out.n_channels < 2 ? out.n_channels : 2) : 0;
-        for (int c = 0; c < 2; ++c) {
-            if (c < nch) {
-                const LaneOut& l = out.ch[c];
-                *overflow |= l.overflow;
-                memcpy(q + c * 1024, l.quant16, 1024 * 2);
-                memcpy(lsf + c * 1024, out.line_sf[c], 1024);
-                memcpy(reg + c * MAX_FILTERS * 3, out.regions[c], MAX_FILTERS * 3 * 2);
-                memcpy(lp + c * MAX_FILTERS * MAX_ORDER, l.lpc, MAX_FILTERS * MAX_ORDER * 4);
-                seq[b * 2 + c] = l.seq;
-                shape[b * 2 + c] = l.shape;
-                chan_valid[b * 2 + c] = 1;
-            } else {
-                memset(q + c * 1024, 0, 1024 * 2);
-                memset(lsf + c * 1024, 0, 1024);
-                memset(reg + c * MAX_FILTERS * 3, 0, MAX_FILTERS * 3 * 2);
-                memset(lp + c * MAX_FILTERS * MAX_ORDER, 0, MAX_FILTERS * MAX_ORDER * 4);
-                seq[b * 2 + c] = 0;
-                shape[b * 2 + c] = 0;
-                chan_valid[b * 2 + c] = 0;
+        if (!compact_lane(p, au_data + offsets[b], lens[b], b, o)) ++failures;
+    }
+    return failures;
+}
+
+// Pointer-array variant: aus[b] points at lane b's AU bytes (NULL =
+// silent lane), so the caller skips assembling a concatenated blob.
+// nthreads > 1 slices the lanes across worker threads, each with its
+// own Parser clone (per-lane outputs are disjoint; *overflow is
+// or-accumulated after join).  Intended for multi-core hosts; on a
+// single core pass nthreads=1 for the inline path.
+int skt_aac_parse_batch_compact_ptrs(void* h, const uint8_t* const* aus,
+                                     const int64_t* lens, int B, int nthreads,
+                                     int16_t* quant, uint8_t* line_sf,
+                                     int8_t* int_pos, int8_t* int_sign,
+                                     uint8_t* ms, int16_t* regions, float* lpc,
+                                     int32_t* seq, int32_t* shape,
+                                     uint8_t* chan_valid, int32_t* overflow) {
+    auto* p = (Parser*)h;
+    *overflow = 0;
+    CompactOutputs o{quant, line_sf, int_pos, int_sign, ms,
+                     regions, lpc, seq, shape, chan_valid, overflow};
+    if (nthreads <= 1) {
+        int failures = 0;
+        for (int b = 0; b < B; ++b) {
+            if (!aus[b] || lens[b] < 0) continue;
+            if (!compact_lane(p, aus[b], lens[b], b, o)) ++failures;
+        }
+        return failures;
+    }
+    g_tables.init();  // once, before workers race on it
+    if (nthreads > B) nthreads = B;
+    std::vector<std::thread> workers;
+    std::vector<int> fails((size_t)nthreads, 0);
+    std::vector<int32_t> ovfs((size_t)nthreads, 0);
+    for (int t = 0; t < nthreads; ++t) {
+        workers.emplace_back([&, t]() {
+            Parser w;
+            w.sr_index = p->sr_index;
+            w.pns_state = 0x12345678u ^ (uint32_t)(t * 2654435761u);
+            CompactOutputs ot = o;
+            ot.overflow = &ovfs[t];
+            for (int b = t; b < B; b += nthreads) {
+                if (!aus[b] || lens[b] < 0) continue;
+                if (!compact_lane(&w, aus[b], lens[b], b, ot)) ++fails[t];
             }
-        }
-        if (ok) {
-            memcpy(ip, out.int_pos, 1024);
-            memcpy(isg, out.int_sign, 1024);
-            memcpy(msk, out.ms_mask, 1024);
-        } else {
-            memset(ip, 0, 1024);
-            memset(isg, 0, 1024);
-            memset(msk, 0, 1024);
-        }
+        });
+    }
+    int failures = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        workers[t].join();
+        failures += fails[t];
+        *overflow |= ovfs[t];
     }
     return failures;
 }
