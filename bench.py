@@ -5,40 +5,46 @@ Prints ONE JSON line:
 
 North star (BASELINE.json): >=1000x aggregate realtime decode per v5e
 chip batched over 1024 streams.  This measures the FULL flagship path
-per frame batch over 512 stereo streams:
+per frame batch over 1024 stereo streams with DISTINCT per-lane
+content (each lane decodes a different AU of the fixture each step, so
+the host parser's branch predictor sees realistic entropy):
 
-  C++ host syntax parse (ADTS AUs -> compact int wire tensors, one
-  batched call, ~10 us/AU) + jitted device decode (wire reconstruction
-  + dequant + stereo + TNS scan + matmul IMDCT + windowing +
-  overlap-add); the compact wire (~5.4MB/frame-batch vs 21MB full) is
-  PACKED into one uint8 buffer so each batch is ONE transfer — the
-  host->device link is the e2e binding constraint here, and ten
-  separate jnp.asarray calls cost ~2ms of issue overhead per batch.
+  C++ host syntax parse (ADTS AUs -> v3 wire, PGO-built, threaded on
+  multi-core hosts, pipelined one batch ahead on a worker thread) +
+  jitted device decode (wire unpack + escape scatter + RLE expand +
+  dequant + stereo + TNS lattice/scan + matmul IMDCT + windowing +
+  overlap-add).
 
-x-realtime is computed at 48 kHz.  Device-only throughput is ~274k x
-(see git history); the single host core is the system bottleneck.
-With the light C++ parse mode, the 64-bit-window bitreader, and the
-packed single-transfer wire, the e2e figure clears the 1000x north
-star on the one tunnel-attached chip (typ. 1180-1280x).
+The v3 wire is ~3.6 KB/lane -- 2.9x smaller than the previous compact
+wire -- because the host->device tunnel is both the binding constraint
+and erratic (measured 40 MB/s..2 GB/s depending on tunnel state; large
+transfers degrade it further).  The wire ships as ONE uint8 buffer
+passed directly to the jitted step (fused transfer+execute dispatch).
+
+x-realtime is computed at 48 kHz.  Device-only throughput is ~90k x
+at B=1024 (step ~0.25 ms); the single-core host parse (~8-10 ms/batch
+distinct) and the tunnel transfer are the system bottlenecks, which
+the one-ahead parse pipeline overlaps.  Best-of-3 passes: the shared
+dev tunnel's transfer bandwidth decays over a process's cumulative
+traffic (see utils/wire.py), so the best pass is the machine's real
+capability.
 """
 import json
 import time
-
-import numpy as np
+from concurrent.futures import ThreadPoolExecutor
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from soundkit_tpu.codecs.aac_lc import AdtsStream
     from soundkit_tpu.codecs.aac_lc_native import (
         NativeAacParser,
-        prepare_compact_batch_packed,
+        prepare_v3_batch_packed,
     )
     from soundkit_tpu.ops import aac_batch as ab
 
-    B = 512  # stereo streams
+    B = 1024  # stereo streams
     rate = 48000.0
 
     data = open(
@@ -46,45 +52,52 @@ def main() -> None:
         "rb",
     ).read()
     stream = AdtsStream()
-    aus = stream.push(data)[:16]
+    aus = stream.push(data)
+    n = len(aus)
     parser = NativeAacParser(stream.sr_index)
 
-    step = jax.jit(ab.aac_decode_frame_device_compact_packed)
-    saved, prev_shape = ab.init_state(B)
-    saved = jnp.asarray(saved)
-    prev_shape = jnp.asarray(prev_shape)
+    # donate the carried state so the step reuses its HBM across frames
+    step = jax.jit(ab.aac_decode_frame_device_v3_packed, donate_argnums=(1, 2))
 
-    def one_frame(au, s, p):
-        # ONE packed wire buffer -> ONE host->device transfer per batch
-        buf, _overflow = prepare_compact_batch_packed(parser, [au] * B)
-        pcm, s, p = step(jnp.asarray(buf), p, s)
-        return pcm, s, p
+    def parse(t):
+        # lane i decodes AU (t+i) mod n: every lane differs from its
+        # neighbours and advances each step
+        lanes = [aus[(t + i) % n] for i in range(B)]
+        return prepare_v3_batch_packed(parser, lanes)
+
+    def init():
+        import jax.numpy as jnp
+
+        saved, prev = ab.init_state(B)
+        return jnp.asarray(saved), jnp.asarray(prev)
 
     # warmup / compile
-    pcm, s, p = one_frame(aus[0], saved, prev_shape)
+    s, p = init()
+    buf, _ = parse(0)
+    pcm, s, p = step(buf, p, s)
     pcm.block_until_ready()
 
-    # best-of-3 passes: the shared dev tunnel's host/transfer noise is
-    # +-30% run to run; the max is the machine's real capability
+    audio_seconds = B * 1024 / rate
+    ex = ThreadPoolExecutor(1)
     best = 0.0
     for _ in range(3):
-        iters = 3
-        n_frames = 0
+        s, p = init()
+        fut = ex.submit(parse, 0)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            for au in aus:
-                pcm, s, p = one_frame(au, s, p)
-                n_frames += 1
-        pcm.block_until_ready()
+        for t in range(n):
+            buf, _overflow = fut.result()
+            fut = ex.submit(parse, t + 1)  # parse next batch in parallel
+            pcm, s, p = step(buf, p, s)
+            pcm.block_until_ready()
         elapsed = time.perf_counter() - t0
-        audio_seconds = n_frames * B * 1024 / rate
-        best = max(best, audio_seconds / elapsed)
+        fut.result()
+        best = max(best, n * audio_seconds / elapsed)
     x_realtime = best
 
     print(
         json.dumps(
             {
-                "metric": "aggregate_x_realtime_aac_lc_e2e_512_streams",
+                "metric": "aggregate_x_realtime_aac_lc_e2e_1024_distinct_streams",
                 "value": round(x_realtime, 1),
                 "unit": "x_realtime_per_chip_at_48k",
                 "vs_baseline": round(x_realtime / 1000.0, 3),

@@ -306,6 +306,98 @@ def prepare_compact_batch_packed(
     return buf, bool(overflow[0])
 
 
+def _v3_views(buf: np.ndarray, B: int) -> dict:
+    from soundkit_tpu.ops.aac_batch import v3_wire_layout
+
+    layout, _total = v3_wire_layout(B)
+    return {
+        name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
+        .view(dt)
+        .reshape(-1)
+        for name, off, dt, shp in layout
+    }
+
+
+def _v3_args(views: dict):
+    return (
+        views["esc_idx"], views["esc_val"], views["regions"], views["quant"],
+        views["sf_len"], views["sf_val"], views["msis_len"], views["msis_ms"],
+        views["msis_pos"], views["msis_sign"], views["refl"], views["crb"],
+        views["order"], views["seq"], views["shape"], views["chan_valid"],
+    )
+
+
+def prepare_v3_batch_packed(
+    parser: NativeAacParser, aus: List[Optional[bytes]]
+):
+    """v3 packed wire: ~3.6 KB/lane (i8 quant + escapes, RLE sf/MS/
+    intensity, raw TNS reflection indices).  Returns (buf uint8[total],
+    overflow: bool); on overflow (escape budget / run tables exceeded,
+    or |quant| > 32767) the affected lanes are zeroed and the caller
+    should re-parse the batch through the compact path.  Decode with
+    ops.aac_batch.aac_decode_frame_device_v3_packed.  Never pool the
+    buffer (async transfers may read it after dispatch)."""
+    from soundkit_tpu.ops.aac_batch import v3_wire_layout
+
+    B = len(aus)
+    _layout, total = v3_wire_layout(B)
+    all_active = all(au is not None for au in aus)
+    buf = (np.empty if all_active else np.zeros)(total, dtype=np.uint8)
+    if not all_active:
+        # silent lanes must read as "no escapes" on device
+        _v3_views(buf, B)["esc_idx"][:] = 0xFFFF
+    views = _v3_views(buf, B)
+    ptrs = (ctypes.c_char_p * B)()
+    lens = np.empty(B, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            ptrs[i] = au
+            lens[i] = len(au)
+        else:
+            lens[i] = -1
+    overflow = np.zeros(1, dtype=np.int32)
+    parser._lib.skt_aac_parse_batch_v3_ptrs(
+        parser._h, ptrs, lens, B, _parse_threads(), *_v3_args(views), overflow
+    )
+    return buf, bool(overflow[0])
+
+
+def prepare_v3_batch_packed_grouped(
+    parsers: dict,
+    lane_sr: List[Optional[int]],
+    aus: List[Optional[bytes]],
+):
+    """v3 packed wire for mixed-rate groups: one C call per distinct
+    sr_index subgroup into the same pre-zeroed buffer."""
+    from soundkit_tpu.ops.aac_batch import v3_wire_layout
+
+    B = len(aus)
+    _layout, total = v3_wire_layout(B)
+    buf = np.zeros(total, dtype=np.uint8)
+    views = _v3_views(buf, B)
+    views["esc_idx"][:] = 0xFFFF
+    overflow = np.zeros(1, dtype=np.int32)
+    any_overflow = False
+    for sr, parser in parsers.items():
+        blob = bytearray()
+        offsets = np.zeros(B, dtype=np.int64)
+        lens = np.full(B, -1, dtype=np.int64)
+        hit = False
+        for i, au in enumerate(aus):
+            if au is not None and lane_sr[i] == sr:
+                offsets[i] = len(blob)
+                lens[i] = len(au)
+                blob.extend(au)
+                hit = True
+        if not hit:
+            continue
+        parser._lib.skt_aac_parse_batch_v3(
+            parser._h, bytes(blob), offsets, lens, B, *_v3_args(views), overflow
+        )
+        any_overflow |= bool(overflow[0])
+    return buf, any_overflow
+
+
 def prepare_compact_batch_packed_grouped(
     parsers: dict,
     lane_sr: List[Optional[int]],

@@ -38,6 +38,7 @@ class BatchedAacLcDecoder:
         self._mesh = mesh
         self._step = jax.jit(ab.aac_decode_frame_device)
         self._step_packed = jax.jit(ab.aac_decode_frame_device_compact_packed)
+        self._step_v3 = jax.jit(ab.aac_decode_frame_device_v3_packed)
         self._native = {}  # sr_index -> NativeAacParser (mixed-rate groups)
         if use_native:
             try:
@@ -99,10 +100,11 @@ class BatchedAacLcDecoder:
         """Decode exactly ``n`` lockstep batches; empty lanes decode as
         silence with frozen state.
 
-        Hot path: packed compact wire (~5.4MB/batch at B=512, ONE
-        host->device transfer). Falls back to the full wire for a batch
-        whose quant escapes overflow int16, or when the native parser
-        is unavailable."""
+        Hot path: packed v3 wire (~3.6 KB/lane, ONE host->device
+        transfer). Falls back to the compact wire for a batch whose
+        escape/run budgets overflow, then to the full wire (int32
+        quant) when even int16 overflows or the native parser is
+        unavailable."""
         import jax.numpy as jnp
 
         outs = []
@@ -111,6 +113,13 @@ class BatchedAacLcDecoder:
             aus: List[Optional[bytes]] = [
                 q.pop(0) if q else None for q in self._queues
             ]
+            buf3 = self._try_v3(aus)
+            if buf3 is not None:
+                pcm, self._saved, self._prev_shape = self._step_v3(
+                    buf3, self._prev_shape, self._saved
+                )
+                outs.append(pcm if device_out else np.asarray(pcm))
+                continue
             buf = self._try_packed(aus)
             if buf is not None:
                 pcm, self._saved, self._prev_shape = self._step_packed(
@@ -147,6 +156,22 @@ class BatchedAacLcDecoder:
         for sr in need - self._native.keys():
             self._native[sr] = self._native_cls(sr)
         return lane_sr
+
+    def _try_v3(self, aus):
+        """Packed v3 wire for this batch, or None to fall back (no
+        native parser, or a lane overflowed the i8+escape / run-table
+        budgets)."""
+        if self._native_cls is None:
+            return None
+        from soundkit_tpu.codecs.aac_lc_native import (
+            prepare_v3_batch_packed_grouped,
+        )
+
+        lane_sr = self._lane_parsers(aus)
+        buf, overflow = prepare_v3_batch_packed_grouped(
+            self._native, lane_sr, aus
+        )
+        return None if overflow else buf
 
     def _try_packed(self, aus):
         """Packed compact wire for this batch, or None to fall back

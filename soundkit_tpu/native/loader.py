@@ -100,6 +100,7 @@ def load() -> ctypes.CDLL:
     _bind_aac_batch(lib)
     _bind_aac_compact(lib)
     _bind_aac_compact_ptrs(lib)
+    _bind_aac_v3(lib)
     _bind_mp3(lib)
     return lib
 
@@ -225,6 +226,47 @@ def _bind_aac_compact_ptrs(lib: ctypes.CDLL) -> None:
         ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
     ]
+
+
+def _bind_aac_v3(lib: ctypes.CDLL) -> None:
+    import numpy as np
+    from numpy.ctypeslib import ndpointer
+
+    wire_outs = [
+        ndpointer(np.uint16, flags="C_CONTIGUOUS"),  # esc_idx
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),   # esc_val
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),   # regions
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # quant
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # sf_len
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # sf_val
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # msis_len
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # msis_ms
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # msis_pos
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # msis_sign
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # refl
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # crb
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # order
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # seq
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # shape
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # chan_valid
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),   # overflow
+    ]
+    lib.skt_aac_parse_batch_v3_ptrs.restype = ctypes.c_int
+    lib.skt_aac_parse_batch_v3_ptrs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+    ] + wire_outs
+    lib.skt_aac_parse_batch_v3.restype = ctypes.c_int
+    lib.skt_aac_parse_batch_v3.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ] + wire_outs
 
 
 def _bind_mp3(lib: ctypes.CDLL) -> None:

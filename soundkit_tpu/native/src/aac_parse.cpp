@@ -293,6 +293,10 @@ struct IcsInfo {
 struct TnsFilt {
     int length, order, direction;
     float coefs[MAX_ORDER];
+    // raw sign-extended coef indices + resolution for the v3 wire
+    // (device reruns the sin dequant + lattice->direct conversion)
+    int8_t raw[MAX_ORDER];
+    int crb;
 };
 
 struct IcsData {
@@ -408,8 +412,14 @@ struct Parser {
         int bits = short_win ? 3 : 5;
         int esc = (1 << bits) - 1;
 
-        memset(ics.band_type, 0, sizeof ics.band_type);
-        if (full) memset(ics.band_scale, 0, sizeof ics.band_scale);
+        // init only the rows the walks below read ([group][0..max_sfb));
+        // the full 8x64 memsets were a measurable slice of the per-AU
+        // cost (gprof: decode_ics ~79% of batch parse)
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            memset(ics.band_type[g], 0, (size_t)ii.max_sfb * sizeof(int));
+            if (full)
+                memset(ics.band_scale[g], 0, (size_t)ii.max_sfb * sizeof(double));
+        }
         for (int g = 0; g < ii.num_window_groups; ++g) {
             int k = 0;
             while (k < ii.max_sfb) {
@@ -429,8 +439,8 @@ struct Parser {
 
         int sf = ics.global_gain, is_pos = 0, noise = ics.global_gain - 90;
         bool noise_first = true;
-        for (int g = 0; g < 8; ++g)
-            for (int s = 0; s < 64; ++s) ics.band_sf[g][s] = -1;
+        for (int g = 0; g < ii.num_window_groups; ++g)
+            for (int s = 0; s < ii.max_sfb; ++s) ics.band_sf[g][s] = -1;
         for (int g = 0; g < ii.num_window_groups; ++g) {
             for (int s = 0; s < ii.max_sfb; ++s) {
                 int cb = ics.band_type[g][s];
@@ -490,6 +500,7 @@ struct Parser {
                     tf.length = (int)br.get(short_win ? 4 : 6);
                     tf.order = (int)br.get(short_win ? 3 : 5);
                     tf.direction = 0;
+                    tf.crb = coef_res + 3;
                     if (tf.order) {
                         tf.direction = (int)br.get(1);
                         int compress = (int)br.get(1);
@@ -500,6 +511,7 @@ struct Parser {
                         for (int i = 0; i < tf.order && i < MAX_ORDER; ++i) {
                             int c = (int)br.get(coef_len);
                             if (c >= 1 << (coef_len - 1)) c -= 1 << coef_len;
+                            tf.raw[i] = (int8_t)c;
                             tf.coefs[i] = (float)std::sin(c / (c >= 0 ? iqfac : iqfac_m));
                         }
                     }
@@ -767,6 +779,344 @@ struct Parser {
                 ++nf;
             }
         }
+    }
+
+    // ---- v3 wire: ~3.6 KB/lane vs compact's ~10.6 KB.  quant as i8
+    // plus an escape list, scalefactors / MS / intensity as run-length
+    // tables expanded on device, TNS as raw reflection-coef indices
+    // (sin dequant + lattice->direct conversion moved on-device).
+    // The host writes ~3x fewer bytes per AU and the wire stays under
+    // the tunnel's large-transfer bandwidth cliff at serving batch
+    // sizes. ----
+
+    static constexpr int V3_RUNS = 128;   // sf runs per channel
+    static constexpr int V3_ESC = 32;     // escape slots per lane
+
+    struct V3LaneDest {
+        int8_t* quant;     // [1024]
+        uint8_t* sf_len;   // [V3_RUNS]
+        uint8_t* sf_val;   // [V3_RUNS]
+        int16_t* regions;  // [MAX_FILTERS*3]
+        int8_t* refl;      // [MAX_FILTERS*MAX_ORDER]
+        uint8_t* crb;      // [MAX_FILTERS]
+        uint8_t* order;    // [MAX_FILTERS]
+    };
+
+    struct V3Dest {
+        V3LaneDest ch[2];
+        uint16_t* esc_idx;  // [V3_ESC], 0xFFFF = unused
+        int16_t* esc_val;   // [V3_ESC]
+        uint8_t* msis_len;  // [V3_RUNS]
+        uint8_t* msis_ms;   // [V3_RUNS]
+        int8_t* msis_pos;   // [V3_RUNS]
+        int8_t* msis_sign;  // [V3_RUNS]
+        uint8_t* seq;       // [2]
+        uint8_t* shape;     // [2]
+        uint8_t* valid;     // [2]
+        int32_t* overflow;
+    };
+
+    struct EscState {
+        uint16_t* idx;
+        int16_t* val;
+        int n = 0;
+    };
+
+    static void zero_lane_v3(const V3LaneDest& d) {
+        memset(d.quant, 0, 1024);
+        memset(d.sf_len, 0, V3_RUNS);
+        memset(d.sf_val, 0, V3_RUNS);
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.refl, 0, MAX_FILTERS * MAX_ORDER);
+        memset(d.crb, 0, MAX_FILTERS);
+        memset(d.order, 0, MAX_FILTERS);
+    }
+
+    static void zero_v3(const V3Dest& d) {
+        zero_lane_v3(d.ch[0]);
+        zero_lane_v3(d.ch[1]);
+        memset(d.esc_idx, 0xFF, V3_ESC * 2);
+        memset(d.esc_val, 0, V3_ESC * 2);
+        memset(d.msis_len, 0, V3_RUNS);
+        memset(d.msis_ms, 0, V3_RUNS);
+        memset(d.msis_pos, 0, V3_RUNS);
+        memset(d.msis_sign, 0, V3_RUNS);
+        d.seq[0] = d.seq[1] = 0;
+        d.shape[0] = d.shape[1] = 0;
+        d.valid[0] = d.valid[1] = 0;
+    }
+
+    void fill_lane_v3(const IcsData& ics, const V3LaneDest& d, int ch,
+                      EscState& esc, int32_t* overflow) {
+        const IcsInfo& ii = ics.info;
+        bool short_win = ii.window_sequence == 2;
+        int lim = ics.coded_limit;
+        for (int i = 0; i < lim; ++i) {
+            int32_t v = ics.quant[i];
+            if (v >= -127 && v <= 127) {
+                d.quant[i] = (int8_t)v;
+            } else {
+                d.quant[i] = 0;
+                if (esc.n < V3_ESC && v >= -32768 && v <= 32767) {
+                    esc.idx[esc.n] = (uint16_t)(ch * 1024 + i);
+                    esc.val[esc.n] = (int16_t)v;
+                    ++esc.n;
+                } else {
+                    *overflow = 1;
+                }
+            }
+        }
+        memset(d.quant + lim, 0, (size_t)(1024 - lim));
+
+        // scalefactor runs in line order; every line of the frame is
+        // covered (bands, then per-window pad), so the device-side
+        // cumulative-length search never falls off the table
+        int nrun = 0;
+        auto emit = [&](int len, uint8_t val) {
+            while (len > 0) {
+                if (nrun >= V3_RUNS) { *overflow = 1; return; }
+                int l = len > 255 ? 255 : len;
+                d.sf_len[nrun] = (uint8_t)l;
+                d.sf_val[nrun] = val;
+                ++nrun;
+                len -= l;
+            }
+        };
+        int wlen = short_win ? 128 : 1024;
+        int wbase = 0;
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            for (int w = 0; w < ii.group_lens[g]; ++w) {
+                int off = short_win ? (wbase + w) * 128 : 0;
+                for (int s = 0; s < ii.max_sfb; ++s) {
+                    int cb = ics.band_type[g][s];
+                    int lo = ii.swb[s], hi = ii.swb[s + 1];
+                    if (cb == 0 || cb == 14 || cb == 15) {
+                        emit(hi - lo, 0);
+                        continue;
+                    }
+                    uint8_t sfv = (uint8_t)std::max(ics.band_sf[g][s], 0);
+                    emit(hi - lo, sfv);
+                    if (cb == 13) {
+                        // PNS sign noise straight onto the i8 quant wire
+                        for (int k = lo; k < hi; ++k) {
+                            pns_state = pns_state * 1664525u + 1013904223u;
+                            d.quant[off + k] = (pns_state >> 16) & 1 ? 1 : -1;
+                        }
+                    }
+                }
+                int covered = ii.max_sfb > 0 ? ii.swb[ii.max_sfb] : 0;
+                emit(wlen - covered, 0);
+            }
+            wbase += ii.group_lens[g];
+        }
+        memset(d.sf_len + nrun, 0, (size_t)(V3_RUNS - nrun));
+        memset(d.sf_val + nrun, 0, (size_t)(V3_RUNS - nrun));
+
+        // tns: regions + raw reflection indices (device converts)
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.refl, 0, MAX_FILTERS * MAX_ORDER);
+        memset(d.crb, 0, MAX_FILTERS);
+        memset(d.order, 0, MAX_FILTERS);
+        int tmax = short_win ? AAC_TNS_MAX_128[sr_index] : AAC_TNS_MAX_1024[sr_index];
+        int mmax = std::min(tmax, ii.max_sfb);
+        int nf = 0;
+        for (int w = 0; w < ii.num_windows; ++w) {
+            int bottom = ii.num_swb;
+            for (int f = 0; f < ics.n_tns[w]; ++f) {
+                const TnsFilt& tf = ics.tns[w][f];
+                int top = bottom;
+                bottom = std::max(0, top - tf.length);
+                int order = std::min(tf.order, MAX_ORDER);
+                if (!order || nf >= MAX_FILTERS) continue;
+                int start = ii.swb[std::min(bottom, mmax)];
+                int end = ii.swb[std::min(top, mmax)];
+                if (end - start <= 0) continue;
+                int off = short_win ? w * 128 : 0;
+                for (int i = 0; i < order; ++i)
+                    d.refl[nf * MAX_ORDER + i] = tf.raw[i];
+                d.crb[nf] = (uint8_t)tf.crb;
+                d.order[nf] = (uint8_t)order;
+                d.regions[nf * 3 + 0] = (int16_t)(off + start);
+                d.regions[nf * 3 + 1] = (int16_t)(off + end);
+                d.regions[nf * 3 + 2] = (int16_t)tf.direction;
+                ++nf;
+            }
+        }
+    }
+
+    // run-length accumulator for the pair-level MS/intensity table,
+    // merging adjacent equal (ms,pos,sign) triples
+    struct MsisRuns {
+        const V3Dest& d;
+        int n = 0;
+        int cur_len = 0;
+        uint8_t cms = 0;
+        int8_t cpos = 0, csgn = 0;
+        bool any = false;
+
+        explicit MsisRuns(const V3Dest& dd) : d(dd) {}
+
+        void flush() {
+            while (cur_len > 0) {
+                if (n >= V3_RUNS) { *d.overflow = 1; cur_len = 0; return; }
+                int l = cur_len > 255 ? 255 : cur_len;
+                d.msis_len[n] = (uint8_t)l;
+                d.msis_ms[n] = cms;
+                d.msis_pos[n] = cpos;
+                d.msis_sign[n] = csgn;
+                ++n;
+                cur_len -= l;
+            }
+        }
+
+        void push(int len, uint8_t ms, int8_t pos, int8_t sgn) {
+            if (len <= 0) return;
+            if (any && ms == cms && pos == cpos && sgn == csgn) {
+                cur_len += len;
+                return;
+            }
+            flush();
+            cur_len = len; cms = ms; cpos = pos; csgn = sgn; any = true;
+        }
+
+        void done() {
+            flush();
+            memset(d.msis_len + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_ms + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_pos + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_sign + n, 0, (size_t)(V3_RUNS - n));
+        }
+    };
+
+    bool parse_au_v3(const uint8_t* au, long len, const V3Dest& d) {
+        g_tables.init();
+        BitReader br(au, len);
+        *d.overflow = 0;
+        EscState esc{d.esc_idx, d.esc_val, 0};
+
+        while (br.left() >= 3) {
+            int ide = (int)br.get(3);
+            if (ide == 7) break;
+            if (ide == 0 || ide == 3) {  // SCE / LFE
+                br.get(4);
+                IcsData ics;
+                double is_scale[8 * 64];
+                int is_sign[8 * 64];
+                int is_ipos[8 * 64];
+                if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign,
+                                is_ipos, /*full=*/false))
+                    return false;
+                fill_lane_v3(ics, d.ch[0], 0, esc, d.overflow);
+                zero_lane_v3(d.ch[1]);
+                memset(d.msis_len, 0, V3_RUNS);
+                memset(d.msis_ms, 0, V3_RUNS);
+                memset(d.msis_pos, 0, V3_RUNS);
+                memset(d.msis_sign, 0, V3_RUNS);
+                d.seq[0] = (uint8_t)ics.info.window_sequence;
+                d.shape[0] = (uint8_t)ics.info.window_shape;
+                d.seq[1] = d.shape[1] = 0;
+                d.valid[0] = 1;
+                d.valid[1] = 0;
+                for (int e = esc.n; e < V3_ESC; ++e) {
+                    d.esc_idx[e] = 0xFFFF;
+                    d.esc_val[e] = 0;
+                }
+                return true;
+            }
+            if (ide == 1) {  // CPE
+                br.get(4);
+                int common = (int)br.get(1);
+                IcsInfo shared;
+                uint8_t ms_band[8][64];
+                memset(ms_band, 0, sizeof ms_band);
+                int ms_present = 0;
+                if (common) {
+                    if (!decode_ics_info(br, shared)) return false;
+                    ms_present = (int)br.get(2);
+                    if (ms_present == 1) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = (uint8_t)br.get(1);
+                    } else if (ms_present == 2) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = 1;
+                    } else if (ms_present == 3) {
+                        return fail("reserved ms_mask_present");
+                    }
+                }
+                IcsData ics0, ics1;
+                double is_sc0[8 * 64], is_sc1[8 * 64];
+                int is_sg0[8 * 64], is_sg1[8 * 64];
+                int is_ip0[8 * 64], is_ip1[8 * 64];
+                if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0,
+                                is_ip0, false) ||
+                    !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1,
+                                is_ip1, false))
+                    return false;
+                fill_lane_v3(ics0, d.ch[0], 0, esc, d.overflow);
+                fill_lane_v3(ics1, d.ch[1], 1, esc, d.overflow);
+                for (int e = esc.n; e < V3_ESC; ++e) {
+                    d.esc_idx[e] = 0xFFFF;
+                    d.esc_val[e] = 0;
+                }
+                d.seq[0] = (uint8_t)ics0.info.window_sequence;
+                d.shape[0] = (uint8_t)ics0.info.window_shape;
+                d.seq[1] = (uint8_t)ics1.info.window_sequence;
+                d.shape[1] = (uint8_t)ics1.info.window_shape;
+                d.valid[0] = d.valid[1] = 1;
+
+                // pair-level MS / intensity runs in line order
+                const IcsInfo& ii = ics0.info;
+                bool short_win = ii.window_sequence == 2;
+                int wlen = short_win ? 128 : 1024;
+                MsisRuns runs(d);
+                for (int g = 0; g < ii.num_window_groups; ++g) {
+                    for (int w = 0; w < ii.group_lens[g]; ++w) {
+                        for (int s = 0; s < ii.max_sfb; ++s) {
+                            int bt1 = ics1.band_type[g][s];
+                            int lo = ii.swb[s], hi = ii.swb[s + 1];
+                            bool is_int = bt1 == 14 || bt1 == 15;
+                            if (is_int) {
+                                int c = is_sg1[g * 64 + s];
+                                if (ms_present && ms_band[g][s]) c = -c;
+                                int ip = is_ip1[g * 64 + s];
+                                int8_t ipc =
+                                    (int8_t)std::max(-128, std::min(127, ip));
+                                runs.push(hi - lo, 0, ipc,
+                                          (int8_t)(c < 0 ? -1 : 1));
+                            } else if (ms_band[g][s] &&
+                                       ics0.band_type[g][s] < 13 && bt1 < 13) {
+                                runs.push(hi - lo, 1, 0, 0);
+                            } else {
+                                runs.push(hi - lo, 0, 0, 0);
+                            }
+                        }
+                        int covered = ii.max_sfb > 0 ? ii.swb[ii.max_sfb] : 0;
+                        runs.push(wlen - covered, 0, 0, 0);
+                    }
+                }
+                runs.done();
+                return true;
+            }
+            if (ide == 4) {  // DSE
+                br.get(4);
+                int align = (int)br.get(1);
+                int count = (int)br.get(8);
+                if (count == 255) count += (int)br.get(8);
+                long sk = count * 8L;
+                if (align) sk += (8 - br.pos % 8) % 8;
+                br.skip(sk);
+            } else if (ide == 6) {  // FIL
+                int count = (int)br.get(4);
+                if (count == 15) count += (int)br.get(8) - 1;
+                br.skip(count * 8L);
+            } else {
+                return fail("unsupported element");
+            }
+            if (br.bad) return fail("bitstream overrun");
+        }
+        return fail("empty access unit");
     }
 
     bool parse_au_compact(const uint8_t* au, long len, const CompactDest& d) {
@@ -1273,6 +1623,143 @@ int skt_aac_parse_batch_compact_ptrs(void* h, const uint8_t* const* aus,
         workers[t].join();
         failures += fails[t];
         *overflow |= ovfs[t];
+    }
+    return failures;
+}
+
+}  // extern "C"
+
+namespace {
+
+struct V3Outputs {
+    uint16_t* esc_idx;  // [B,32]
+    int16_t* esc_val;   // [B,32]
+    int16_t* regions;   // [B,2,8,3]
+    int8_t* quant;      // [B,2,1024]
+    uint8_t* sf_len;    // [B,2,128]
+    uint8_t* sf_val;    // [B,2,128]
+    uint8_t* msis_len;  // [B,128]
+    uint8_t* msis_ms;   // [B,128]
+    int8_t* msis_pos;   // [B,128]
+    int8_t* msis_sign;  // [B,128]
+    int8_t* refl;       // [B,2,8,20]
+    uint8_t* crb;       // [B,2,8]
+    uint8_t* order;     // [B,2,8]
+    uint8_t* seq;       // [B,2]
+    uint8_t* shape;     // [B,2]
+    uint8_t* chan_valid;// [B,2]
+};
+
+inline bool v3_lane(Parser* p, const uint8_t* au, long len, long b,
+                    const V3Outputs& o, int32_t* overflow) {
+    constexpr int R = Parser::V3_RUNS;
+    constexpr int E = Parser::V3_ESC;
+    Parser::V3Dest d;
+    for (int c = 0; c < 2; ++c) {
+        d.ch[c].quant = o.quant + (b * 2 + c) * 1024;
+        d.ch[c].sf_len = o.sf_len + (b * 2 + c) * R;
+        d.ch[c].sf_val = o.sf_val + (b * 2 + c) * R;
+        d.ch[c].regions = o.regions + (b * 2 + c) * MAX_FILTERS * 3;
+        d.ch[c].refl = o.refl + (b * 2 + c) * MAX_FILTERS * MAX_ORDER;
+        d.ch[c].crb = o.crb + (b * 2 + c) * MAX_FILTERS;
+        d.ch[c].order = o.order + (b * 2 + c) * MAX_FILTERS;
+    }
+    d.esc_idx = o.esc_idx + b * E;
+    d.esc_val = o.esc_val + b * E;
+    d.msis_len = o.msis_len + b * R;
+    d.msis_ms = o.msis_ms + b * R;
+    d.msis_pos = o.msis_pos + b * R;
+    d.msis_sign = o.msis_sign + b * R;
+    d.seq = o.seq + b * 2;
+    d.shape = o.shape + b * 2;
+    d.valid = o.chan_valid + b * 2;
+    int32_t ovf = 0;
+    d.overflow = &ovf;
+    bool ok = p->parse_au_v3(au, len, d);
+    if (!ok || ovf) Parser::zero_v3(d);
+    *overflow |= ovf;
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// v3-wire batched parse (pointer-array lanes, optional worker
+// threads).  Per-lane failures zero that lane; *overflow is set when
+// any lane exceeded the i8+escape quant budget or the run tables (the
+// lane is zeroed and the caller should re-parse that batch through
+// the compact/full path).  Returns the failed-lane count.
+int skt_aac_parse_batch_v3_ptrs(void* h, const uint8_t* const* aus,
+                                const int64_t* lens, int B, int nthreads,
+                                uint16_t* esc_idx, int16_t* esc_val,
+                                int16_t* regions, int8_t* quant,
+                                uint8_t* sf_len, uint8_t* sf_val,
+                                uint8_t* msis_len, uint8_t* msis_ms,
+                                int8_t* msis_pos, int8_t* msis_sign,
+                                int8_t* refl, uint8_t* crb, uint8_t* order,
+                                uint8_t* seq, uint8_t* shape,
+                                uint8_t* chan_valid, int32_t* overflow) {
+    auto* p = (Parser*)h;
+    *overflow = 0;
+    V3Outputs o{esc_idx, esc_val, regions, quant, sf_len, sf_val,
+                msis_len, msis_ms, msis_pos, msis_sign, refl, crb, order,
+                seq, shape, chan_valid};
+    if (nthreads <= 1) {
+        int failures = 0;
+        for (int b = 0; b < B; ++b) {
+            if (!aus[b] || lens[b] < 0) continue;
+            if (!v3_lane(p, aus[b], lens[b], b, o, overflow)) ++failures;
+        }
+        return failures;
+    }
+    g_tables.init();  // once, before workers race on it
+    if (nthreads > B) nthreads = B;
+    std::vector<std::thread> workers;
+    std::vector<int> fails((size_t)nthreads, 0);
+    std::vector<int32_t> ovfs((size_t)nthreads, 0);
+    for (int t = 0; t < nthreads; ++t) {
+        workers.emplace_back([&, t]() {
+            Parser w;
+            w.sr_index = p->sr_index;
+            w.pns_state = 0x12345678u ^ (uint32_t)(t * 2654435761u);
+            for (int b = t; b < B; b += nthreads) {
+                if (!aus[b] || lens[b] < 0) continue;
+                if (!v3_lane(&w, aus[b], lens[b], b, o, &ovfs[t])) ++fails[t];
+            }
+        });
+    }
+    int failures = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        workers[t].join();
+        failures += fails[t];
+        *overflow |= ovfs[t];
+    }
+    return failures;
+}
+
+// blob+offsets variant (len<0 = untouched lane) so mixed-rate callers
+// can compose one call per sample-rate subgroup into the same wire.
+int skt_aac_parse_batch_v3(void* h, const uint8_t* au_data,
+                           const int64_t* offsets, const int64_t* lens, int B,
+                           uint16_t* esc_idx, int16_t* esc_val,
+                           int16_t* regions, int8_t* quant,
+                           uint8_t* sf_len, uint8_t* sf_val,
+                           uint8_t* msis_len, uint8_t* msis_ms,
+                           int8_t* msis_pos, int8_t* msis_sign,
+                           int8_t* refl, uint8_t* crb, uint8_t* order,
+                           uint8_t* seq, uint8_t* shape,
+                           uint8_t* chan_valid, int32_t* overflow) {
+    auto* p = (Parser*)h;
+    *overflow = 0;
+    V3Outputs o{esc_idx, esc_val, regions, quant, sf_len, sf_val,
+                msis_len, msis_ms, msis_pos, msis_sign, refl, crb, order,
+                seq, shape, chan_valid};
+    int failures = 0;
+    for (int b = 0; b < B; ++b) {
+        if (lens[b] < 0) continue;
+        if (!v3_lane(p, au_data + offsets[b], lens[b], b, o, overflow))
+            ++failures;
     }
     return failures;
 }

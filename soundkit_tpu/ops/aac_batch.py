@@ -354,6 +354,25 @@ class CompactFrameBatch:
     chan_valid: np.ndarray # [B, C] uint8
 
 
+def _perm_filt_from_regions(regions, B, C, N):
+    """Reconstruct the TNS involutive permutation + filter-id maps from
+    per-filter (start, end, direction) regions, on device."""
+    import jax.numpy as jnp
+
+    idx = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+    perm = jnp.broadcast_to(idx, (B, C, N))
+    filt_id = jnp.full((B, C, N), -1, dtype=jnp.int32)
+    for f in range(MAX_FILTERS):
+        start = regions[:, :, f, 0].astype(jnp.int32)[..., None]
+        end = regions[:, :, f, 1].astype(jnp.int32)[..., None]
+        direction = regions[:, :, f, 2].astype(jnp.int32)[..., None]
+        inside = (idx >= start) & (idx < end)
+        filt_id = jnp.where(inside, f, filt_id)
+        rev = start + end - 1 - idx
+        perm = jnp.where(inside & (direction != 0), rev, perm)
+    return perm, filt_id
+
+
 def aac_decode_frame_device_compact(
     quant, line_sf, is_pos, is_sign, ms_mask, regions, lpc, seq, shape,
     prev_shape, chan_valid, saved,
@@ -371,17 +390,7 @@ def aac_decode_frame_device_compact(
         is_sign.astype(jnp.float32) * jnp.exp2(-0.25 * is_pos.astype(jnp.float32)),
         0.0,
     )
-    idx = jnp.arange(N, dtype=jnp.int32)[None, None, :]
-    perm = jnp.broadcast_to(idx, (B, C, N))
-    filt_id = jnp.full((B, C, N), -1, dtype=jnp.int32)
-    for f in range(MAX_FILTERS):
-        start = regions[:, :, f, 0].astype(jnp.int32)[..., None]
-        end = regions[:, :, f, 1].astype(jnp.int32)[..., None]
-        direction = regions[:, :, f, 2].astype(jnp.int32)[..., None]
-        inside = (idx >= start) & (idx < end)
-        filt_id = jnp.where(inside, f, filt_id)
-        rev = start + end - 1 - idx
-        perm = jnp.where(inside & (direction != 0), rev, perm)
+    perm, filt_id = _perm_filt_from_regions(regions, B, C, N)
 
     return aac_decode_frame_device(
         quant.astype(jnp.int32), scale, ms_mask != 0, int_factor, perm, filt_id,
@@ -453,4 +462,160 @@ def aac_decode_frame_device_compact_packed(buf, prev_shape, saved):
         f["quant"][:, :C], f["line_sf"][:, :C], f["is_pos"], f["is_sign"],
         f["ms_mask"], f["regions"][:, :C], f["lpc"][:, :C], f["seq"][:, :C],
         f["shape"][:, :C], prev_shape, f["chan_valid"][:, :C], saved,
+    )
+
+
+# ---------------------------------------------------------------------------
+# v3 wire: ~3.6 KB/lane (vs compact's ~10.6 KB). quant as i8 + escape
+# list, scalefactor / MS / intensity tables as run-length segments
+# expanded on device, TNS as raw reflection indices with the sin
+# dequant + lattice->direct conversion on device.  Motivation: the
+# axon tunnel's bandwidth is both the e2e binding constraint and
+# erratic (measured 40 MB/s..1.3 GB/s), so wire bytes are the
+# robustness lever; the host also writes ~3x less memory per AU.
+# ---------------------------------------------------------------------------
+
+V3_ESC = 32
+V3_RUNS = 128
+
+
+def v3_wire_layout(B: int):
+    """(name, offset, dtype, shape) of every v3 field inside the packed
+    uint8 buffer + total size. Ordered by alignment; 4-byte offsets."""
+    fields = [
+        ("esc_idx", np.uint16, (B, V3_ESC)),
+        ("esc_val", np.int16, (B, V3_ESC)),
+        ("regions", np.int16, (B, 2, MAX_FILTERS, 3)),
+        ("quant", np.int8, (B, 2, 1024)),
+        ("sf_len", np.uint8, (B, 2, V3_RUNS)),
+        ("sf_val", np.uint8, (B, 2, V3_RUNS)),
+        ("msis_len", np.uint8, (B, V3_RUNS)),
+        ("msis_ms", np.uint8, (B, V3_RUNS)),
+        ("msis_pos", np.int8, (B, V3_RUNS)),
+        ("msis_sign", np.int8, (B, V3_RUNS)),
+        ("refl", np.int8, (B, 2, MAX_FILTERS, MAX_ORDER)),
+        ("crb", np.uint8, (B, 2, MAX_FILTERS)),
+        ("order", np.uint8, (B, 2, MAX_FILTERS)),
+        ("seq", np.uint8, (B, 2)),
+        ("shape", np.uint8, (B, 2)),
+        ("chan_valid", np.uint8, (B, 2)),
+    ]
+    layout = []
+    off = 0
+    for name, dt, shp in fields:
+        size = int(np.prod(shp)) * np.dtype(dt).itemsize
+        layout.append((name, off, dt, shp))
+        off = (off + size + 3) & ~3
+    return layout, off
+
+
+def unpack_v3_wire(buf, B: int):
+    """Slice + bitcast the packed v3 buffer (device-side, inside jit)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {}
+    for name, off, dt, shp in v3_wire_layout(B)[0]:
+        n = int(np.prod(shp))
+        width = np.dtype(dt).itemsize
+        raw = lax.slice(buf, (off,), (off + n * width,))
+        jdt = jnp.dtype(dt)
+        if width == 1:
+            x = lax.bitcast_convert_type(raw, jdt)
+        else:
+            x = lax.bitcast_convert_type(raw.reshape(n, width), jdt)
+        out[name] = x.reshape(shp)
+    return out
+
+
+def _rle_expand(lens, vals, n: int = 1024):
+    """Expand run-length (lens, vals) tables along the last axis to a
+    per-line value map: line i takes vals[r] for the unique run r with
+    cum(lens)[r-1] <= i < cum(lens)[r]. Lines past the covered total
+    (silent lanes: all-zero lens) clamp to vals[-1], which the host
+    keeps 0."""
+    import jax
+    import jax.numpy as jnp
+
+    ends = jnp.cumsum(lens.astype(jnp.int32), axis=-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    S = ends.shape[-1]
+    flat = ends.reshape(-1, S)
+    seg = jax.vmap(lambda e: jnp.searchsorted(e, idx, side="right"))(flat)
+    seg = seg.reshape(*ends.shape[:-1], n).astype(jnp.int32)
+    seg = jnp.minimum(seg, S - 1)
+    return jnp.take_along_axis(vals, seg, axis=-1)
+
+
+def _tns_refl_to_lpc(refl, crb, order):
+    """sin dequant of raw TNS reflection indices + lattice->direct-form
+    conversion, on device (ISO 13818-7 tns_data; host reference:
+    native/src/aac_parse.cpp decode_ics / fill_lane_compact)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    c = refl.astype(jnp.float32)
+    half = jnp.exp2(crb.astype(jnp.float32) - 1.0)  # 1 << (crb-1)
+    iqfac = jnp.maximum((half - 0.5) / (jnp.pi / 2.0), 1e-9)[..., None]
+    iqfac_m = jnp.maximum((half + 0.5) / (jnp.pi / 2.0), 1e-9)[..., None]
+    kk = jnp.sin(c / jnp.where(c >= 0, iqfac, iqfac_m))
+    m_idx = jnp.arange(MAX_ORDER, dtype=jnp.int32)
+    order32 = order.astype(jnp.int32)[..., None]
+    kk = jnp.where(m_idx < order32, kk, 0.0)
+
+    lpc = jnp.zeros_like(kk)
+    for m in range(MAX_ORDER):
+        kkm = kk[..., m : m + 1]
+        rev = jnp.flip(lpc, -1)
+        rev_pad = jnp.concatenate([rev, jnp.zeros_like(rev)], axis=-1)
+        # rev_pad[20-m+i] == lpc[m-1-i] for i < m
+        sl = lax.slice_in_dim(rev_pad, MAX_ORDER - m, 2 * MAX_ORDER - m, axis=-1)
+        new = jnp.where(m_idx < m, lpc + kkm * sl, lpc)
+        new = jnp.where(m_idx == m, kkm, new)
+        lpc = jnp.where(m < order32, new, lpc)
+    return lpc
+
+
+def aac_decode_frame_device_v3_packed(buf, prev_shape, saved):
+    """Device step over the packed v3 wire from
+    ``codecs.aac_lc_native.prepare_v3_batch_packed``."""
+    import jax.numpy as jnp
+
+    B, C = prev_shape.shape[0], prev_shape.shape[1]
+    N = 1024
+    f = unpack_v3_wire(buf, B)
+
+    # quant: i8 + escape scatter (sentinel idx 0xFFFF is out of bounds
+    # and dropped)
+    q = f["quant"].astype(jnp.int32).reshape(B, 2 * N)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    q = q.at[bidx, f["esc_idx"].astype(jnp.int32)].add(
+        f["esc_val"].astype(jnp.int32), mode="drop"
+    )
+    quant = q.reshape(B, 2, N)[:, :C]
+
+    # per-line scalefactors from RLE runs
+    line_sf = _rle_expand(f["sf_len"][:, :C], f["sf_val"][:, :C], N)
+    scale = jnp.where(
+        line_sf > 0, jnp.exp2(0.25 * (line_sf.astype(jnp.float32) - 100.0)), 0.0
+    )
+
+    # pair-level MS / intensity maps from RLE runs
+    ms_line = _rle_expand(f["msis_len"], f["msis_ms"], N)
+    is_pos = _rle_expand(f["msis_len"], f["msis_pos"], N)
+    is_sign = _rle_expand(f["msis_len"], f["msis_sign"], N)
+    int_factor = jnp.where(
+        is_sign != 0,
+        is_sign.astype(jnp.float32) * jnp.exp2(-0.25 * is_pos.astype(jnp.float32)),
+        0.0,
+    )
+
+    lpc = _tns_refl_to_lpc(f["refl"][:, :C], f["crb"][:, :C], f["order"][:, :C])
+    regions = f["regions"][:, :C]
+    perm, filt_id = _perm_filt_from_regions(regions, B, C, N)
+
+    return aac_decode_frame_device(
+        quant, scale, ms_line != 0, int_factor, perm, filt_id, lpc,
+        f["seq"][:, :C].astype(jnp.int32), f["shape"][:, :C].astype(jnp.int32),
+        prev_shape, f["chan_valid"][:, :C] != 0, saved,
     )

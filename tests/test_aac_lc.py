@@ -362,3 +362,48 @@ def test_packed_compact_wire_matches_unpacked(golden_adts):
         )
         pcm2, s2, v2 = stepP(jnp.asarray(buf), v2, s2)
         np.testing.assert_array_equal(np.asarray(pcm1), np.asarray(pcm2))
+
+
+def test_v3_wire_matches_compact(golden_adts):
+    """The v3 wire (i8 quant + escapes, RLE sf/MS/intensity tables,
+    device-side TNS lattice conversion) must match the compact path to
+    >90 dB across all fixture AUs with carried overlap state, ragged
+    lanes included.  Differences come only from the f32 (device) vs f64
+    (host) TNS lattice->direct conversion."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.codecs.aac_lc import AdtsStream
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_compact_batch_packed,
+        prepare_v3_batch_packed,
+    )
+    from soundkit_tpu.ops import aac_batch as ab
+
+    B = 4
+    stream = AdtsStream()
+    aus = stream.push(golden_adts)
+    p2, p3 = NativeAacParser(stream.sr_index), NativeAacParser(stream.sr_index)
+    s2, v2 = map(jnp.asarray, ab.init_state(B))
+    s3, v3 = map(jnp.asarray, ab.init_state(B))
+    step2 = jax.jit(ab.aac_decode_frame_device_compact_packed)
+    step3 = jax.jit(ab.aac_decode_frame_device_v3_packed)
+    _, total3 = ab.v3_wire_layout(B)
+    _, total2 = ab.compact_wire_layout(B)
+    assert total3 * 2 < total2, "v3 wire must be at least 2x smaller"
+    for k, au in enumerate(aus):
+        lanes = [au] * (B - 1) + [au if k % 2 else None]  # ragged lane
+        b2, _ = prepare_compact_batch_packed(p2, lanes)
+        b3, ov3 = prepare_v3_batch_packed(p3, lanes)
+        assert not ov3, f"unexpected v3 overflow at AU {k}"
+        pcm2, s2, v2 = step2(jnp.asarray(b2), v2, s2)
+        pcm3, s3, v3 = step3(jnp.asarray(b3), v3, s3)
+        a2, a3 = np.asarray(pcm2), np.asarray(pcm3)
+        err = np.abs(a2 - a3).max()
+        ref = np.abs(a2).max()
+        if ref > 0:
+            snr = 20 * np.log10(ref / max(err, 1e-20))
+            assert snr > 90.0, f"AU {k}: v3 vs compact SNR {snr:.1f} dB"
+        else:
+            np.testing.assert_array_equal(a2, a3)
