@@ -72,13 +72,51 @@ class _FrameBufferedDecoder:
         return self._av.flush()
 
 
-class GsmDecoder(_FrameBufferedDecoder):
+class GsmDecoder:
+    """From-scratch GSM 06.10 (RPE-LTP) decoder (native/src/gsm.cpp).
+
+    Bit-exact with libgsm (verified against ``golden/gsm`` for the
+    standard framing and the avcodec gsm_ms oracle for WAV49); replaces
+    the earlier avcodec wrapper. Role-equivalent of the reference's
+    libgsm FFI (soundkit-gsm/src/lib.rs:4-76).
+    """
+
+    sample_rate = 8000
+    channels = 1
+
     def __init__(self, variant: GsmVariant = GsmVariant.STANDARD):
+        from soundkit_tpu.native.loader import load
+
         self.variant = variant
-        if variant is GsmVariant.STANDARD:
-            super().__init__("gsm", 8000, 33)
-        else:
-            super().__init__("gsm_ms", 8000, 65)
+        self.frame_bytes = 33 if variant is GsmVariant.STANDARD else 65
+        self._samples_per_frame = 160 if variant is GsmVariant.STANDARD else 320
+        self._lib = load()
+        self._h = self._lib.skt_gsm_new(0 if variant is GsmVariant.STANDARD else 1)
+        self._pending = bytearray()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_gsm_free(self._h)
+            self._h = None
+
+    def decode_i16(self, data: bytes) -> np.ndarray:
+        self._pending.extend(data)
+        n_frames = len(self._pending) // self.frame_bytes
+        if not n_frames:
+            return np.zeros(0, dtype=np.int16)
+        chunk = bytes(self._pending[: n_frames * self.frame_bytes])
+        del self._pending[: n_frames * self.frame_bytes]
+        out = np.zeros(n_frames * self._samples_per_frame, dtype=np.int16)
+        n = self._lib.skt_gsm_decode(self._h, chunk, len(chunk), out)
+        if n < 0:
+            raise ValueError("bad GSM frame signature")
+        return out[:n]
+
+    def decode_f32(self, data: bytes) -> np.ndarray:
+        return self.decode_i16(data).astype(np.float32) / 32768.0
+
+    def flush(self) -> np.ndarray:
+        return np.zeros(0, dtype=np.float32)
 
 
 class G729Decoder(_FrameBufferedDecoder):

@@ -102,7 +102,24 @@ def load() -> ctypes.CDLL:
     _bind_aac_compact_ptrs(lib)
     _bind_aac_v3(lib)
     _bind_mp3(lib)
+    _bind_gsm(lib)
     return lib
+
+
+def _bind_gsm(lib: ctypes.CDLL) -> None:
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_gsm_new.restype = ctypes.c_void_p
+    lib.skt_gsm_new.argtypes = [ctypes.c_int]
+    lib.skt_gsm_free.argtypes = [ctypes.c_void_p]
+    lib.skt_gsm_decode.restype = ctypes.c_long
+    lib.skt_gsm_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),
+    ]
+    lib.skt_gsm_reset.argtypes = [ctypes.c_void_p]
 
 
 def _bind_encoders(lib: ctypes.CDLL) -> None:
