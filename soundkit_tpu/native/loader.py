@@ -103,7 +103,33 @@ def load() -> ctypes.CDLL:
     _bind_aac_v3(lib)
     _bind_mp3(lib)
     _bind_gsm(lib)
+    _bind_alac(lib)
     return lib
+
+
+def _bind_alac(lib: ctypes.CDLL) -> None:
+    from numpy.ctypeslib import ndpointer
+
+    lib.skt_alac_new.restype = ctypes.c_void_p
+    lib.skt_alac_new.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.skt_alac_free.argtypes = [ctypes.c_void_p]
+    for name in ("skt_alac_channels", "skt_alac_sample_size"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p]
+    for name in ("skt_alac_sample_rate", "skt_alac_frame_length"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [ctypes.c_void_p]
+    lib.skt_alac_error.restype = ctypes.c_char_p
+    lib.skt_alac_error.argtypes = [ctypes.c_void_p]
+    lib.skt_alac_decode.restype = ctypes.c_long
+    lib.skt_alac_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
 
 
 def _bind_gsm(lib: ctypes.CDLL) -> None:

@@ -180,3 +180,63 @@ def test_caf_errors():
         demux_caf_audio(b"RIFF1234")
     with _pytest.raises(CafError, match="desc"):
         demux_caf_audio(b"caff\x00\x01\x00\x00")
+
+
+def test_alac_native_bitexact_vs_golden(testdata):
+    """From-scratch ALAC packet decode (codecs/alac.py +
+    native/src/alac.cpp) must be BIT-EXACT with golden/alac."""
+    from soundkit_tpu.codecs.alac import AlacPacketDecoder
+    from soundkit_tpu.core.wav import parse_wav
+    from soundkit_tpu.demux.mp4 import demux_mp4_audio
+
+    data = (testdata / "alac" / f"{CLIP}.m4a").read_bytes()
+    track = demux_mp4_audio(data)
+    dec = AlacPacketDecoder(track.config)
+    pcm = dec.decode_packets_i16(track.samples)
+
+    golden = parse_wav(
+        (testdata.parent / "golden" / "alac" / f"{CLIP}.decoded.wav").read_bytes()
+    )
+    ref = np.frombuffer(golden.data, dtype=np.int16)
+    assert len(pcm) == len(ref)
+    np.testing.assert_array_equal(pcm, ref)
+
+
+def test_alac_native_stereo_bitexact_vs_avcodec():
+    """Stereo decorrelation + 24-bit shifted-extra-bits path: encode a
+    correlated stereo signal with the avcodec ALAC encoder, decode with
+    the from-scratch decoder, compare bit-exactly (24-bit domain)
+    against the avcodec decoder oracle."""
+    from soundkit_tpu.codecs.alac import AlacPacketDecoder
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.encoders import AvEncoder
+
+    rng = np.random.default_rng(7)
+    n = 3 * 4096
+    t = np.arange(n) / 44100.0
+    left = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.01 * rng.standard_normal(n)
+    right = (
+        0.45 * np.sin(2 * np.pi * 554 * t)
+        + 0.7 * left
+        + 0.01 * rng.standard_normal(n)
+    )
+    inter = np.clip(np.stack([left, right], -1).reshape(-1), -1, 1).astype(
+        np.float32
+    )
+
+    enc = AvEncoder("alac", 44100, 2)
+    pkts = enc.push_f32(inter) + enc.flush()
+    cookie = enc.extradata
+
+    dec = AlacPacketDecoder(cookie)
+    ours = np.concatenate([dec.decode_packet(p) for p in pkts])
+
+    av = AvDecoder("alac", extradata=cookie)
+    outs = [av.push(p) for p in pkts]
+    outs.append(av.flush())
+    ref = np.concatenate(outs)
+    scale = float(1 << (dec.bits_per_sample - 1))
+    ref_int = np.round(ref * scale).astype(np.int64)
+    m = min(len(ours), len(ref_int))
+    assert m >= 2 * 2 * 4096  # at least two full stereo packets compared
+    np.testing.assert_array_equal(ours[:m].astype(np.int64), ref_int[:m])
