@@ -124,7 +124,8 @@ class WebmAdapter:
 
     def __init__(self) -> None:
         self._demux = WebmAudioDemuxer()
-        self._dec: Optional[AvDecoder] = None
+        self._dec = None
+        self._rate_ch = None
 
     def _ensure_decoder(self):
         from soundkit_tpu.pipeline.output_options import DecodingFailed
@@ -134,8 +135,17 @@ class WebmAdapter:
             return
         if tr.codec_id == "A_OPUS":
             self._dec = AvDecoder("opus", extradata=tr.codec_private)
+            self._rate_ch = None
         elif tr.codec_id == "A_VORBIS":
-            self._dec = AvDecoder("vorbis", extradata=tr.codec_private)
+            # from-scratch Vorbis packet decode (codecs/vorbis_core.py)
+            from soundkit_tpu.codecs.vorbis import (
+                VorbisPacketDecoder,
+                split_xiph_extradata,
+            )
+
+            dec = VorbisPacketDecoder(split_xiph_extradata(tr.codec_private))
+            self._dec = dec
+            self._rate_ch = (dec.sample_rate, dec.channels)
         else:
             raise DecodingFailed(f"unsupported WebM audio codec {tr.codec_id}")
 
@@ -144,6 +154,11 @@ class WebmAdapter:
         self._ensure_decoder()
         if self._dec is None or not packets:
             return []
+        if self._rate_ch is not None:  # vorbis packet decoder
+            outs = [self._dec.decode_packet_f32(p) for p in packets]
+            pcm = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+            rate, ch = self._rate_ch
+            return _audio_i16(f32_to_i16(pcm), rate, ch)
         outs = [self._dec.push(p) for p in packets]
         pcm = np.concatenate(outs) if outs else np.zeros(0, np.float32)
         return _audio_i16(f32_to_i16(pcm), self._dec.rate, self._dec.channels)
@@ -151,6 +166,9 @@ class WebmAdapter:
     def flush(self) -> List[AudioData]:
         if self._dec is None:
             return []
+        if self._rate_ch is not None:
+            rate, ch = self._rate_ch
+            return _audio_i16(f32_to_i16(self._dec.flush()), rate, ch)
         return _audio_i16(
             f32_to_i16(self._dec.flush()), self._dec.rate, self._dec.channels
         )

@@ -57,6 +57,8 @@ extern const uint16_t ff_mpa_freq_tab[3];
 extern const uint16_t ff_mpa_bitrate_tab[2][3][15];
 // mpegaudiodsp_data.o
 extern const int32_t ff_mpa_enwindow[257];
+// vorbis_data.o
+extern const float ff_vorbis_floor1_inverse_db_table[256];
 
 // stub the init helpers the data objects reference but the dumper
 // never calls (only reachable from codec init functions)
@@ -111,6 +113,8 @@ int main() {
     dump("mpa_freq_tab", ff_mpa_freq_tab, sizeof ff_mpa_freq_tab);
     dump("mpa_bitrate_tab", ff_mpa_bitrate_tab, sizeof ff_mpa_bitrate_tab);
     dump("mpa_enwindow", ff_mpa_enwindow, sizeof ff_mpa_enwindow);
+    dump("vorbis_floor1_inverse_db", ff_vorbis_floor1_inverse_db_table,
+         sizeof ff_vorbis_floor1_inverse_db_table);
     printf("ok\n");
     return 0;
 }
@@ -131,7 +135,8 @@ def extract() -> None:
         tdp = Path(td)
         subprocess.run(
             ["ar", "x", ARCHIVE, "aactab.o", "mpegaudiodec_common.o",
-             "mpegaudiodata.o", "mpegaudiodsp_data.o", "mpegaudiotabs.o"],
+             "mpegaudiodata.o", "mpegaudiodsp_data.o", "mpegaudiotabs.o",
+             "vorbis_data.o"],
             cwd=td, check=True,
         )
         globalize = []
@@ -150,7 +155,7 @@ def extract() -> None:
         subprocess.run(
             ["g++", "-O1", f"-DOUTDIR=\"{td}\"", "dumper.cpp",
              "aactab.o", "mpegaudiodec_tables.o", "mpegaudiodata.o",
-             "mpegaudiodsp_data.o", "mpegaudiotabs.o",
+             "mpegaudiodsp_data.o", "mpegaudiotabs.o", "vorbis_data.o",
              # remaining stray refs (av_log etc.) resolve against the
              # shared libs; init helpers are stubbed in the dumper
              "-lavutil", "-lm", "-lpthread",
@@ -196,7 +201,12 @@ def extract() -> None:
             "enwindow": load("mpa_enwindow", "<i4"),
         }
         np.savez(OUT_DIR / "mp3_tables.npz", **mp3)
-    print(f"wrote {OUT_DIR}/aac_tables.npz and mp3_tables.npz")
+
+        vorbis = {
+            "floor1_inverse_db": load("vorbis_floor1_inverse_db", "<f4"),
+        }
+        np.savez(OUT_DIR / "vorbis_tables.npz", **vorbis)
+    print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz")
 
 
 if __name__ == "__main__":
