@@ -55,6 +55,23 @@ def _warp_envelope(env: np.ndarray, warp: float) -> np.ndarray:
     return env[..., i0] * (1.0 - fr) + env[..., i1] * fr
 
 
+def _nearest_peak_np(mag: np.ndarray) -> np.ndarray:
+    """Index of the nearest local spectral maximum per bin [..., K]."""
+    K = mag.shape[-1]
+    lo = np.concatenate([np.full_like(mag[..., :1], -np.inf), mag[..., :-1]], -1)
+    hi = np.concatenate([mag[..., 1:], np.full_like(mag[..., :1], -np.inf)], -1)
+    is_peak = (mag >= lo) & (mag > hi)
+    k = np.arange(K)
+    big = 2 * K
+    ffill = np.maximum.accumulate(np.where(is_peak, k, -1), axis=-1)
+    bfill = np.flip(
+        np.minimum.accumulate(np.flip(np.where(is_peak, k, big), -1), axis=-1), -1
+    )
+    dist_f = np.where(ffill >= 0, k - ffill, big)
+    dist_b = np.where(bfill < big, bfill - k, big)
+    return np.clip(np.where(dist_f <= dist_b, ffill, bfill), 0, K - 1)
+
+
 def stretch_channels(
     channels: np.ndarray, time_ratio: float, envelope_warp: float = 1.0
 ) -> np.ndarray:
@@ -100,6 +117,18 @@ def stretch_channels(
     # synthesis phases: cumulative sum of true_freq * hop_s
     syn_phase = np.cumsum(true_freq * hop_s, axis=1)
     syn_phase += phase[:, :1, :] - syn_phase[:, :1, :]  # anchor first frame
+
+    # identity phase locking (Laroche & Dolson 1999): every bin inherits
+    # its nearest spectral peak's synthesis rotation, keeping the
+    # analysis phase RELATIONSHIPS within each peak region.  Without it
+    # the per-bin phases decorrelate on broadband/transient content and
+    # the overlap-add partially cancels (measured -3.7 dB on the music
+    # fixture; locked: level preserved).
+    nearest = _nearest_peak_np(mag)
+    rot = np.take_along_axis(syn_phase, nearest, -1) - np.take_along_axis(
+        phase, nearest, -1
+    )
+    syn_phase = phase + rot
 
     out_spec = mag * np.exp(1j * syn_phase)
     out_frames = np.fft.irfft(out_spec, n=FRAME, axis=-1) * win
@@ -221,6 +250,26 @@ def stretch_batch_device(x, time_ratio: float, envelope_warp: float = 1.0):
 
     syn_phase = jnp.cumsum(true_freq * hop_s, axis=1)
     syn_phase = syn_phase + (phase[:, :1, :] - syn_phase[:, :1, :])
+
+    # identity phase locking (same as the host path): bins inherit the
+    # nearest spectral peak's synthesis rotation
+    neg = jnp.full_like(mag[..., :1], -jnp.inf)
+    lo = jnp.concatenate([neg, mag[..., :-1]], -1)
+    hi = jnp.concatenate([mag[..., 1:], neg], -1)
+    is_peak = (mag >= lo) & (mag > hi)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    big = 2 * K
+    ffill = jax.lax.cummax(jnp.where(is_peak, kk, -1), axis=2)
+    bfill = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(is_peak, kk, big), -1), axis=2), -1
+    )
+    dist_f = jnp.where(ffill >= 0, kk - ffill, big)
+    dist_b = jnp.where(bfill < big, bfill - kk, big)
+    nearest = jnp.clip(jnp.where(dist_f <= dist_b, ffill, bfill), 0, K - 1)
+    rot = jnp.take_along_axis(syn_phase, nearest, -1) - jnp.take_along_axis(
+        phase, nearest, -1
+    )
+    syn_phase = phase + rot
 
     out_spec = mag * jnp.exp(1j * syn_phase)
     out_frames = jnp.fft.irfft(out_spec, n=FRAME, axis=-1) * win  # [B, T, FRAME]

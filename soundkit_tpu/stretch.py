@@ -104,7 +104,13 @@ def stretch_deinterleaved(
 def stretch_interleaved(
     interleaved: np.ndarray, config: OfflineStretchConfig
 ) -> np.ndarray:
+    config.validate()
     x = np.asarray(interleaved, np.float32)
+    if len(x) % config.channels:
+        raise StretchError(
+            f"interleaved length {len(x)} is not a multiple of "
+            f"{config.channels} channels"
+        )
     n = len(x) // config.channels
     planar = [x[c :: config.channels][:n] for c in range(config.channels)]
     out = stretch_deinterleaved(planar, config)

@@ -46,3 +46,26 @@ def golden():
     if not GOLDEN.is_dir():
         pytest.skip("reference golden corpus not available")
     return GOLDEN
+
+
+# Fast-subset marking: the heaviest modules (batched device paths that
+# jit-compile large programs on the virtual-CPU mesh) carry the `slow`
+# marker so the developer loop can run `pytest -m "not slow"` (~1 min)
+# while CI still runs everything.
+_SLOW_MODULES = {
+    "test_aac_lc",
+    "test_batched_models",
+    "test_fleet",
+    "test_flac_device",
+    "test_mp3_native",
+    "test_resample",
+    "test_stretch",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
