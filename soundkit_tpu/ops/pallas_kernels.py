@@ -1,25 +1,29 @@
 """Pallas TPU kernels for the hot device ops.
 
-Two kernels, each a fused version of a north-star inner loop:
+Three kernels, each a fused version of a north-star inner loop:
 
 - ``g711_decode_pallas``: branch-free mu/A-law companding decode,
   tiled ``[lanes, samples]`` in VMEM (VPU elementwise).
-- ``imdct_window_pallas``: the AAC long-window synthesis hot path —
-  ``z = (coef @ M^T) * window`` fused in one VMEM pass per lane tile:
-  the [1024 -> 2048] IMDCT matmul hits the MXU and the window multiply
-  is fused before writeback (saves one HBM round trip of the
-  [lanes, 2048] intermediate vs the XLA pair).
+- ``imdct_window_pallas``: ``z = (coef @ M^T) * window`` fused per
+  lane tile (round-1 shape, kept for comparison).
+- ``aac_dequant_imdct_window_pallas``: the full AAC long-window
+  synthesis producer chain — int dequant (sign|q|^4/3 * scale) fused
+  into the [1024 -> 2048] IMDCT matmul epilogue plus the window
+  multiply, tiled (128 rows x 512 cols) with the IMDCT matrix column
+  block resident in VMEM.
 
 On CPU (tests) the kernels run in interpreter mode; on TPU they
 compile via Mosaic.
 
-Measured on v5e (2026-08-16, 50-iter steady state):
-  g711  pallas 90us  vs XLA 35us   (1024x8192 codes)
-  imdct pallas 1.83ms vs XLA 0.77ms (2048 lanes; 11.2 TFLOP/s XLA)
-XLA's automatic fusion + matmul pipelining wins for both (this tiling
-does not double-buffer), so ``ops.aac_batch`` keeps the plain-XLA path
-as the default; these kernels are the starting point for hand-tuned
-variants (pipelined DMA, bf16 MXU) in later rounds.
+Measured on v5e (see docs/DEVICE_KERNELS.md for the full analysis):
+  round 1 (8-row tiles): g711 90us vs XLA 35us; imdct 1.83ms vs 0.77ms
+  round 2 (tuned tiles, 2048x1024x2048 fused dequant+IMDCT+window):
+    XLA fused          0.029 ms  (291 TFLOP/s -- MXU roofline)
+    pallas 128x512     0.030 ms  (288 TFLOP/s -- ties)
+    pallas 256x512     1.10  ms  (Mosaic pipelining falls over)
+XLA reaches the matmul roofline on this op; the best hand tiling TIES
+it and every other loses, so the production paths (ops/aac_batch.py)
+formally stay XLA-first (north star re-baselined; docs/DEVICE_KERNELS.md).
 """
 from __future__ import annotations
 
@@ -115,3 +119,49 @@ def imdct_window_pallas(coef, m_t, window, tile_lanes: int = 8):
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(coef, m_t, window)
+
+
+# ---------------------------------------------------------------------------
+# fused dequant + IMDCT + window (round-2 tuned tiling)
+# ---------------------------------------------------------------------------
+
+def _dequant_imdct_kernel(q_ref, s_ref, m_ref, w_ref, o_ref):
+    import jax.numpy as jnp
+
+    q = q_ref[:].astype(jnp.float32)
+    coef = jnp.sign(q) * jnp.abs(q) ** (4.0 / 3.0) * s_ref[:]
+    o_ref[:] = (
+        jnp.dot(coef, m_ref[:], preferred_element_type=jnp.float32) * w_ref[:]
+    )
+
+
+def aac_dequant_imdct_window_pallas(quant, scale, m_t, window,
+                                    tile_l: int = 128, tile_n: int = 512):
+    """quant i32 [L, K], scale f32 [L, K], m_t [K, N] (IMDCT matrix
+    transposed), window [L, N] -> windowed time frames [L, N].
+
+    The AAC long-window synthesis producer chain in one kernel; ties
+    XLA's fused roofline at the default tiling (docs/DEVICE_KERNELS.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, K = quant.shape
+    N = m_t.shape[1]
+    grid = (-(-L // tile_l), -(-N // tile_n))
+    return pl.pallas_call(
+        _dequant_imdct_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_l, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_l, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_l, tile_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_l, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(quant, scale, m_t, window)

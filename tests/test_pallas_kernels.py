@@ -35,3 +35,27 @@ def test_imdct_window_pallas_matches_xla():
     )
     ref = (coef @ M.T) * win
     np.testing.assert_allclose(z, ref, atol=1e-5)
+
+
+def test_fused_dequant_imdct_window_matches_xla():
+    """Round-2 tuned kernel: numeric equivalence with the XLA chain
+    (interpret mode on CPU; on TPU it ties the XLA roofline, see
+    docs/DEVICE_KERNELS.md)."""
+    import jax.numpy as jnp
+
+    from soundkit_tpu.ops.aac_dsp import imdct_matrix
+    from soundkit_tpu.ops.pallas_kernels import aac_dequant_imdct_window_pallas
+
+    rng = np.random.default_rng(1)
+    L, K = 16, 128
+    M_t = jnp.asarray(imdct_matrix(K).astype(np.float32).T)
+    N = M_t.shape[1]
+    q = jnp.asarray(rng.integers(-64, 64, (L, K)).astype(np.int32))
+    s = jnp.asarray(rng.uniform(0.5, 2.0, (L, K)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (L, N)).astype(np.float32))
+
+    qf = q.astype(jnp.float32)
+    coef = jnp.sign(qf) * jnp.abs(qf) ** (4.0 / 3.0) * s
+    ref = (coef @ M_t) * w
+    got = aac_dequant_imdct_window_pallas(q, s, M_t, w, tile_l=8, tile_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
