@@ -3,8 +3,12 @@
 API equivalent of the reference's oxideav-speex ``SpeexDecoder``
 (soundkit-speex/src/lib.rs): own Ogg parsing, Speex header parse at
 fixed offsets (rate@36, mode@40, channels@48, frames/packet@64 —
-lib.rs:29-54), then per-packet decode (libavcodec speex with the header
-packet as extradata).
+lib.rs:29-54), then per-packet decode.
+
+Narrowband (mode 0, mono) packet decode is OWNED
+(codecs/speex_core.py: CELP — LSP VQ, 3-tap adaptive codebook,
+split-shape innovation, LPC synthesis).  Wideband/UWB modes and
+multichannel fall back to libavcodec (documented scope cut).
 """
 from __future__ import annotations
 
@@ -20,35 +24,51 @@ from soundkit_tpu.demux.ogg import OggPacketizer
 class SpeexDecoder:
     def __init__(self) -> None:
         self._pkts = OggPacketizer()
+        self._dec = None        # SpeexNbDecoder (owned path)
         self._av: Optional[AvDecoder] = None
+        self._primed = False
         self._skip_comment = False
         self.sample_rate: Optional[int] = None
         self.channels: Optional[int] = None
         self.mode: Optional[int] = None
         self.frames_per_packet: Optional[int] = None
 
+    def _init_decoder(self, header: bytes) -> None:
+        if self.mode == 0 and self.channels == 1:
+            from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
+
+            self._dec = SpeexNbDecoder()
+        else:
+            self._av = AvDecoder(
+                "speex",
+                sample_rate=self.sample_rate,
+                channels=self.channels,
+                extradata=header,
+            )
+
     def decode_f32(self, data: bytes) -> np.ndarray:
         out = []
         for packet, _g in self._pkts.push(data):
-            if self._av is None:
+            if not self._primed:
                 if len(packet) < 80 or packet[:8] != b"Speex   ":
                     raise ValueError("not a Speex header")
                 self.sample_rate = struct.unpack_from("<I", packet, 36)[0]
                 self.mode = struct.unpack_from("<I", packet, 40)[0]
                 self.channels = struct.unpack_from("<I", packet, 48)[0]
                 self.frames_per_packet = struct.unpack_from("<I", packet, 64)[0]
-                self._av = AvDecoder(
-                    "speex",
-                    sample_rate=self.sample_rate,
-                    channels=self.channels,
-                    extradata=packet,
-                )
+                self._init_decoder(packet)
+                self._primed = True
                 self._skip_comment = True
                 continue
             if self._skip_comment:
                 self._skip_comment = False
                 continue
-            out.append(self._av.push(packet))
+            if self._dec is not None:
+                out.append(
+                    self._dec.decode_packet(packet, self.frames_per_packet or 0)
+                )
+            else:
+                out.append(self._av.push(packet))
         return np.concatenate(out) if out else np.zeros(0, dtype=np.float32)
 
     def decode_i16(self, data: bytes) -> np.ndarray:

@@ -59,6 +59,22 @@ extern const uint16_t ff_mpa_bitrate_tab[2][3][15];
 extern const int32_t ff_mpa_enwindow[257];
 // vorbis_data.o
 extern const float ff_vorbis_floor1_inverse_db_table[256];
+// speexdec.o (globalized locals): NB CELP spec tables
+extern const int8_t cdbk_nb[640];
+extern const int8_t cdbk_nb_low1[320];
+extern const int8_t cdbk_nb_low2[320];
+extern const int8_t cdbk_nb_high1[320];
+extern const int8_t cdbk_nb_high2[320];
+extern const int8_t gain_cdbk_nb[512];
+extern const int8_t gain_cdbk_lbr[128];
+extern const int8_t exc_5_64_table[320];
+extern const int8_t exc_5_256_table[1280];
+extern const int8_t exc_8_128_table[1024];
+extern const int8_t exc_10_16_table[160];
+extern const int8_t exc_10_32_table[320];
+extern const int8_t exc_20_32_table[640];
+extern const float exc_gain_quant_scal1[2];
+extern const float exc_gain_quant_scal3[8];
 
 // stub the init helpers the data objects reference but the dumper
 // never calls (only reachable from codec init functions)
@@ -66,6 +82,7 @@ void ff_kbd_window_init() {}
 void ff_init_ff_sine_windows() {}
 void ff_init_vlc_from_lengths() {}
 void ff_init_vlc_sparse() {}
+void ff_get_buffer() {}
 }
 
 static void dump(const char* name, const void* data, size_t bytes) {
@@ -115,6 +132,22 @@ int main() {
     dump("mpa_enwindow", ff_mpa_enwindow, sizeof ff_mpa_enwindow);
     dump("vorbis_floor1_inverse_db", ff_vorbis_floor1_inverse_db_table,
          sizeof ff_vorbis_floor1_inverse_db_table);
+
+    dump("spx_cdbk_nb", cdbk_nb, sizeof cdbk_nb);
+    dump("spx_cdbk_nb_low1", cdbk_nb_low1, sizeof cdbk_nb_low1);
+    dump("spx_cdbk_nb_low2", cdbk_nb_low2, sizeof cdbk_nb_low2);
+    dump("spx_cdbk_nb_high1", cdbk_nb_high1, sizeof cdbk_nb_high1);
+    dump("spx_cdbk_nb_high2", cdbk_nb_high2, sizeof cdbk_nb_high2);
+    dump("spx_gain_cdbk_nb", gain_cdbk_nb, sizeof gain_cdbk_nb);
+    dump("spx_gain_cdbk_lbr", gain_cdbk_lbr, sizeof gain_cdbk_lbr);
+    dump("spx_exc_5_64", exc_5_64_table, sizeof exc_5_64_table);
+    dump("spx_exc_5_256", exc_5_256_table, sizeof exc_5_256_table);
+    dump("spx_exc_8_128", exc_8_128_table, sizeof exc_8_128_table);
+    dump("spx_exc_10_16", exc_10_16_table, sizeof exc_10_16_table);
+    dump("spx_exc_10_32", exc_10_32_table, sizeof exc_10_32_table);
+    dump("spx_exc_20_32", exc_20_32_table, sizeof exc_20_32_table);
+    dump("spx_exc_gain_scal1", exc_gain_quant_scal1, sizeof exc_gain_quant_scal1);
+    dump("spx_exc_gain_scal3", exc_gain_quant_scal3, sizeof exc_gain_quant_scal3);
     printf("ok\n");
     return 0;
 }
@@ -128,6 +161,14 @@ MP3_LOCALS = [
     "mpa_quad_codes",
 ]
 
+SPEEX_LOCALS = [
+    "cdbk_nb", "cdbk_nb_low1", "cdbk_nb_low2", "cdbk_nb_high1",
+    "cdbk_nb_high2", "gain_cdbk_nb", "gain_cdbk_lbr",
+    "exc_5_64_table", "exc_5_256_table", "exc_8_128_table",
+    "exc_10_16_table", "exc_10_32_table", "exc_20_32_table",
+    "exc_gain_quant_scal1", "exc_gain_quant_scal3",
+]
+
 
 def extract() -> None:
     OUT_DIR.mkdir(parents=True, exist_ok=True)
@@ -136,7 +177,7 @@ def extract() -> None:
         subprocess.run(
             ["ar", "x", ARCHIVE, "aactab.o", "mpegaudiodec_common.o",
              "mpegaudiodata.o", "mpegaudiodsp_data.o", "mpegaudiotabs.o",
-             "vorbis_data.o"],
+             "vorbis_data.o", "speexdec.o"],
             cwd=td, check=True,
         )
         globalize = []
@@ -144,6 +185,18 @@ def extract() -> None:
             globalize += ["--globalize-symbol", sym]
         subprocess.run(
             ["objcopy", *globalize, "mpegaudiodec_common.o", "mpegaudiodec_tables.o"],
+            cwd=td, check=True,
+        )
+        spx_globalize = []
+        for sym in SPEEX_LOCALS:
+            spx_globalize += ["--globalize-symbol", sym]
+        # keep only the data: strip function symbols so the dumper
+        # never links decoder code
+        subprocess.run(
+            ["objcopy", *spx_globalize,
+             "--keep-section=.rodata", "--keep-section=.rodata.cst4",
+             "--keep-section=.symtab",
+             "speexdec.o", "speex_tables.o"],
             cwd=td, check=True,
         )
         # localize everything we don't need to avoid dragging in deps:
@@ -156,6 +209,7 @@ def extract() -> None:
             ["g++", "-O1", f"-DOUTDIR=\"{td}\"", "dumper.cpp",
              "aactab.o", "mpegaudiodec_tables.o", "mpegaudiodata.o",
              "mpegaudiodsp_data.o", "mpegaudiotabs.o", "vorbis_data.o",
+             "speex_tables.o",
              # remaining stray refs (av_log etc.) resolve against the
              # shared libs; init helpers are stubbed in the dumper
              "-lavutil", "-lm", "-lpthread",
@@ -206,7 +260,26 @@ def extract() -> None:
             "floor1_inverse_db": load("vorbis_floor1_inverse_db", "<f4"),
         }
         np.savez(OUT_DIR / "vorbis_tables.npz", **vorbis)
-    print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz")
+
+        spx = {
+            "cdbk_nb": load("spx_cdbk_nb", "i1").reshape(64, 10),
+            "cdbk_nb_low1": load("spx_cdbk_nb_low1", "i1").reshape(64, 5),
+            "cdbk_nb_low2": load("spx_cdbk_nb_low2", "i1").reshape(64, 5),
+            "cdbk_nb_high1": load("spx_cdbk_nb_high1", "i1").reshape(64, 5),
+            "cdbk_nb_high2": load("spx_cdbk_nb_high2", "i1").reshape(64, 5),
+            "gain_cdbk_nb": load("spx_gain_cdbk_nb", "i1").reshape(128, 4),
+            "gain_cdbk_lbr": load("spx_gain_cdbk_lbr", "i1").reshape(32, 4),
+            "exc_5_64": load("spx_exc_5_64", "i1").reshape(64, 5),
+            "exc_5_256": load("spx_exc_5_256", "i1").reshape(256, 5),
+            "exc_8_128": load("spx_exc_8_128", "i1").reshape(128, 8),
+            "exc_10_16": load("spx_exc_10_16", "i1").reshape(16, 10),
+            "exc_10_32": load("spx_exc_10_32", "i1").reshape(32, 10),
+            "exc_20_32": load("spx_exc_20_32", "i1").reshape(32, 20),
+            "exc_gain_scal1": load("spx_exc_gain_scal1", "<f4"),
+            "exc_gain_scal3": load("spx_exc_gain_scal3", "<f4"),
+        }
+        np.savez(OUT_DIR / "speex_tables.npz", **spx)
+    print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz, speex_tables.npz")
 
 
 if __name__ == "__main__":

@@ -228,3 +228,63 @@ def test_gsm_wav49_bitexact_vs_avcodec():
     m = min(len(ref_i16), len(out))
     assert m >= 320
     np.testing.assert_array_equal(out[:m], ref_i16[:m])
+
+
+def test_speex_nb_own_decode_vs_oracle():
+    """From-scratch Speex NB CELP decode (codecs/speex_core.py) vs the
+    avcodec oracle.  The oracle applies the multicomb enhancer (its
+    decoder offers no plain mode), which delays the output by one
+    subframe (40 samples) and reshapes the excitation; 17 dB at the
+    enhancer offset is the closest ANY two independent speex decoders
+    get on this corpus (the reference's own golden scores only ~3 dB
+    against avcodec), so the bar asserts structural correctness:
+    best-fit gain near unity and SNR far above the cross-decoder
+    baseline."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
+    from soundkit_tpu.demux.ogg import OggPacketizer
+
+    data = open(
+        "/root/reference/testdata/speex/A_Tusk_is_used_to_make_costly_gifts.spx",
+        "rb",
+    ).read()
+    packets = [p for p, _ in OggPacketizer().push(data)]
+    av = AvDecoder("speex", extradata=packets[0])
+    outs = [av.push(p) for p in packets[2:]]
+    outs.append(av.flush())
+    ref = np.concatenate(outs).astype(np.float64)
+
+    dec = SpeexNbDecoder()
+    mine = np.concatenate(
+        [dec.decode_packet(p, 1) for p in packets[2:]]
+    ).astype(np.float64)
+    assert len(mine) == len(ref)
+
+    a, b = mine[:-40], ref[40:]  # oracle's enhancer lookahead
+    m = min(len(a), len(b))
+    a, b = a[:m], b[:m]
+    s = np.dot(a, b) / np.dot(a, a)
+    err = s * a - b
+    snr = 10 * np.log10(np.dot(b, b) / max(np.dot(err, err), 1e-18))
+    assert 0.8 < s < 1.3, f"gain mismatch: best-fit scale {s:.3f}"
+    assert snr > 14.0, f"speex NB decode SNR {snr:.1f} dB vs enhanced oracle"
+
+
+def test_speex_stream_decoder_uses_own_core():
+    """The streaming SpeexDecoder must route NB mono through the owned
+    core (no avcodec) and still satisfy the corpus duration/level."""
+    from soundkit_tpu.codecs.speex import SpeexDecoder
+
+    data = open(
+        "/root/reference/testdata/speex/A_Tusk_is_used_to_make_costly_gifts.spx",
+        "rb",
+    ).read()
+    dec = SpeexDecoder()
+    pcm = np.concatenate(
+        [dec.decode_f32(data[i : i + 997]) for i in range(0, len(data), 997)]
+    )
+    assert dec._dec is not None and dec._av is None, "avcodec fallback taken"
+    assert dec.sample_rate == 8000 and dec.mode == 0
+    assert len(pcm) == 23680
+    rms = np.sqrt(np.mean(pcm**2))
+    assert rms > 1e-3, f"decoded to near-silence rms={rms}"
