@@ -311,6 +311,10 @@ struct Decoder {
             if (element == 0 || element == 3) nch = 1;       // SCE / LFE
             else if (element == 1) nch = 2;                   // CPE
             else { fail("unsupported element"); return -1; }
+            if (ch_done + nch > channels) {  // buffers sized for `channels`
+                fail("element exceeds channel count");
+                return -1;
+            }
             br.get(4);  // instance tag
             long got = decode_element(br, nch, ch_done);
             if (got < 0) return -1;

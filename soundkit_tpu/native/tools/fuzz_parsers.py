@@ -1,4 +1,4 @@
-"""Fuzz the C++ host parsers (AAC/MP3/FLAC) for crash-safety.
+"""Fuzz the C++ host parsers (AAC/MP3/FLAC/GSM/ALAC) for crash-safety.
 
 Serving ingests hostile bytes; the parsers must reject malformed
 input without memory errors.  This harness builds an
@@ -58,11 +58,27 @@ lib.skt_flac_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
 lib.skt_flac_push.restype = ctypes.c_int
 lib.skt_flac_pull.argtypes = [ctypes.c_void_p, i32p, ctypes.c_long]
 lib.skt_flac_pull.restype = ctypes.c_long
+lib.skt_gsm_new.restype = ctypes.c_void_p
+lib.skt_gsm_new.argtypes = [ctypes.c_int]
+lib.skt_gsm_free.argtypes = [ctypes.c_void_p]
+lib.skt_gsm_decode.restype = ctypes.c_long
+lib.skt_gsm_decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, i16p]
+lib.skt_alac_new.restype = ctypes.c_void_p
+lib.skt_alac_new.argtypes = [ctypes.c_char_p, ctypes.c_long]
+lib.skt_alac_free.argtypes = [ctypes.c_void_p]
+lib.skt_alac_frame_length.restype = ctypes.c_long
+lib.skt_alac_frame_length.argtypes = [ctypes.c_void_p]
+lib.skt_alac_channels.restype = ctypes.c_int
+lib.skt_alac_channels.argtypes = [ctypes.c_void_p]
+lib.skt_alac_decode.restype = ctypes.c_long
+lib.skt_alac_decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, i32p]
 
 corpora = {
     "aac": open("/root/reference/golden/aac/A_Tusk_is_used_to_make_costly_gifts_encoded.aac","rb").read(),
     "mp3": open("/root/reference/testdata/mp3/A_Tusk_is_used_to_make_costly_gifts.mp3","rb").read(),
     "flac": open("/root/reference/testdata/flac/A_Tusk_is_used_to_make_costly_gifts.flac","rb").read(),
+    "gsm": open("/root/reference/testdata/gsm/A_Tusk_is_used_to_make_costly_gifts.gsm","rb").read(),
+    "alac": open("/root/reference/testdata/alac/A_Tusk_is_used_to_make_costly_gifts.m4a","rb").read(),
 }
 
 def mutate(data: bytes) -> bytes:
@@ -134,7 +150,41 @@ def fuzz_flac(data):
                 break
     lib.skt_flac_free(h)
 
-fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac}
+def fuzz_gsm(data):
+    h = lib.skt_gsm_new(rng.randrange(2))
+    out = np.zeros((len(data)//33 + 2) * 320 + 320, np.int16)
+    lib.skt_gsm_decode(h, data, len(data), out)
+    lib.skt_gsm_free(h)
+
+ALAC_COOKIE = bytes.fromhex(
+    "00000024616c616300000000000010000010280a0e010000000020040001f40000001f40"
+)
+
+def fuzz_alac(data):
+    # half real cookie (mutated packets penetrate the full decode),
+    # half random cookie bytes (config-parse hardening)
+    if rng.random() < 0.5:
+        cookie = ALAC_COOKIE
+    else:
+        cookie = bytes(rng.randbytes(rng.choice([12, 24, 36, 48])))
+    h = lib.skt_alac_new(cookie, len(cookie))
+    if not h:
+        return
+    fl = lib.skt_alac_frame_length(h)
+    ch = lib.skt_alac_channels(h)
+    out = np.zeros(max(fl * ch, 1), np.int32)
+    pos = 0
+    for _ in range(4):
+        n = rng.randrange(1, 4096)
+        pkt = data[pos:pos+n]
+        if not pkt:
+            break
+        lib.skt_alac_decode(h, pkt, len(pkt), out)
+        pos += n
+    lib.skt_alac_free(h)
+
+fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac,
+       "gsm": fuzz_gsm, "alac": fuzz_alac}
 for it in range(iters):
     kind = rng.choice(list(fns))
     fns[kind](mutate(corpora[kind]))
