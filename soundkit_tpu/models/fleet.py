@@ -59,6 +59,10 @@ class _BatchedGroup:
             from soundkit_tpu.models.flac_batch import BatchedFlacDecoder
 
             self._model = BatchedFlacDecoder(self.capacity)
+        elif self.kind == "vorbis":
+            from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
+
+            self._model = BatchedVorbisDecoder(self.capacity)
         else:
             raise ValueError(self.kind)
         return self._model
@@ -111,7 +115,7 @@ class StreamFleet:
         self.channels = channels
         self._groups: Dict[str, _BatchedGroup] = {
             k: _BatchedGroup(k, capacity_per_group, channels)
-            for k in ("aac", "mp3", "flac")
+            for k in ("aac", "mp3", "flac", "vorbis")
         }
         self._lanes: Dict[str, _Lane] = {}
         self._detect: Dict[str, bytearray] = {}
@@ -152,6 +156,7 @@ class StreamFleet:
             AudioType.AAC: "aac",
             AudioType.MP3: "mp3",
             AudioType.FLAC: "flac",
+            AudioType.OGG_VORBIS: "vorbis",
         }.get(detect_audio(buf))
         if kind is not None:
             lane_idx = self._groups[kind].alloc()
@@ -208,6 +213,16 @@ class StreamFleet:
             ready_before = {
                 sid: group.lane_ready(ln.index) for sid, ln in active.items()
             }
+            if kind == "vorbis":
+                # ragged per-lane PCM lists (packet output length varies
+                # with the neighboring block sizes)
+                per_lane = group.decode(n)
+                for sid, ln in active.items():
+                    pcm = per_lane[ln.index]
+                    if pcm.shape[-1]:
+                        out[sid] = pcm.astype(np.float32)
+                        ln.produced += 1
+                continue
             if kind == "flac":
                 samples, metas = group.decode(n)
                 for sid, ln in active.items():

@@ -129,3 +129,22 @@ class BatchedVorbisDecoder:
 
     def decode_ready(self) -> List[np.ndarray]:
         return self.decode_batches(self.ready_frames)
+
+    # -- fleet group interface (models/fleet.py) ---------------------------
+
+    def lane_ready(self, b: int) -> int:
+        return len(self._lanes[b].queue)
+
+    def lane_sample_rate(self, b: int) -> Optional[int]:
+        setup = self._lanes[b].setup
+        return setup.sample_rate if setup else None
+
+    def reset_lane(self, b: int) -> None:
+        """Recycle lane ``b``: fresh Ogg/header state and zeroed device
+        lap carry, so no audio bleeds from the previous occupant.  The
+        new stream must share the group topology (blocksizes/channels);
+        a mismatch raises at header parse."""
+        self._lanes[b] = _Lane()
+        if self._state is not None:
+            carry, cflag = self._state
+            self._state = (carry.at[b].set(0.0), cflag.at[b].set(1))
