@@ -52,7 +52,23 @@ def main() -> None:
         "rb",
     ).read()
     stream = AdtsStream()
-    aus = stream.push(data)
+    aus = list(stream.push(data))
+    # widen the distinct-content pool with the second 16 kHz AAC-LC
+    # fixture (raw AUs from the MP4 sample table, same sr_index)
+    try:
+        from soundkit_tpu.demux.mp4 import demux_mp4_audio
+
+        track = demux_mp4_audio(
+            open(
+                "/root/reference/testdata/mac_aac/"
+                "A_Tusk_is_used_to_make_costly_gifts.m4a",
+                "rb",
+            ).read()
+        )
+        if track.sample_rate == 16000:
+            aus += list(track.samples)
+    except Exception:
+        pass
     n = len(aus)
     parser = NativeAacParser(stream.sr_index)
 
@@ -80,18 +96,19 @@ def main() -> None:
     audio_seconds = B * 1024 / rate
     ex = ThreadPoolExecutor(1)
     best = 0.0
+    n_batches = 46  # fixed per-pass work regardless of AU pool size
     for _ in range(3):
         s, p = init()
         fut = ex.submit(parse, 0)
         t0 = time.perf_counter()
-        for t in range(n):
+        for t in range(n_batches):
             buf, _overflow = fut.result()
             fut = ex.submit(parse, t + 1)  # parse next batch in parallel
             pcm, s, p = step(buf, p, s)
             pcm.block_until_ready()
         elapsed = time.perf_counter() - t0
         fut.result()
-        best = max(best, n * audio_seconds / elapsed)
+        best = max(best, n_batches * audio_seconds / elapsed)
     x_realtime = best
 
     print(
