@@ -324,3 +324,26 @@ def test_mixed_rate_mp3_group_reports_per_lane_rates():
         assert snr > 90, f"lane {lane} ({m.lane_sample_rate(lane)} Hz): {snr:.1f} dB"
     m.reset_lane(1)
     assert m.lane_sample_rate(1) is None
+
+
+def test_aac_model_falls_back_when_v3_overflows(monkeypatch, golden):
+    """When the v3 wire's escape/run budgets overflow, the serving
+    model must silently fall back to the compact wire and keep
+    decoding correctly."""
+    import soundkit_tpu.models.aac_lc_batch as mod
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    golden_adts = (
+        golden / "aac" / "A_Tusk_is_used_to_make_costly_gifts_encoded.aac"
+    ).read_bytes()
+    ref = BatchedAacLcDecoder(1)
+    ref.push(0, golden_adts)
+    want = np.asarray(ref.decode_batches(4))
+
+    forced = BatchedAacLcDecoder(1)
+    monkeypatch.setattr(
+        mod.BatchedAacLcDecoder, "_try_v3", lambda self, aus: None
+    )
+    forced.push(0, golden_adts)
+    got = np.asarray(forced.decode_batches(4))
+    np.testing.assert_allclose(got, want, atol=1e-5)
