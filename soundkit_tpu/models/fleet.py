@@ -84,6 +84,13 @@ class _BatchedGroup:
     def lane_ready(self, lane: int) -> int:
         return self._ensure().lane_ready(lane)
 
+    def lane_configured(self, lane: int) -> bool:
+        """True once the lane can no longer reject the stream (only the
+        Vorbis model has a per-group topology constraint)."""
+        m = self._ensure()
+        fn = getattr(m, "lane_configured", None)
+        return True if fn is None else fn(lane)
+
     def lane_sample_rate(self, lane: int) -> Optional[int]:
         if self._model is None:
             return None
@@ -119,6 +126,10 @@ class StreamFleet:
         }
         self._lanes: Dict[str, _Lane] = {}
         self._detect: Dict[str, bytearray] = {}
+        # raw bytes of lane streams whose group can still reject them
+        # (Vorbis topology, confirmed only at header parse) — kept so a
+        # rejected stream can be replayed into a host fallback
+        self._pretopo: Dict[str, bytearray] = {}
         self._fallback: Dict[str, object] = {}
         self._ended: Dict[str, bool] = {}
         self._pending_out: Dict[str, List[np.ndarray]] = {}
@@ -132,8 +143,7 @@ class StreamFleet:
     def push(self, stream_id: str, data: bytes) -> None:
         self._ended.setdefault(stream_id, False)
         if stream_id in self._lanes:
-            lane = self._lanes[stream_id]
-            self._groups[lane.group].push(lane.index, data)
+            self._push_lane(stream_id, data)
             return
         if stream_id in self._fallback:
             self._feed_fallback(stream_id, data)
@@ -142,6 +152,34 @@ class StreamFleet:
         buf.extend(data)
         if len(buf) >= MIN_DETECT:
             self._route(stream_id)
+
+    def _push_lane(self, stream_id: str, data: bytes) -> None:
+        """Feed a lane-routed stream; if the model rejects it at header
+        parse (Vorbis topology mismatch), free the lane and replay the
+        stream's bytes into a per-stream host fallback instead of
+        raising out of push (the stream decoded fine pre-batching)."""
+        from soundkit_tpu.models.vorbis_batch import TopologyMismatch
+
+        ln = self._lanes[stream_id]
+        group = self._groups[ln.group]
+        pre = self._pretopo.get(stream_id)
+        if pre is not None:
+            pre.extend(data)
+        try:
+            group.push(ln.index, data)
+        except TopologyMismatch:
+            group.release(ln.index)
+            del self._lanes[stream_id]
+            raw = bytes(self._pretopo.pop(stream_id, data))
+            from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+
+            self._fallback[stream_id] = StreamDecoder()
+            self._feed_fallback(stream_id, raw)
+            if self._ended.get(stream_id):
+                self._feed_fallback(stream_id, b"")
+            return
+        if pre is not None and group.lane_configured(ln.index):
+            del self._pretopo[stream_id]
 
     def end_stream(self, stream_id: str) -> None:
         if stream_id in self._detect:
@@ -162,7 +200,9 @@ class StreamFleet:
             lane_idx = self._groups[kind].alloc()
             if lane_idx is not None:
                 self._lanes[stream_id] = _Lane(kind, lane_idx)
-                self._groups[kind].push(lane_idx, buf)
+                if kind == "vorbis":
+                    self._pretopo[stream_id] = bytearray()
+                self._push_lane(stream_id, buf)
                 return
         # unknown codec or group full: per-stream host pipeline
         from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
@@ -277,6 +317,7 @@ class StreamFleet:
                     self._groups[ln.group].release(ln.index)
                     del self._lanes[sid]
                     del self._ended[sid]
+                    self._pretopo.pop(sid, None)
             elif sid in self._fallback:
                 if not self._pending_out.get(sid):
                     del self._fallback[sid]

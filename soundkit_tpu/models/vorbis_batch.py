@@ -23,6 +23,14 @@ from soundkit_tpu.demux.ogg import OggPacketizer
 from soundkit_tpu.ops import vorbis_batch as vb
 
 
+class TopologyMismatch(ValueError):
+    """A lane's stream headers disagree with the model topology.
+
+    Raised from ``push`` at header-parse time; callers that multiplex
+    arbitrary streams (models/fleet.py) catch this, free the lane, and
+    reroute the stream to a per-stream host decoder."""
+
+
 class _Lane:
     def __init__(self) -> None:
         self.pkts = OggPacketizer()
@@ -38,7 +46,8 @@ class BatchedVorbisDecoder:
         self._lanes = [_Lane() for _ in range(num_streams)]
         self._step = None
         self._topology = None  # (n0, n1, channels)
-        self._state = None
+        self._state = None  # device [B, C, n1//2] lap carry
+        self._cflag = None  # host [B] previous-block-size flags
 
     def push(self, stream_idx: int, data: bytes) -> None:
         lane = self._lanes[stream_idx]
@@ -55,7 +64,11 @@ class BatchedVorbisDecoder:
                     if self._topology is None:
                         self._topology = topo
                     elif topo != self._topology:
-                        raise ValueError(
+                        # leave the lane unconfigured so a later
+                        # reset_lane/alloc starts clean
+                        lane.setup = None
+                        lane.headers = []
+                        raise TopologyMismatch(
                             f"lane {stream_idx} topology {topo} != model "
                             f"topology {self._topology}"
                         )
@@ -68,14 +81,34 @@ class BatchedVorbisDecoder:
     def ready_frames(self) -> int:
         return min(len(lane.queue) for lane in self._lanes)
 
-    def decode_batches(self, n_batches: int) -> List[np.ndarray]:
-        """Decode ``n_batches`` lockstep packets; returns per-lane PCM
-        arrays [C, samples] concatenated over the batches.  Lanes with
-        empty queues decode nothing that step (state frozen)."""
+    def decode_batches(
+        self, n_batches: int, device_out: bool = False
+    ) -> List:
+        """Decode ``n_batches`` lockstep packets.
+
+        Default: per-lane host PCM arrays [C, samples] concatenated
+        over the batches.  Lanes with empty queues decode nothing that
+        step (state frozen).
+
+        ``device_out=True`` skips the d2h PCM fetch entirely and
+        returns ``(outs, lens)`` where ``outs`` is a list of
+        ``n_batches`` device arrays [B, C, n1//2] and ``lens`` a host
+        [n_batches, B] int array of valid lengths — for callers that
+        keep post-processing on device (the fetch of a [1024, C, 1024]
+        f32 buffer crosses the tunnel's d2h stall cliff).
+
+        The carry_flag (previous block size per lane) is pure host
+        bookkeeping — new_flag = n_flag where a packet arrived — so it
+        lives host-side; only the f32 lap carry stays on device.
+        """
         import jax
         import jax.numpy as jnp
 
+        from soundkit_tpu.utils.wire import from_device_chunked
+
         if self._topology is None:
+            if device_out:
+                return [], np.zeros((0, self.B), dtype=np.int32)
             return [np.zeros((0, 0)) for _ in range(self.B)]
         n0, n1, C = self._topology
         h1 = n1 // 2
@@ -84,9 +117,12 @@ class BatchedVorbisDecoder:
                 lambda *a: vb.vorbis_synth_step(*a, n0=n0, n1=n1)
             )
             carry, cflag = vb.init_state(self.B, C, n1)
-            self._state = (jnp.asarray(carry), jnp.asarray(cflag))
+            self._state = jnp.asarray(carry)
+            self._cflag = cflag  # host-side, never round-tripped
 
         outs = [[] for _ in range(self.B)]
+        dev_outs: List = []
+        dev_lens: List[np.ndarray] = []
         for _ in range(n_batches):
             spec = np.zeros((self.B, C, h1), dtype=np.float32)
             n_flag = np.ones(self.B, dtype=np.int32)
@@ -94,8 +130,7 @@ class BatchedVorbisDecoder:
             nf = np.ones(self.B, dtype=np.int32)
             valid = np.zeros(self.B, dtype=bool)
             primed = np.zeros(self.B, dtype=bool)
-            carry, cflag = self._state
-            cflag_host = np.array(cflag)  # mutable copy
+            cflag_host = self._cflag
             for b, lane in enumerate(self._lanes):
                 primed[b] = lane.primed
                 if not lane.queue:
@@ -111,17 +146,37 @@ class BatchedVorbisDecoder:
                     # prime: treat prev block as same-size (d = n/2)
                     cflag_host[b] = n_flag[b]
                     lane.primed = True
-            out, out_len, carry, cflag = self._step(
+            out, out_len, carry, _ = self._step(
                 jnp.asarray(spec), jnp.asarray(n_flag), jnp.asarray(pf),
                 jnp.asarray(nf), jnp.asarray(valid), jnp.asarray(primed),
-                carry, jnp.asarray(cflag_host),
+                self._state, jnp.asarray(cflag_host),
             )
-            self._state = (carry, cflag)
-            out_np = np.asarray(out)
-            len_np = np.asarray(out_len)
+            self._state = carry
+            # host mirror of the step's new_carry_flag
+            self._cflag = np.where(valid, n_flag, cflag_host).astype(np.int32)
+            # host-computable lengths: no device fetch needed
+            prev_n = np.where(cflag_host == 1, n1, n0)
+            cur_n = np.where(n_flag == 1, n1, n0)
+            len_np = np.where(valid & primed, prev_n // 4 + cur_n // 4, 0)
+            del out_len  # device twin of len_np
+            if device_out:
+                dev_outs.append(out)
+                dev_lens.append(len_np)
+                continue
+            mx = int(len_np.max()) if len_np.size else 0
+            if mx == 0:
+                continue
+            out_np = from_device_chunked(out[..., :mx])
             for b in range(self.B):
                 if len_np[b] > 0:
                     outs[b].append(out_np[b, :, : len_np[b]])
+        if device_out:
+            lens = (
+                np.stack(dev_lens)
+                if dev_lens
+                else np.zeros((0, self.B), dtype=np.int32)
+            )
+            return dev_outs, lens
         return [
             np.concatenate(o, axis=-1) if o else np.zeros((C, 0))
             for o in outs
@@ -135,6 +190,11 @@ class BatchedVorbisDecoder:
     def lane_ready(self, b: int) -> int:
         return len(self._lanes[b].queue)
 
+    def lane_configured(self, b: int) -> bool:
+        """True once lane ``b``'s headers parsed and matched the model
+        topology (past the point where TopologyMismatch can raise)."""
+        return self._lanes[b].setup is not None
+
     def lane_sample_rate(self, b: int) -> Optional[int]:
         setup = self._lanes[b].setup
         return setup.sample_rate if setup else None
@@ -146,5 +206,5 @@ class BatchedVorbisDecoder:
         a mismatch raises at header parse."""
         self._lanes[b] = _Lane()
         if self._state is not None:
-            carry, cflag = self._state
-            self._state = (carry.at[b].set(0.0), cflag.at[b].set(1))
+            self._state = self._state.at[b].set(0.0)
+            self._cflag[b] = 1

@@ -1074,7 +1074,12 @@ struct Parser {
                 for (int g = 0; g < ii.num_window_groups; ++g) {
                     for (int w = 0; w < ii.group_lens[g]; ++w) {
                         for (int s = 0; s < ii.max_sfb; ++s) {
-                            int bt1 = ics1.band_type[g][s];
+                            // intensity/MS need a shared ics_info (14496-3
+                            // 4.6.8.2); with common==0 ics1's grouping may
+                            // differ from ics0's, so reading ics1.band_type
+                            // indexed by ics0's (g,s) would touch rows
+                            // decode_ics never initialized
+                            int bt1 = common ? ics1.band_type[g][s] : 0;
                             int lo = ii.swb[s], hi = ii.swb[s + 1];
                             bool is_int = bt1 == 14 || bt1 == 15;
                             if (is_int) {
@@ -1192,7 +1197,8 @@ struct Parser {
                 int wbase = 0;
                 for (int g = 0; g < ii.num_window_groups; ++g) {
                     for (int s = 0; s < ii.max_sfb; ++s) {
-                        int bt1 = ics1.band_type[g][s];
+                        // common==0: skip pair tools (see v3 CPE note)
+                        int bt1 = common ? ics1.band_type[g][s] : 0;
                         int lo = ii.swb[s], hi = ii.swb[s + 1];
                         bool is_int = bt1 == 14 || bt1 == 15;
                         for (int w = 0; w < ii.group_lens[g]; ++w) {
@@ -1319,7 +1325,8 @@ struct Parser {
                 int wbase = 0;
                 for (int g = 0; g < ii.num_window_groups; ++g) {
                     for (int s = 0; s < ii.max_sfb; ++s) {
-                        int bt1 = ics1.band_type[g][s];
+                        // common==0: skip pair tools (see v3 CPE note)
+                        int bt1 = common ? ics1.band_type[g][s] : 0;
                         int lo = ii.swb[s], hi = ii.swb[s + 1];
                         bool is_int = bt1 == 14 || bt1 == 15;
                         for (int w = 0; w < ii.group_lens[g]; ++w) {

@@ -120,7 +120,9 @@ struct Decoder {
             int16_t xMp[13];
             int16_t t1 = FAC[mant];
             int16_t t2 = gsub(6, exp);
-            int16_t t3 = (int16_t)(1 << gsub(t2, 1));
+            // exp==6 gives t2==0; libgsm's gsm_asl(1,-1) is defined as 0
+            // there, while 1<<-1 is UB — guard the shift explicitly
+            int16_t t3 = t2 > 0 ? (int16_t)(1 << (t2 - 1)) : (int16_t)0;
             for (int i = 0; i < 13; ++i) {
                 int16_t temp = (int16_t)((f.xMc[j][i] << 1) - 7);  // [-7, 7]
                 temp = (int16_t)(temp << 12);

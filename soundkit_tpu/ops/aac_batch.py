@@ -272,7 +272,27 @@ def aac_decode_frame_device(
 ):
     """One frame for all streams. Returns (pcm [B, C, 1024], new_saved,
     new_prev_shape).  All inputs jnp arrays; jit this.
+
+    Matmul precision is pinned to float32: the TPU MXU's default
+    bfloat16 passes would cap IMDCT accuracy near ~40 dB, silently
+    failing the >90 dB oracle bars that the CPU-backed tests assert.
+    The IMDCT is ~0.04 ms/batch against an 8-10 ms host parse, so the
+    ~6x fp32 matmul cost is invisible end to end.
     """
+    import jax
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("float32"):
+        return _aac_decode_frame_device(
+            quant, scale, ms_mask, int_factor, perm, filt_id, lpc, seq,
+            shape, prev_shape, chan_valid, saved,
+        )
+
+
+def _aac_decode_frame_device(
+    quant, scale, ms_mask, int_factor, perm, filt_id, lpc, seq, shape,
+    prev_shape, chan_valid, saved,
+):
     import jax.numpy as jnp
 
     B, C, N = quant.shape

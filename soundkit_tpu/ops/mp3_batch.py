@@ -118,7 +118,20 @@ def mp3_granule_device(quant, scale, ms, block_type, mixed, n_alias_sb,
 
     Returns (pcm [B, C, 576], new_overlap [B, C, 32, 18],
     new_v_fifo [B, C, 1024]).  jit me.
+
+    Matmul precision pinned to float32 (see aac_batch: the MXU's bf16
+    default would cap IMDCT/polyphase accuracy well below the oracle
+    bars; the cost is invisible next to the host parse).
     """
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        return _mp3_granule_device(quant, scale, ms, block_type, mixed,
+                                   n_alias_sb, lane_valid, overlap, v_fifo)
+
+
+def _mp3_granule_device(quant, scale, ms, block_type, mixed, n_alias_sb,
+                        lane_valid, overlap, v_fifo):
     import jax.numpy as jnp
 
     B, C, _ = quant.shape

@@ -158,6 +158,7 @@ def resample(x, in_rate: int, out_rate: int):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # bf16 conv would degrade SNR
     )  # [B, L, n_c]
     out = out[:, :, :n_cycles]
     out = jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], n_cycles * L)
@@ -199,6 +200,7 @@ def resample_stateful(x, hist, in_rate: int, out_rate: int):
         xp, jnp.asarray(kern), window_strides=(M,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # bf16 conv would degrade SNR
     )
     out = out[:, :, :n_cycles]
     out = jnp.transpose(out, (0, 2, 1)).reshape(x.shape[0], n_cycles * L)[:, :n_out]

@@ -73,7 +73,20 @@ def vorbis_synth_step(spec, n_flag, prev_flag, next_flag, valid, primed,
 
     Returns (out [B, C, n1//2], out_len [B], new_carry, new_carry_flag).
     out[:, :, :out_len[b]] are lane b's finished samples.
+
+    Matmul precision pinned to float32 (see aac_batch: the MXU's bf16
+    default would cap IMDCT accuracy well below the oracle bars).
     """
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        return _vorbis_synth_step(spec, n_flag, prev_flag, next_flag,
+                                  valid, primed, carry, carry_flag,
+                                  n0=n0, n1=n1)
+
+
+def _vorbis_synth_step(spec, n_flag, prev_flag, next_flag, valid, primed,
+                       carry, carry_flag, n0: int, n1: int):
     import jax.numpy as jnp
 
     B, C, _ = spec.shape

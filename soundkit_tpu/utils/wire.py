@@ -23,6 +23,9 @@ import numpy as np
 # robust to tunnel-side variance run to run.
 WIRE_CHUNK_BYTES = int(os.environ.get("SKT_WIRE_CHUNK_BYTES", 3_500_000))
 
+# d2h stalls at a lower threshold than h2d (~1-2 MB, CLAUDE.md).
+D2H_CHUNK_BYTES = int(os.environ.get("SKT_D2H_CHUNK_BYTES", 1_000_000))
+
 
 def to_device_chunked(buf: np.ndarray, chunk_bytes: int | None = None):
     """Transfer a 1-D uint8 wire buffer in sub-cliff chunks.
@@ -43,3 +46,23 @@ def to_device_chunked(buf: np.ndarray, chunk_bytes: int | None = None):
     step = -(-n // k)
     parts = [jnp.asarray(buf[i : i + step]) for i in range(0, n, step)]
     return jnp.concatenate(parts)
+
+
+def from_device_chunked(arr, chunk_bytes: int | None = None) -> np.ndarray:
+    """Fetch a device array in sub-cliff chunks along axis 0.
+
+    The d2h direction stalls even harder than h2d above ~1-2 MB
+    (CLAUDE.md tunnel notes), so batched outputs ([B, ...] lanes) are
+    sliced into lane-chunks that each stay under the cliff and fetched
+    as separate transfers.
+    """
+    chunk = chunk_bytes or D2H_CHUNK_BYTES
+    total = int(np.prod(arr.shape)) * arr.dtype.itemsize
+    if total <= chunk or arr.shape[0] <= 1:
+        return np.asarray(arr)
+    per_row = max(total // arr.shape[0], 1)
+    step = max(chunk // per_row, 1)
+    parts = [
+        np.asarray(arr[i : i + step]) for i in range(0, arr.shape[0], step)
+    ]
+    return np.concatenate(parts, axis=0)

@@ -217,3 +217,64 @@ def test_fleet_routes_vorbis_to_batched_group():
     fleet.end_stream("v3")
     out3 = fleet.collect()
     assert "v3" in out3 and out3["v3"].shape[-1] > 20000
+
+
+def test_fleet_vorbis_topology_mismatch_reroutes_to_fallback():
+    """ADVICE r2 high #2: a Vorbis stream whose headers disagree with
+    the group's pinned (blocksize0, blocksize1, channels) topology must
+    not raise out of push — the fleet frees the lane and replays the
+    stream into a per-stream host fallback."""
+    ogg = open(
+        "/root/reference/testdata/vorbis/A_Tusk_is_used_to_make_costly_gifts.ogg",
+        "rb",
+    ).read()
+    fleet = StreamFleet(capacity_per_group=2)
+    group = fleet._groups["vorbis"]
+    # simulate a previous occupant that pinned a different topology
+    group._ensure()._topology = (256, 512, 1)
+
+    for i in range(0, len(ogg), 4096):
+        fleet.push("vx", ogg[i : i + 4096])  # must not raise
+    fleet.end_stream("vx")
+
+    assert "vx" not in fleet._lanes
+    assert "vx" in fleet._fallback
+    assert sorted(group._free) == [0, 1]  # lane recycled, not leaked
+    out = fleet.collect()
+    assert "vx" in out and out["vx"].shape[-1] > 20000
+
+    from soundkit_tpu.codecs.vorbis import VorbisDecoder
+
+    ref = VorbisDecoder().decode_f32(ogg).reshape(-1, 1).T
+    m = min(out["vx"].shape[-1], ref.shape[-1])
+    # the host-fallback pipeline round-trips through i16 PCM: one LSB
+    np.testing.assert_allclose(out["vx"][:, :m], ref[:, :m], atol=1 / 32768)
+
+
+def test_vorbis_batched_device_out_skips_fetch():
+    """ADVICE r2 low: decode_batches(device_out=True) returns device
+    arrays + host lengths (no bulk d2h), numerically equal to the
+    host-fetch path."""
+    from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
+
+    ogg = open(
+        "/root/reference/testdata/vorbis/A_Tusk_is_used_to_make_costly_gifts.ogg",
+        "rb",
+    ).read()
+    m_host = BatchedVorbisDecoder(2)
+    m_dev = BatchedVorbisDecoder(2)
+    for b in (0, 1):
+        m_host.push(b, ogg)
+        m_dev.push(b, ogg)
+    n = min(m_host.ready_frames, 8)
+    host = m_host.decode_batches(n)
+    outs, lens = m_dev.decode_batches(n, device_out=True)
+    assert len(outs) == n and lens.shape == (n, 2)
+    for b in (0, 1):
+        parts = [
+            np.asarray(outs[f])[b, :, : lens[f, b]]
+            for f in range(n)
+            if lens[f, b] > 0
+        ]
+        got = np.concatenate(parts, axis=-1)
+        np.testing.assert_allclose(got, host[b], atol=1e-6)
