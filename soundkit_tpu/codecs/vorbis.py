@@ -4,10 +4,12 @@ API equivalent of the reference's lewton-backed ``VorbisDecoder``
 (soundkit-vorbis/src/lib.rs:289): own Ogg packet parsing, three header
 packets (identification, comment, setup), then audio packet decode.
 
-Packet decode is OWNED (codecs/vorbis_core.py: codebooks, floor1,
-residue 0/1/2, coupling; >90 dB vs the avcodec oracle on the fixture
-corpus and on encoder-generated stereo/coupled streams).  Only streams
-using the ancient floor type 0 (LSP) fall back to libavcodec.
+Packet decode is OWNED (codecs/vorbis_core.py: codebooks, floor0 and
+floor1, residue 0/1/2, coupling; >90 dB vs the avcodec oracle on the
+fixture corpus, on encoder-generated stereo/coupled streams, and on
+hand-crafted floor0 (LSP) streams — tests/vorbis_craft.py).  The
+avcodec fallback survives only as an escape hatch for setups
+vorbis_core rejects.
 """
 from __future__ import annotations
 
@@ -63,7 +65,7 @@ def split_xiph_extradata(extradata: bytes) -> List[bytes]:
 class VorbisPacketDecoder:
     """Raw-packet decode given the three header packets (the
     reference's lewton ``VorbisPacketDecoder``, lib.rs:198; used for
-    WebM A_VORBIS tracks).  Floor0 streams fall back to avcodec."""
+    WebM A_VORBIS tracks)."""
 
     def __init__(self, headers: List[bytes]):
         self.channels = headers[0][11]

@@ -15,8 +15,10 @@ The floor1 inverse-dB table is the spec's published 256-float constant
 table, extracted from the system libavcodec archive like the AAC/MP3
 spec tables (native/tools/extract_tables.py).
 
-Scope: floor type 1 and residue types 0/1/2 (every modern encoder);
-floor type 0 (ancient LSP floor) raises ``VorbisUnsupported``.
+Scope: floor types 0 (LSP) and 1, residue types 0/1/2 — any
+spec-conformant stream (parity with the reference's lewton backend,
+which decodes both floors).  ``VorbisUnsupported`` remains as the
+escape hatch to the avcodec fallback for malformed setups.
 """
 from __future__ import annotations
 
@@ -373,6 +375,111 @@ def _render_line(x0, y0, x1, y1, v, n2):
         v[x] = y
 
 
+def _bark(x):
+    """Bark scale map used by floor0 (Vorbis I spec 6.2.2)."""
+    x = np.asarray(x, dtype=np.float64)
+    return (
+        13.1 * np.arctan(0.00074 * x)
+        + 2.24 * np.arctan(1.85e-8 * x * x)
+        + 1e-4 * x
+    )
+
+
+@dataclass
+class Floor0:
+    """Floor type 0: LSP (line spectral pair) floor synthesis.
+
+    The ancient floor used by year-2000 Xiph encoders; the reference
+    decodes it via lewton (soundkit-vorbis/src/lib.rs:198).  Spec 6.2:
+    an amplitude + a set of LSP coefficients decoded from VQ books,
+    rendered to a curve through the bark-scale map.
+    """
+
+    order: int
+    rate: int
+    bark_map_size: int
+    amplitude_bits: int
+    amplitude_offset: int
+    book_list: List[int]
+
+    @staticmethod
+    def parse(br: BitReader, codebooks) -> "Floor0":
+        order = br.read(8)
+        rate = br.read(16)
+        bark_map_size = br.read(16)
+        amplitude_bits = br.read(6)
+        amplitude_offset = br.read(8)
+        n_books = br.read(4) + 1
+        books = [br.read(8) for _ in range(n_books)]
+        if order < 1 or rate < 1 or bark_map_size < 1:
+            raise VorbisError("bad floor0 header")
+        for b in books:
+            if b >= len(codebooks) or codebooks[b].vq is None:
+                raise VorbisError("floor0 book without VQ lookup")
+        return Floor0(order, rate, bark_map_size, amplitude_bits,
+                      amplitude_offset, books)
+
+    def _map(self, n: int) -> np.ndarray:
+        """Bark map for curve length n (spec 6.2.2): map[i] =
+        min(bark_map_size-1, floor(bark(rate*i/2n) * bark_map_size /
+        bark(0.5*rate))).  Cached per block size."""
+        cache = self.__dict__.setdefault("_map_cache", {})
+        if n not in cache:
+            i = np.arange(n, dtype=np.float64)
+            scale = self.bark_map_size / _bark(0.5 * self.rate)
+            m = np.floor(_bark(self.rate * i / (2.0 * n)) * scale)
+            cache[n] = np.minimum(m, self.bark_map_size - 1).astype(np.int64)
+        return cache[n]
+
+    def decode(self, br: BitReader, codebooks, n2: int) -> Optional[np.ndarray]:
+        """Returns the floor curve [n2] (linear amplitude), or None if
+        the channel is unused this frame."""
+        amplitude = br.read(self.amplitude_bits)
+        if amplitude <= 0:
+            return None
+        booknumber = br.read(ilog(len(self.book_list)))
+        if booknumber >= len(self.book_list):
+            raise VorbisError("floor0 book number out of range")
+        book = codebooks[self.book_list[booknumber]]
+        coeffs: List[float] = []
+        last = 0.0
+        while len(coeffs) < self.order:
+            vec = book.decode_vq(br)
+            coeffs.extend(float(v) + last for v in vec)
+            last = coeffs[-1]
+        coeffs = coeffs[: self.order]
+
+        # curve synthesis (spec 6.2.3), vectorized over the bark map
+        m = self._map(n2)
+        omega = np.pi * m.astype(np.float64) / self.bark_map_size
+        cosw = np.cos(omega)  # [n2]
+        coss = np.cos(np.asarray(coeffs))  # [order]
+        if self.order % 2:
+            p = (1.0 - cosw * cosw) * np.prod(
+                4.0 * (coss[1::2][None, :] - cosw[:, None]) ** 2, axis=1
+            )
+            q = 0.25 * np.prod(
+                4.0 * (coss[0::2][None, :] - cosw[:, None]) ** 2, axis=1
+            )
+        else:
+            p = (1.0 - cosw) / 2.0 * np.prod(
+                4.0 * (coss[1::2][None, :] - cosw[:, None]) ** 2, axis=1
+            )
+            q = (1.0 + cosw) / 2.0 * np.prod(
+                4.0 * (coss[0::2][None, :] - cosw[:, None]) ** 2, axis=1
+            )
+        linear = np.exp(
+            0.11512925
+            * (
+                amplitude
+                * self.amplitude_offset
+                / (((1 << self.amplitude_bits) - 1) * np.sqrt(p + q))
+                - self.amplitude_offset
+            )
+        )
+        return linear
+
+
 @dataclass
 class Residue:
     kind: int
@@ -571,7 +678,7 @@ class VorbisSetup:
             if ftype == 1:
                 self.floors.append(Floor1.parse(br, self.codebooks))
             elif ftype == 0:
-                raise VorbisUnsupported("floor type 0 (LSP) not supported")
+                self.floors.append(Floor0.parse(br, self.codebooks))
             else:
                 raise VorbisError("bad floor type")
         self.residues = []
