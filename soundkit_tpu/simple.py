@@ -15,6 +15,14 @@ exceptions, 8 KiB/64 KiB detection window:
   framework's own AAC-LC implementation, interleaved or planar.
 - ``SoundKitFrameDecoder`` (WasmSoundKitFrameDecoder): v2 frame stream
   -> payloads (with optional decrypt).
+- ``AudioTrackDemuxer`` (WasmAudioTrackDemuxer, lib.rs:61): container
+  bytes -> Config/Packet events, no codec decode.
+- ``FlacEncoder`` (WasmFlacEncoder, lib.rs:240): planar f32 -> FLAC
+  frame bytes.
+- ``OpusEncoder`` (WasmOpusEncoder, lib.rs:251): interleaved i16 ->
+  raw Opus packets.
+- ``AudioContentCipher`` (WasmAudioContentCipher, lib.rs:262): ACE1
+  envelope seal/open.
 """
 from __future__ import annotations
 
@@ -223,6 +231,134 @@ class AacLcStreamDecoder:
         pcm = self.decode_interleaved(au)
         out[: len(pcm)] = pcm
         return len(pcm)
+
+
+class AudioTrackDemuxer:
+    """WasmAudioTrackDemuxer mirror (lib.rs:605-636): arbitrary
+    container bytes in, ``AudioTrackConfig``/``AudioTrackPacket``
+    events out — container-only, no codec decode."""
+
+    def __init__(self) -> None:
+        from soundkit_tpu.demux.audio_demux import AudioTrackDemuxer as _Core
+
+        self._core = _Core.new_auto()
+
+    @classmethod
+    def new_auto(cls) -> "AudioTrackDemuxer":
+        return cls()
+
+    @classmethod
+    def new_with_format(cls, fmt: str) -> "AudioTrackDemuxer":
+        from soundkit_tpu.demux.audio_demux import AudioTrackDemuxer as _Core
+
+        self = cls.__new__(cls)
+        self._core = _Core.new_with_format(fmt)
+        return self
+
+    def push(self, data: bytes) -> list:
+        return self._core.push(bytes(data))
+
+    def flush(self) -> list:
+        return self._core.flush()
+
+
+class FlacEncoder:
+    """WasmFlacEncoder mirror (lib.rs:763-818): planar f32 frames ->
+    FLAC frame bytes (encode_planar_f32 semantics incl. the i32
+    conversion at the declared bit depth)."""
+
+    def __init__(self, sample_rate: int, channels: int,
+                 bits_per_sample: int = 16, frame_size: int = 0,
+                 compression_level: int = 5):
+        from soundkit_tpu.codecs import encoders
+
+        self._args = (sample_rate, bits_per_sample, channels, frame_size,
+                      compression_level)
+        self._enc = encoders.FlacEncoder(*self._args)
+        self.channels = channels
+        self.bits_per_sample = bits_per_sample
+
+    def encode_planar_f32(self, planar: np.ndarray,
+                          frames_per_channel: int) -> bytes:
+        """``planar``: channel-major [C * frames] f32 in [-1, 1]."""
+        c, n = self.channels, int(frames_per_channel)
+        planar = np.asarray(planar, np.float32)
+        if planar.size < c * n:
+            raise ValueError(
+                f"planar input too short: need {c * n} samples, got {planar.size}"
+            )
+        chans = planar[: c * n].reshape(c, n)
+        scale = float(1 << (self.bits_per_sample - 1))
+        inter = np.clip(
+            np.rint(chans.T.reshape(-1).astype(np.float64) * scale),
+            -scale, scale - 1,
+        ).astype(np.int64)
+        return self._enc.encode_i32(inter)
+
+    def flush(self) -> bytes:
+        return self._enc.flush()
+
+    def reset(self) -> None:
+        from soundkit_tpu.codecs import encoders
+
+        self._enc = encoders.FlacEncoder(*self._args)
+
+
+class OpusEncoder:
+    """WasmOpusEncoder mirror (lib.rs:827-869): interleaved i16 in,
+    raw Opus packets out.  ``frame_size`` follows the underlying
+    encoder (exposed as an attribute like the reference's constructor
+    parameter); short final frames are the caller's to zero-pad, as in
+    the reference contract."""
+
+    def __init__(self, sample_rate: int = 48000, channels: int = 2,
+                 bitrate: int = 64000, frame_size: int = 0):
+        from soundkit_tpu.codecs import encoders
+
+        self._args = (sample_rate, channels, bitrate)
+        self._enc = encoders.OpusEncoder(*self._args)
+        self.frame_size = self._enc.frame_size
+        self.channels = channels
+
+    def encode_interleaved_i16(self, interleaved: np.ndarray) -> List[bytes]:
+        required = self.frame_size * self.channels
+        samples = np.asarray(interleaved, np.int16)
+        if samples.size < required:
+            raise ValueError(
+                f"opus encode input too short: need {required} samples, "
+                f"got {samples.size}"
+            )
+        return self._enc.encode_i16_packets(samples[:required])
+
+    def flush(self) -> List[bytes]:
+        return self._enc.flush_packets()
+
+    def reset(self) -> None:
+        from soundkit_tpu.codecs import encoders
+
+        self._enc = encoders.OpusEncoder(*self._args)
+
+
+class AudioContentCipher:
+    """WasmAudioContentCipher mirror (lib.rs:61-99): ACE1 envelope
+    seal/open with key-epoch binding and canonical AAD."""
+
+    def __init__(self, key: bytes):
+        from soundkit_tpu.core.audio_content_crypto import (
+            AudioContentCipher as _Core,
+        )
+
+        self._core = _Core(bytes(key))
+
+    def seal(self, key_epoch: int, nonce: bytes, plaintext: bytes,
+             authenticated_data: bytes = b"") -> bytes:
+        return self._core.seal(key_epoch, bytes(nonce), bytes(plaintext),
+                               bytes(authenticated_data))
+
+    def open(self, expected_key_epoch: int, envelope: bytes,
+             authenticated_data: bytes = b"") -> bytes:
+        return self._core.open(expected_key_epoch, bytes(envelope),
+                               bytes(authenticated_data))
 
 
 class SoundKitFrameDecoder:

@@ -92,3 +92,107 @@ def test_frame_decoder_roundtrip():
     frames = dec.push(wire)
     assert len(frames) == 1 and frames[0].payload == payload
     dec.flush()
+
+
+# -- the four r2-missing surface classes (VERDICT #7) ------------------------
+
+def test_audio_track_demuxer_surface(testdata):
+    """AudioTrackDemuxer (WasmAudioTrackDemuxer analog): container
+    bytes -> Config + Packet events, chunked push + flush."""
+    from soundkit_tpu.demux.audio_demux import AudioTrackConfig, AudioTrackPacket
+    from soundkit_tpu.simple import AudioTrackDemuxer
+
+    data = (testdata / "mac_aac" / f"{CLIP}.m4a").read_bytes()
+    dm = AudioTrackDemuxer()
+    events = []
+    for i in range(0, len(data), 4096):
+        events.extend(dm.push(data[i : i + 4096]))
+    events.extend(dm.flush())
+    configs = [e for e in events if isinstance(e, AudioTrackConfig)]
+    packets = [e for e in events if isinstance(e, AudioTrackPacket)]
+    assert configs and packets
+    assert sum(len(p.data) for p in packets) > 10000
+
+    with pytest.raises(ValueError):
+        AudioTrackDemuxer.new_with_format("wma")
+
+
+def test_flac_encoder_surface_roundtrip():
+    """FlacEncoder (WasmFlacEncoder analog): planar f32 ->
+    independently decodable FLAC frames that our own decoder recovers
+    within 16-bit quantization."""
+    from soundkit_tpu.codecs.flac import FlacDecoder
+    from soundkit_tpu.simple import FlacEncoder
+
+    rng = np.random.RandomState(3)
+    n = 8192
+    t = np.arange(n) / 16000.0
+    left = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    right = (0.2 * np.sin(2 * np.pi * 660 * t) + 0.01 * rng.randn(n)).astype(
+        np.float32
+    )
+    planar = np.concatenate([left, right])
+
+    enc = FlacEncoder(16000, 2, bits_per_sample=16)
+    blob = enc.encode_planar_f32(planar, n) + enc.flush()
+    assert len(blob) > 100
+
+    dec = FlacDecoder()
+    audio = dec.add(blob)
+    if audio is None:
+        audio = dec.flush()
+    pcm = np.frombuffer(audio.data, "<i2").astype(np.float64) / 32768.0
+    got = pcm.reshape(-1, 2).T
+    # the encoder zero-pads the final partial frame to its frame size
+    assert got.shape[1] >= n
+    assert np.abs(got[0, :n] - left).max() < 2.0 / 32768
+    assert np.abs(got[1, :n] - right).max() < 2.0 / 32768
+    assert np.abs(got[:, n:]).max() == 0.0
+
+
+def test_opus_encoder_surface():
+    """OpusEncoder (WasmOpusEncoder analog): frame_size interleaved
+    i16 samples -> raw Opus packets that the opus decoder accepts."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.simple import OpusEncoder
+
+    enc = OpusEncoder(48000, 2, bitrate=64000)
+    fs = enc.frame_size
+    assert fs > 0
+    t = np.arange(fs * 4) / 48000.0
+    tone = (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    inter = np.stack([tone, tone], axis=1).reshape(-1)
+    pkts = []
+    for k in range(4):
+        pkts.extend(enc.encode_interleaved_i16(inter[k * fs * 2 : (k + 1) * fs * 2]))
+    pkts.extend(enc.flush())
+    assert len(pkts) >= 4
+
+    short = np.zeros(3, np.int16)
+    with pytest.raises(ValueError):
+        enc2 = OpusEncoder(48000, 2)
+        enc2.encode_interleaved_i16(short)
+
+    dec = AvDecoder("libopus", sample_rate=48000, channels=2)
+    out = np.concatenate([dec.push(p) for p in pkts] + [dec.flush()])
+    assert out.size >= fs * 2 * 3
+    assert float(np.sqrt(np.mean(out**2))) > 0.05
+
+
+def test_audio_content_cipher_surface():
+    """AudioContentCipher (WasmAudioContentCipher analog): seal/open
+    with epoch binding; mismatched epoch and tampered AAD fail."""
+    from soundkit_tpu.core.audio_content_crypto import KeyEpochMismatch
+    from soundkit_tpu.simple import AudioContentCipher
+
+    key = bytes(range(32))
+    c = AudioContentCipher(key)
+    nonce = bytes(12)
+    env = c.seal(7, nonce, b"pcm payload", b"aad")
+    assert c.open(7, env, b"aad") == b"pcm payload"
+    with pytest.raises(KeyEpochMismatch):
+        c.open(8, env, b"aad")
+    with pytest.raises(Exception):
+        c.open(7, env, b"wrong aad")
+    with pytest.raises(Exception):
+        AudioContentCipher(bytes(32))  # zero key rejected
