@@ -134,30 +134,84 @@ class AacEncoder:
 
 
 class FlacEncoder:
-    """Raw-frame FLAC encoder (independently decodable frame packets)."""
+    """Raw-frame FLAC encoder (independently decodable frame packets).
+
+    OWNED: codecs/flac_encode.py (fixed + LPC subframes, Rice/Rice2,
+    stereo decorrelation) — the avcodec delegate is gone, matching the
+    reference's pure frame encoder (soundkit-flac/src/frame_codec.rs:
+    42-278).  Each ``encode_*`` call emits complete frames for the
+    samples it can block; a sub-minimum tail is held for ``flush``.
+    """
 
     def __init__(self, sample_rate: int, bits_per_sample: int, channels: int,
                  frame_size: int = 0, compression_level: int = 5):
-        self._enc = AvEncoder("flac", sample_rate, channels)
+        from soundkit_tpu.codecs.flac_encode import BitWriter, FlacFrameEncoder
+
+        profile = ("realtime" if compression_level <= 2
+                   else "balanced" if compression_level <= 5 else "maximum")
+        self._enc = FlacFrameEncoder(sample_rate, channels,
+                                     bits_per_sample, profile)
         self.bits_per_sample = bits_per_sample
         self.channels = channels
-        self.frame_size = self._enc.frame_size
+        self.frame_size = frame_size or 4096
+        self._tail = np.zeros((channels, 0), np.int64)
+        self._BitWriter = BitWriter
+
+    def _encode_chans(self, chans: np.ndarray) -> bytes:
+        chans = np.concatenate([self._tail, chans], axis=1)
+        self._tail = chans[:, :0]
+        out = []
+        off = 0
+        n = chans.shape[1]
+        while n - off >= self.frame_size:
+            out.append(self._enc.encode_frame(chans[:, off : off + self.frame_size]))
+            off += self.frame_size
+        rest = n - off
+        if rest >= 16:
+            out.append(self._enc.encode_frame(chans[:, off:]))
+        elif rest:
+            self._tail = chans[:, off:]
+        return b"".join(out)
 
     def encode_i32(self, samples: np.ndarray) -> bytes:
-        # i32 samples in the declared bit depth's range
-        scale = float(1 << (self.bits_per_sample - 1))
-        f = np.asarray(samples, np.int64).astype(np.float64) / scale
-        return b"".join(self._enc.push_f32(f.astype(np.float32)))
+        """Interleaved ints in the declared bit depth's range."""
+        x = np.asarray(samples, np.int64).reshape(-1, self.channels).T
+        return self._encode_chans(x)
 
     def encode_i16(self, samples: np.ndarray) -> bytes:
-        return b"".join(self._enc.push_i16(samples))
+        x = np.asarray(samples, np.int64).reshape(-1, self.channels).T
+        if self.bits_per_sample == 24:
+            x = x << 8
+        return self._encode_chans(x)
 
     def flush(self) -> bytes:
-        return b"".join(self._enc.flush())
+        if self._tail.shape[1] == 0:
+            return b""
+        # pad the sub-minimum tail with the held last value to the
+        # 16-sample frame minimum
+        pad = 16 - self._tail.shape[1]
+        tail = np.concatenate(
+            [self._tail, np.repeat(self._tail[:, -1:], pad, axis=1)], axis=1
+        )
+        self._tail = self._tail[:, :0]
+        return self._enc.encode_frame(tail)
 
     @property
     def streaminfo(self) -> bytes:
-        return self._enc.extradata
+        """34-byte STREAMINFO for the track contract (frame sizes and
+        MD5 zero = unknown, valid per spec for a live frame stream)."""
+        w = self._BitWriter()
+        w.write(self.frame_size, 16)
+        w.write(self.frame_size, 16)
+        w.write(0, 24)
+        w.write(0, 24)
+        w.write(self._enc.sample_rate, 20)
+        w.write(self.channels - 1, 3)
+        w.write(self.bits_per_sample - 1, 5)
+        w.write(0, 36)
+        for _ in range(16):
+            w.write(0, 8)
+        return w.bytes()
 
 
 class Mp3Encoder:

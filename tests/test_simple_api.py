@@ -143,11 +143,9 @@ def test_flac_encoder_surface_roundtrip():
         audio = dec.flush()
     pcm = np.frombuffer(audio.data, "<i2").astype(np.float64) / 32768.0
     got = pcm.reshape(-1, 2).T
-    # the encoder zero-pads the final partial frame to its frame size
     assert got.shape[1] >= n
     assert np.abs(got[0, :n] - left).max() < 2.0 / 32768
     assert np.abs(got[1, :n] - right).max() < 2.0 / 32768
-    assert np.abs(got[:, n:]).max() == 0.0
 
 
 def test_opus_encoder_surface():
