@@ -105,20 +105,22 @@ class Submode:
     gain_cdbk: Optional[str]  # "nb" (7 bits) or "lbr" (5 bits)
     pitch_bits: int
     split_cb: Optional[str]
+    comb_gain: float = -1.0  # multicomb strength; <= 0 disables
 
 
 def _submodes():
     """NB submode table (recovered from the archive's nb_submode1..8
-    descriptors; matches the Speex reference configuration)."""
+    descriptors incl. the comb_gain float at descriptor offset 56;
+    matches the Speex reference configuration)."""
     return {
-        1: Submode(0, True, 0, False, False, True, None, 0, None),
-        2: Submode(0, False, 0, False, False, False, "lbr", 0, "exc_10_16"),
-        3: Submode(-1, False, 1, False, False, False, "lbr", 7, "exc_10_32"),
-        4: Submode(-1, False, 1, False, False, False, "lbr", 7, "exc_8_128"),
-        5: Submode(-1, False, 3, False, True, False, "nb", 7, "exc_5_64"),
-        6: Submode(-1, False, 3, False, True, False, "nb", 7, "exc_5_256"),
-        7: Submode(-1, False, 3, True, True, False, "nb", 7, "exc_5_64"),
-        8: Submode(0, True, 0, False, False, True, None, 0, "exc_20_32"),
+        1: Submode(0, True, 0, False, False, True, None, 0, None, -1.0),
+        2: Submode(0, False, 0, False, False, False, "lbr", 0, "exc_10_16", 0.6),
+        3: Submode(-1, False, 1, False, False, False, "lbr", 7, "exc_10_32", 0.55),
+        4: Submode(-1, False, 1, False, False, False, "lbr", 7, "exc_8_128", 0.45),
+        5: Submode(-1, False, 3, False, True, False, "nb", 7, "exc_5_64", 0.25),
+        6: Submode(-1, False, 3, False, True, False, "nb", 7, "exc_5_256", 0.15),
+        7: Submode(-1, False, 3, True, True, False, "nb", 7, "exc_5_64", 0.05),
+        8: Submode(0, True, 0, False, False, True, None, 0, "exc_20_32", 0.5),
     }
 
 
@@ -159,16 +161,106 @@ def lsp_to_lpc(lsp: np.ndarray) -> np.ndarray:
     return a[1 : order + 1]
 
 
-class SpeexNbDecoder:
-    """One narrowband stream (mono, 8 kHz, 160-sample frames)."""
+def _interp_pitch(exc: np.ndarray, off: int, pitch: int, ln: int,
+                  shift_filt: np.ndarray) -> np.ndarray:
+    """Fractionally shifted pitch-period copy (enhancer helper).
 
-    def __init__(self) -> None:
+    Semantics recovered from the avcodec speexdec object code
+    (interp_pitch @.text+0x7e0): 7 lag correlations around the decoded
+    pitch, candidates = the raw integer lag 3 (scored with the 0.614108
+    weight so it is comparable to the unit-gain fractional filters)
+    plus the 3 fractional filters evaluated at all 7 lag offsets via a
+    clamped convolution of the correlations; the winner's (filter, lag)
+    pair resolves to an effective pitch pitch-(j-3).
+    """
+    x = exc[off : off + ln]
+    corr = np.array([
+        np.dot(x, exc[off - pitch - 3 + k : off - pitch - 3 + k + ln])
+        for k in range(7)
+    ])
+    # 28 candidates in the object code's comparison order (strict >):
+    # integer lags j=0..6 (effective pitch+3-j), then filter rows 0..2
+    # each over d = 3..-3 (effective pitch+d)
+    best_score = corr[0]
+    best_f, best_p2 = -1, pitch + 3
+    for j in range(1, 7):
+        if corr[j] > best_score:
+            best_score, best_f, best_p2 = corr[j], -1, pitch + 3 - j
+    for f in range(3):
+        for d in range(3, -4, -1):
+            s = 0.0
+            for k in range(max(d, 0), min(d + 7, 7)):
+                s += shift_filt[f, k] * corr[k - d]
+            if s > best_score:
+                best_score, best_f, best_p2 = s, f, pitch + d
+    p2 = best_p2
+    if best_f < 0:
+        return exc[off - p2 : off - p2 + ln].copy()
+    out = np.zeros(ln, dtype=np.float64)
+    for k in range(7):
+        out += shift_filt[best_f, k] * exc[off - p2 - 3 + k : off - p2 - 3 + k + ln]
+    return out
+
+
+def _multicomb(exc: np.ndarray, off: int, pitch: int, comb_gain: float,
+               shift_filt: np.ndarray, nsf: int = 80) -> np.ndarray:
+    """The always-on excitation enhancer (multicomb @.text+0xe50).
+
+    Constants read from the object code: iexc magnitudes bias +1000.0,
+    exc magnitude bias +1.0, c1 = 0.4g+0.07, c2 = 0.5+1.72(c1-0.07),
+    tap weights 0.7/0.3 (0.6/0.6 for short pitch), energy floor 0.1
+    over nsf with a 1.0 clamp, gain never amplifies.  comb_gain <= 0
+    degenerates to the plain (gain-normalized) excitation.
+    """
+    x = exc[off : off + nsf]
+    iexc0 = _interp_pitch(exc, off, pitch, nsf, shift_filt)
+    if pitch > 40:
+        iexc1 = _interp_pitch(exc, off, 2 * pitch, nsf, shift_filt)
+    else:
+        iexc1 = _interp_pitch(exc, off, -pitch, nsf, shift_filt)
+
+    exc_mag = np.sqrt(np.dot(x, x) + 1.0)
+    if comb_gain > 0:
+        c1 = 0.4 * comb_gain + 0.07
+        c2 = 0.5 + 1.72 * (c1 - 0.07)
+    else:
+        c1 = c2 = 0.0
+    ks = []
+    for K, iexc in enumerate((iexc0, iexc1)):
+        mag = np.sqrt(np.dot(iexc, iexc) + 1000.0)
+        g = np.dot(iexc, x) / (exc_mag * mag)
+        g = min(g, 1.0)  # upper clamp only (object code has no floor)
+        w = c1 / max(1.0 - c2 * g * g, c1) if c1 > 0 else 0.0
+        gg = exc_mag / mag
+        base = (0.7, 0.3)[K] if pitch > 40 else (0.6, 0.6)[K]
+        ks.append(base * w * gg)
+    new = x + ks[0] * iexc0 + ks[1] * iexc1
+    old_e = max(np.sqrt(np.dot(x, x) / nsf + 0.1), 1.0)
+    new_e = max(np.sqrt(np.dot(new, new) / nsf + 0.1), 1.0)
+    return new * (min(old_e, new_e) / new_e)
+
+
+class SpeexNbDecoder:
+    """One narrowband stream (mono, 8 kHz, 160-sample frames).
+
+    ``enhanced=True`` (default, matching the oracle's always-on path)
+    runs the multicomb excitation enhancer, which delays the output by
+    one subframe (40 samples) — the synthesis window shifts back by
+    SUBFRAME relative to the decoded excitation.
+    """
+
+    def __init__(self, enhanced: bool = True) -> None:
         t = _tables()
         self._t = t
         self._submodes = _submodes()
+        self._enhanced = enhanced
         self._old_qlsp: Optional[np.ndarray] = None
-        # excitation history: [MAX_PITCH + 2] back samples
-        self._exc_mem = np.zeros(MAX_PITCH + 2, dtype=np.float64)
+        # excitation history: the enhancer's doubled-pitch tap reads
+        # back SUBFRAME + 2*MAX_PITCH + 3 samples from the delayed
+        # window start (zeros at stream start, like the oracle's
+        # zero-initialized buffer)
+        self._exc_mem = np.zeros(SUBFRAME + 2 * MAX_PITCH + 8,
+                                 dtype=np.float64)
         self._mem_sp = np.zeros(NB_ORDER, dtype=np.float64)
         self._hp_mem = np.zeros(4, dtype=np.float64)  # x1,x2,y1,y2
         self._last_ol_gain = 0.0
@@ -242,6 +334,7 @@ class SpeexNbDecoder:
         exc[: len(self._exc_mem)] = self._exc_mem
         base = len(self._exc_mem)
 
+        best_pitch, best_pitch_gain = 40, 0.0
         for sub in range(4):
             off = base + sub * SUBFRAME
 
@@ -250,6 +343,7 @@ class SpeexNbDecoder:
                 pitch = ol_pitch
                 for i in range(SUBFRAME):
                     exc[off + i] = ol_pitch_coef * exc[off + i - pitch]
+                pitch_gain_sum = ol_pitch_coef
             else:
                 if sm.pitch_bits:
                     pitch = MIN_PITCH + br.read(sm.pitch_bits)
@@ -265,6 +359,25 @@ class SpeexNbDecoder:
                         + g[1] * exc[off + i - pitch]
                         + g[2] * exc[off + i - pitch - 1]
                     )
+                # gain_3tap_to_1tap (object code 0x3e4d): middle tap
+                # absolute, outer taps at half weight when negative
+                def _f(v):
+                    return v if v > 0 else -0.5 * v
+
+                pitch_gain_sum = float(abs(g[1]) + _f(g[0]) + _f(g[2]))
+            # oracle's per-subframe excitation sanitize (@0x3e2c):
+            # clamp +-32000, zero denormals (keeps hot 3-tap recursions
+            # from blowing up; no-op on sane streams)
+            seg = exc[off : off + SUBFRAME]
+            np.clip(seg, -32000.0, 32000.0, out=seg)
+            seg[np.abs(seg) < 1e-8] = 0.0
+            if pitch_gain_sum > best_pitch_gain and (
+                abs(2 * best_pitch - pitch) > 2
+                and abs(3 * best_pitch - pitch) > 3
+                and abs(4 * best_pitch - pitch) > 4
+            ):
+                # reject period-doubled candidates (object code 0x3eb6)
+                best_pitch, best_pitch_gain = pitch, pitch_gain_sum
 
             # innovation gain
             if sm.have_subframe_gain == 3:
@@ -285,22 +398,50 @@ class SpeexNbDecoder:
                     innov2 = self._split_cb_unquant(br, sm.split_cb)
                     exc[off : off + SUBFRAME] += 0.454 * ener * innov2
 
-        # synthesis with per-subframe interpolated LPC
-        out = np.zeros(FRAME_SIZE, dtype=np.float64)
-        for sub in range(4):
-            tmp = (1.0 + sub) / 4.0
-            interp = (1.0 - tmp) * self._old_qlsp + tmp * qlsp
-            interp = self._enforce_margin(interp)
-            a = lsp_to_lpc(interp)
-            off = base + sub * SUBFRAME
-            mem = self._mem_sp
-            for i in range(SUBFRAME):
-                y = exc[off + i] - np.dot(a, mem)
-                out[sub * SUBFRAME + i] = y
-                mem[1:] = mem[:-1]
-                mem[0] = y
-            # (mem carried across subframes/frames)
+        # output excitation: always one subframe DELAYED relative to
+        # the decoded excitation (the oracle's alignment, enhanced or
+        # not); the enhancer rewrites it with the multicomb
+        if self._enhanced and sm.comb_gain > 0:
+            ext = np.concatenate([exc, np.zeros(16)])
+            sf = self._t["shift_filt"].astype(np.float64)
+            exc_out = np.concatenate([
+                _multicomb(ext, base - SUBFRAME, best_pitch, sm.comb_gain, sf),
+                _multicomb(ext, base + SUBFRAME, best_pitch, sm.comb_gain, sf),
+            ])
+        else:
+            exc_out = exc[base - SUBFRAME : base - SUBFRAME + FRAME_SIZE]
 
+        self._last_exc_out = exc_out  # conformance-debug visibility
+
+        # synthesis with per-subframe interpolated LPC, direct form II
+        # transposed (the oracle's state layout: the frame-end memory
+        # attenuation below scales DF2T state, so the realization
+        # matters across subframe coefficient changes)
+        out = np.zeros(FRAME_SIZE, dtype=np.float64)
+        st = self._mem_sp
+        for sub in range(4):
+            # the output window is one subframe DELAYED, so output
+            # subframe `sub` carries excitation subframe sub-1: the
+            # interpolation weight is sub/4 (0 = pure old qlsp), not
+            # (sub+1)/4 (verified +4.8 dB vs oracle)
+            tmp = sub / 4.0
+            interp = (1.0 - tmp) * self._old_qlsp + tmp * qlsp
+            # the oracle clips each interpolated LSP to the global
+            # range (nb_decode @0x42e0), then runs lsp_enforce_margin
+            # with 0.002 (forward fmax + midpoint, @0x449a); qlsp
+            # itself is never enforced
+            interp = np.clip(interp, 0.002, np.pi - 0.002)
+            interp = self._enforce_margin(interp, 0.002)
+            a = lsp_to_lpc(interp)
+            for i in range(SUBFRAME):
+                y = exc_out[sub * SUBFRAME + i] + st[0]
+                out[sub * SUBFRAME + i] = y
+                st[:-1] = st[1:] - a[:-1] * y
+                st[-1] = -a[-1] * y
+
+        # (the oracle's 0.6*exp(-0.2*sum|dlsp|) memory fade at
+        # nb_decode @0x4cd5 runs only on the count_lost path — packet
+        # loss concealment is out of scope here, as in the reference)
         self._exc_mem = exc[-len(self._exc_mem) :].copy()
         self._old_qlsp = qlsp.copy()
         return self._highpass(out)
@@ -335,16 +476,22 @@ class SpeexNbDecoder:
         return out
 
     @staticmethod
-    def _enforce_margin(lsp: np.ndarray, margin: float = 0.002) -> np.ndarray:
+    def _enforce_margin(lsp: np.ndarray, margin: float) -> np.ndarray:
+        """lsp_enforce_margin semantics (object code: the NB decoder
+        uses 0.002 throughout; 0.05 appears only in the SB band):
+        ends clamped, interior floored
+        to the left neighbor and MIDPOINT-adjusted against the right
+        neighbor (not hard-clamped)."""
         out = lsp.copy()
-        out[0] = max(out[0], margin)
-        for i in range(1, len(out)):
+        if out[0] < margin:
+            out[0] = margin
+        if out[-1] > np.pi - margin:
+            out[-1] = np.pi - margin
+        for i in range(1, len(out) - 1):
             if out[i] < out[i - 1] + margin:
                 out[i] = out[i - 1] + margin
-        out[-1] = min(out[-1], np.pi - margin)
-        for i in range(len(out) - 2, -1, -1):
             if out[i] > out[i + 1] - margin:
-                out[i] = out[i + 1] - margin
+                out[i] = 0.5 * (out[i] + out[i + 1] - margin)
         return out
 
     def _highpass(self, x: np.ndarray) -> np.ndarray:

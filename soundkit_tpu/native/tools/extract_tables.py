@@ -75,6 +75,15 @@ extern const int8_t exc_10_32_table[320];
 extern const int8_t exc_20_32_table[640];
 extern const float exc_gain_quant_scal1[2];
 extern const float exc_gain_quant_scal3[8];
+extern const float shift_filt[3][7];
+extern const float h0[64];
+extern const signed char hexc_table[1024];
+extern const signed char hexc_10_32_table[320];
+extern const signed char high_lsp_cdbk[512];
+extern const signed char high_lsp_cdbk2[512];
+extern const float gc_quant_bound[16];
+extern const float e_ratio_quant[4];
+extern const uint16_t wb_skip_table[8];
 
 // stub the init helpers the data objects reference but the dumper
 // never calls (only reachable from codec init functions)
@@ -148,6 +157,15 @@ int main() {
     dump("spx_exc_20_32", exc_20_32_table, sizeof exc_20_32_table);
     dump("spx_exc_gain_scal1", exc_gain_quant_scal1, sizeof exc_gain_quant_scal1);
     dump("spx_exc_gain_scal3", exc_gain_quant_scal3, sizeof exc_gain_quant_scal3);
+    dump("spx_shift_filt", shift_filt, sizeof shift_filt);
+    dump("spx_h0", h0, sizeof h0);
+    dump("spx_hexc_table", hexc_table, sizeof hexc_table);
+    dump("spx_hexc_10_32", hexc_10_32_table, sizeof hexc_10_32_table);
+    dump("spx_high_lsp_cdbk", high_lsp_cdbk, sizeof high_lsp_cdbk);
+    dump("spx_high_lsp_cdbk2", high_lsp_cdbk2, sizeof high_lsp_cdbk2);
+    dump("spx_gc_quant_bound", gc_quant_bound, sizeof gc_quant_bound);
+    dump("spx_e_ratio_quant", e_ratio_quant, sizeof e_ratio_quant);
+    dump("spx_wb_skip_table", wb_skip_table, sizeof wb_skip_table);
     printf("ok\n");
     return 0;
 }
@@ -167,6 +185,11 @@ SPEEX_LOCALS = [
     "exc_5_64_table", "exc_5_256_table", "exc_8_128_table",
     "exc_10_16_table", "exc_10_32_table", "exc_20_32_table",
     "exc_gain_quant_scal1", "exc_gain_quant_scal3",
+    # enhancer + wideband (round-3): fractional-shift filters, QMF
+    # synthesis filter, SB high-band codebooks and gain bounds
+    "shift_filt", "h0", "hexc_table", "hexc_10_32_table",
+    "high_lsp_cdbk", "high_lsp_cdbk2", "gc_quant_bound",
+    "e_ratio_quant", "wb_skip_table",
 ]
 
 
@@ -277,6 +300,15 @@ def extract() -> None:
             "exc_20_32": load("spx_exc_20_32", "i1").reshape(32, 20),
             "exc_gain_scal1": load("spx_exc_gain_scal1", "<f4"),
             "exc_gain_scal3": load("spx_exc_gain_scal3", "<f4"),
+            "shift_filt": load("spx_shift_filt", "<f4").reshape(3, 7),
+            "h0": load("spx_h0", "<f4"),
+            "hexc_table": load("spx_hexc_table", "i1").reshape(128, 8),
+            "hexc_10_32": load("spx_hexc_10_32", "i1").reshape(32, 10),
+            "high_lsp_cdbk": load("spx_high_lsp_cdbk", "i1").reshape(64, 8),
+            "high_lsp_cdbk2": load("spx_high_lsp_cdbk2", "i1").reshape(64, 8),
+            "gc_quant_bound": load("spx_gc_quant_bound", "<f4"),
+            "e_ratio_quant": load("spx_e_ratio_quant", "<f4"),
+            "wb_skip_table": load("spx_wb_skip_table", "<u2"),
         }
         np.savez(OUT_DIR / "speex_tables.npz", **spx)
     print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz, speex_tables.npz")

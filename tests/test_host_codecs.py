@@ -232,14 +232,13 @@ def test_gsm_wav49_bitexact_vs_avcodec():
 
 def test_speex_nb_own_decode_vs_oracle():
     """From-scratch Speex NB CELP decode (codecs/speex_core.py) vs the
-    avcodec oracle.  The oracle applies the multicomb enhancer (its
-    decoder offers no plain mode), which delays the output by one
-    subframe (40 samples) and reshapes the excitation; 17 dB at the
-    enhancer offset is the closest ANY two independent speex decoders
-    get on this corpus (the reference's own golden scores only ~3 dB
-    against avcodec), so the bar asserts structural correctness:
-    best-fit gain near unity and SNR far above the cross-decoder
-    baseline."""
+    avcodec oracle, SAMPLE-ALIGNED (the decoder now implements the
+    oracle's one-subframe output delay, the multicomb enhancer, DF2T
+    synthesis and the delay-shifted LSP interpolation — round-3 work,
+    semantics recovered from the speexdec object code).  The residual
+    vs the oracle is the enhancer's f32 candidate-selection noise;
+    direct (unit-gain, zero-offset) SNR must clear 17 dB where round 2
+    only reached 14 dB best-fit at a 40-sample offset."""
     from soundkit_tpu.codecs.avdec import AvDecoder
     from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
     from soundkit_tpu.demux.ogg import OggPacketizer
@@ -260,14 +259,18 @@ def test_speex_nb_own_decode_vs_oracle():
     ).astype(np.float64)
     assert len(mine) == len(ref)
 
-    a, b = mine[:-40], ref[40:]  # oracle's enhancer lookahead
-    m = min(len(a), len(b))
-    a, b = a[:m], b[:m]
-    s = np.dot(a, b) / np.dot(a, a)
-    err = s * a - b
+    m = min(len(mine), len(ref))
+    a, b = mine[:m], ref[:m]
+    err = a - b
     snr = 10 * np.log10(np.dot(b, b) / max(np.dot(err, err), 1e-18))
-    assert 0.8 < s < 1.3, f"gain mismatch: best-fit scale {s:.3f}"
-    assert snr > 14.0, f"speex NB decode SNR {snr:.1f} dB vs enhanced oracle"
+    assert snr > 17.0, f"speex NB decode SNR {snr:.1f} dB vs enhanced oracle"
+    # per-frame median is materially higher than the worst transitions
+    per = []
+    for f in range(m // 160):
+        sl = slice(f * 160, (f + 1) * 160)
+        e = a[sl] - b[sl]
+        per.append(10 * np.log10(np.dot(b[sl], b[sl]) / max(np.dot(e, e), 1e-18)))
+    assert float(np.median(per)) > 20.0
 
 
 def test_speex_stream_decoder_uses_own_core():
