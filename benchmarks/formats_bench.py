@@ -1,0 +1,276 @@
+"""Per-format throughput harness — the ``bench_all_formats`` analog.
+
+The reference benchmarks every format folder for files/s and MB/s in
+native and 16k-mono modes as an ignored cargo test
+(soundkit-decoder/src/lib.rs:2892-3156).  The TPU-native analog runs
+each BATCHED serving model over N lanes of the fixture corpus and
+reports, per format:
+
+- aggregate x-realtime (audio seconds decoded per wall second, all
+  lanes), median AND best across passes — the shared dev tunnel swings
+  wildly (CLAUDE.md), so both numbers are recorded
+- streams/s (fixture files fully decoded per second) and MB/s of
+  compressed input
+
+Usage:  python benchmarks/formats_bench.py [--passes N] [--json PATH]
+
+Writes benchmarks/FORMATS_BENCH.json by default (committed results are
+from the shared single-chip axon tunnel; treat absolute numbers as a
+lower bound on a locally attached chip).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TESTDATA = Path("/root/reference/testdata")
+GOLDEN = Path("/root/reference/golden")
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+
+
+def _passes_stats(fn, n_passes):
+    vals = []
+    for _ in range(n_passes):
+        vals.append(fn())
+    vals.sort()
+    return {
+        "median": vals[len(vals) // 2],
+        "best": vals[-1],
+        "passes": [round(v, 1) for v in vals],
+    }
+
+
+def _xrt(audio_seconds, elapsed):
+    return audio_seconds / elapsed if elapsed > 0 else 0.0
+
+
+def bench_aac(passes):
+    """Flagship path at the serving batch size (same as bench.py)."""
+    import jax
+
+    from soundkit_tpu.codecs.aac_lc import AdtsStream
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_v3_batch_packed,
+    )
+    from soundkit_tpu.ops import aac_batch as ab
+
+    B = 1024
+    data = (GOLDEN / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    stream = AdtsStream()
+    aus = list(stream.push(data))
+    parser = NativeAacParser(stream.sr_index)
+    step = jax.jit(ab.aac_decode_frame_device_v3_packed, donate_argnums=(1, 2))
+    import jax.numpy as jnp
+
+    n_batches = 24
+
+    def one_pass():
+        saved, prev = ab.init_state(B)
+        s, p = jnp.asarray(saved), jnp.asarray(prev)
+        buf, _ = prepare_v3_batch_packed(parser, [aus[i % len(aus)] for i in range(B)])
+        pcm, s, p = step(buf, p, s)
+        pcm.block_until_ready()
+        t0 = time.perf_counter()
+        for t in range(n_batches):
+            lanes = [aus[(t + i) % len(aus)] for i in range(B)]
+            buf, _ = prepare_v3_batch_packed(parser, lanes)
+            pcm, s, p = step(buf, p, s)
+            pcm.block_until_ready()
+        el = time.perf_counter() - t0
+        return _xrt(n_batches * B * 1024 / 48000.0, el)
+
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mode"] = "e2e parse+wire+device, distinct lanes"
+    return st
+
+
+def bench_mp3(passes):
+    from soundkit_tpu.models.mp3_batch_model import BatchedMp3Decoder
+
+    B = 64
+    data = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
+    model = BatchedMp3Decoder(B, 2)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            model.push(b, data)
+        n = model.ready_granules
+        model.decode_batches(n, device_out=True)
+        el = time.perf_counter() - t0
+        return _xrt(B * n * 576 / 16000.0, el)
+
+    one_pass()  # compile warmup
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mb"] = round(B * len(data) / 1e6, 2)
+    return st
+
+
+def bench_flac(passes):
+    from soundkit_tpu.models.flac_batch import BatchedFlacDecoder
+
+    B = 64
+    data = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
+    model = BatchedFlacDecoder(B)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            model.push(b, data)
+        n = model.ready_frames
+        samples, metas = model.decode_batches(n)
+        el = time.perf_counter() - t0
+        total = sum(int(metas[f][0][0]) for f in range(n))
+        return _xrt(B * total / 16000.0, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mb"] = round(B * len(data) / 1e6, 2)
+    return st
+
+
+def bench_vorbis(passes):
+    from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
+
+    B = 16
+    data = (TESTDATA / "vorbis" / f"{CLIP}.ogg").read_bytes()
+    model = BatchedVorbisDecoder(B)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            model.push(b, data)
+        outs, lens = model.decode_batches(model.ready_frames, device_out=True)
+        el = time.perf_counter() - t0
+        total = int(lens.sum())
+        return _xrt(total / 8000.0, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mb"] = round(B * len(data) / 1e6, 2)
+    return st
+
+
+def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0):
+    from soundkit_tpu.models.telephony_batch import BatchedTelephonyDecoder
+
+    B = 256
+    data = (TESTDATA / fixture_dir / f"{CLIP}{ext}").read_bytes()
+    model = BatchedTelephonyDecoder(codec, B)
+
+    def one_pass():
+        t0 = time.perf_counter()
+        for b in range(B):
+            model.push(b, data)
+        total = 0
+        while True:
+            pcm, lens = model.decode_step()
+            got = int(np.asarray(lens).sum())
+            if got == 0:
+                break
+            total += got
+        el = time.perf_counter() - t0
+        return _xrt(total / rate, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mb"] = round(B * len(data) / 1e6, 2)
+    return st
+
+
+def bench_fleet(passes):
+    """Mixed-codec fleet smoke throughput (aac+mp3+flac lanes)."""
+    from soundkit_tpu.models.fleet import StreamFleet
+
+    aac = (GOLDEN / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    mp3 = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
+    flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
+
+    def one_pass():
+        fleet = StreamFleet(capacity_per_group=8)
+        t0 = time.perf_counter()
+        for i in range(8):
+            fleet.push(f"a{i}", aac)
+            fleet.push(f"m{i}", mp3)
+            fleet.push(f"f{i}", flac)
+        for i in range(8):
+            fleet.end_stream(f"a{i}")
+            fleet.end_stream(f"m{i}")
+            fleet.end_stream(f"f{i}")
+        out = fleet.collect()
+        el = time.perf_counter() - t0
+        secs = 0.0
+        for sid, pcm in out.items():
+            r = fleet.sample_rate(sid) or 16000
+            secs += pcm.shape[-1] / r
+        return _xrt(secs, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["streams"] = 24
+    return st
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--json", default=str(REPO / "benchmarks" / "FORMATS_BENCH.json"))
+    ap.add_argument("--formats", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    benches = {
+        "aac_lc": lambda: bench_aac(args.passes),
+        "mp3": lambda: bench_mp3(args.passes),
+        "flac": lambda: bench_flac(args.passes),
+        "vorbis": lambda: bench_vorbis(args.passes),
+        "g711_mulaw": lambda: bench_telephony(
+            "g711_mulaw", "g711_ulaw", ".ulaw", 8000.0, args.passes),
+        "g722": lambda: bench_telephony("g722", "g722", ".g722", 16000.0, args.passes),
+        "g726_32": lambda: bench_telephony(
+            "g726_32", "g726", "_32.g726", 8000.0, args.passes),
+        "fleet_mixed": lambda: bench_fleet(args.passes),
+    }
+    only = [f for f in args.formats.split(",") if f]
+    results = {
+        "unit": "aggregate_x_realtime",
+        "backend": str(jax.devices()[0]),
+        "note": "median AND best across passes; shared axon tunnel "
+                "varies widely run to run (CLAUDE.md)",
+    }
+    for name, fn in benches.items():
+        if only and name not in only:
+            continue
+        try:
+            results[name] = fn()
+            print(name, json.dumps(results[name]))
+        except Exception as e:  # record, keep going
+            results[name] = {"error": repr(e)}
+            print(name, "ERROR", repr(e))
+    Path(args.json).write_text(json.dumps(results, indent=1) + "\n")
+    print("wrote", args.json)
+
+
+if __name__ == "__main__":
+    main()
