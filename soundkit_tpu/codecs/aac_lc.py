@@ -186,6 +186,9 @@ class IcsData:
     global_gain: int = 0
     num_swb: int = 0
     swb_offset: np.ndarray = None
+    spectral_bit_start: int = -1  # AU-relative bit offset of
+    # spectral_data (consumed by the device entropy decoder,
+    # ops/aac_entropy.py)
 
 
 @dataclass
@@ -459,6 +462,7 @@ class AacLcDecoder:
             raise AacError("gain control (SSR) not supported")
 
         # spectral_data
+        ics.spectral_bit_start = br.pos
         quant = np.zeros(1024, dtype=np.int32)
         win_base = []
         acc = 0
