@@ -362,6 +362,64 @@ def prepare_v3_batch_packed(
     return buf, bool(overflow[0])
 
 
+def _v4_views(buf: np.ndarray, B: int) -> dict:
+    from soundkit_tpu.ops.aac_batch import v4_wire_layout
+
+    layout, _total = v4_wire_layout(B)
+    return {
+        name: buf[off : off + int(np.prod(shp)) * np.dtype(dt).itemsize]
+        .view(dt)
+        .reshape(-1)
+        for name, off, dt, shp in layout
+    }
+
+
+def prepare_v4_batch_packed(
+    parser: NativeAacParser, aus: List[Optional[bytes]]
+):
+    """v4 packed wire (~1.9 KB/lane): raw AU bytes + section program;
+    the spectral Huffman decode runs ON DEVICE
+    (ops.aac_batch.aac_decode_frame_device_v4_packed + the
+    ops.aac_entropy interpreter).  The host walks spectral bits
+    length-only — no value decode, no quant conversion.
+
+    Returns (buf uint8[total], max_steps, overflow: bool); on overflow
+    (PNS/pulse content, run table exceeded, AU > cap) the affected
+    lanes are zeroed and the caller should re-parse through the v3
+    path.  jit the device step with static max_steps."""
+    from soundkit_tpu.ops.aac_batch import v4_wire_layout
+
+    B = len(aus)
+    _layout, total = v4_wire_layout(B)
+    all_active = all(au is not None for au in aus)
+    buf = (np.empty if all_active else np.zeros)(total, dtype=np.uint8)
+    views = _v4_views(buf, B)
+    ptrs = (ctypes.c_char_p * B)()
+    lens = np.empty(B, dtype=np.int64)
+    for i, au in enumerate(aus):
+        if au is not None:
+            ptrs[i] = au
+            lens[i] = len(au)
+        else:
+            lens[i] = -1
+    overflow = np.zeros(1, dtype=np.int32)
+    max_cw = np.zeros(1, dtype=np.int32)
+    parser._lib.skt_aac_parse_batch_v4_ptrs(
+        parser._h, ptrs, lens, B, _parse_threads(),
+        views["regions"], views["sf_len"], views["sf_val"],
+        views["msis_len"], views["msis_ms"], views["msis_pos"],
+        views["msis_sign"], views["refl"], views["crb"], views["order"],
+        views["runs"], views["n_runs"], views["spec_bit"],
+        views["pns"].view(np.uint8),
+        views["seq"], views["shape"], views["chan_valid"], views["au"],
+        max_cw, overflow,
+    )
+    # static scan length, bucketed so jit caches stay warm across
+    # batches (computed by the C entry: worst lane's codeword total)
+    max_steps = max((int(max_cw[0]) + 63) // 64 * 64, 64)
+    return buf, max_steps, bool(overflow[0])
+
+
 def prepare_v3_batch_packed_grouped(
     parsers: dict,
     lane_sr: List[Optional[int]],

@@ -39,6 +39,9 @@ class BatchedAacLcDecoder:
         self._step = jax.jit(ab.aac_decode_frame_device)
         self._step_packed = jax.jit(ab.aac_decode_frame_device_compact_packed)
         self._step_v3 = jax.jit(ab.aac_decode_frame_device_v3_packed)
+        self._step_v4 = jax.jit(
+            ab.aac_decode_frame_device_v4_packed, static_argnums=(3,)
+        )
         self._native = {}  # sr_index -> NativeAacParser (mixed-rate groups)
         if use_native:
             try:
@@ -100,11 +103,11 @@ class BatchedAacLcDecoder:
         """Decode exactly ``n`` lockstep batches; empty lanes decode as
         silence with frozen state.
 
-        Hot path: packed v3 wire (~3.6 KB/lane, ONE host->device
-        transfer). Falls back to the compact wire for a batch whose
-        escape/run budgets overflow, then to the full wire (int32
-        quant) when even int16 overflows or the native parser is
-        unavailable."""
+        Hot path: packed v4 wire (raw AUs + section program; the
+        spectral Huffman decode runs ON DEVICE via the ops.aac_entropy
+        interpreter). Falls back to the v3 wire for mixed-rate batches
+        or content the raw wire cannot express (pulses, oversized
+        AUs/run tables), then compact, then the full wire."""
         import jax.numpy as jnp
 
         outs = []
@@ -113,6 +116,14 @@ class BatchedAacLcDecoder:
             aus: List[Optional[bytes]] = [
                 q.pop(0) if q else None for q in self._queues
             ]
+            v4 = self._try_v4(aus)
+            if v4 is not None:
+                buf4, max_steps = v4
+                pcm, self._saved, self._prev_shape = self._step_v4(
+                    jnp.asarray(buf4), self._prev_shape, self._saved, max_steps
+                )
+                outs.append(pcm if device_out else np.asarray(pcm))
+                continue
             buf3 = self._try_v3(aus)
             if buf3 is not None:
                 pcm, self._saved, self._prev_shape = self._step_v3(
@@ -156,6 +167,27 @@ class BatchedAacLcDecoder:
         for sr in need - self._native.keys():
             self._native[sr] = self._native_cls(sr)
         return lane_sr
+
+    def _try_v4(self, aus):
+        """Packed v4 wire (device entropy decode) for this batch, or
+        None to fall back: needs the native parser, a single sample
+        rate across active lanes, and no pulse/oversize content."""
+        if self._native_cls is None:
+            return None
+        lane_sr = self._lane_parsers(aus)
+        srs = {
+            lane_sr[i]
+            for i, au in enumerate(aus)
+            if au is not None and lane_sr[i] is not None
+        }
+        if len(srs) != 1:
+            return None
+        from soundkit_tpu.codecs.aac_lc_native import prepare_v4_batch_packed
+
+        buf, max_steps, overflow = prepare_v4_batch_packed(
+            self._native[srs.pop()], aus
+        )
+        return None if overflow else (buf, max_steps)
 
     def _try_v3(self, aus):
         """Packed v3 wire for this batch, or None to fall back (no

@@ -311,6 +311,35 @@ def _bind_aac_v3(lib: ctypes.CDLL) -> None:
         ctypes.c_int,
     ] + wire_outs
 
+    lib.skt_aac_parse_batch_v4_ptrs.restype = ctypes.c_int
+    lib.skt_aac_parse_batch_v4_ptrs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+        ndpointer(np.int16, flags="C_CONTIGUOUS"),   # regions
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # sf_len
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # sf_val
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # msis_len
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # msis_ms
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # msis_pos
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # msis_sign
+        ndpointer(np.int8, flags="C_CONTIGUOUS"),    # refl
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # crb
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # order
+        ndpointer(np.uint32, flags="C_CONTIGUOUS"),  # runs
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # n_runs
+        ndpointer(np.uint16, flags="C_CONTIGUOUS"),  # spec_bit
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # pns (u32 view)
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # seq
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # shape
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # chan_valid
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),   # au bytes
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),   # max_cw
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),   # overflow
+    ]
+
 
 def _bind_mp3(lib: ctypes.CDLL) -> None:
     import numpy as np

@@ -309,6 +309,11 @@ struct IcsData {
     TnsFilt tns[8][4];
     int coded_limit = 1024;  // quant[coded_limit:] is implicitly zero
     int32_t quant[1024];
+    // v4 wire (device entropy decode): spectral_data location + flags
+    // for content the raw-AU wire cannot carry (fallback to v3)
+    int spectral_bit_start = -1;
+    int had_pulse = 0;
+    int had_pns = 0;
 };
 
 struct Parser {
@@ -398,11 +403,48 @@ struct Parser {
         return true;
     }
 
+    // length-only spectral walk for the v4 raw-AU wire: advances the
+    // reader past one band's tuples without materializing values (the
+    // device entropy interpreter re-decodes them from the raw AU)
+    template <int DIM, bool SIGNED, bool ESC>
+    static bool skip_band(BitReader& br, const Vlc& vlc,
+                          const int8_t* up_tab, const uint8_t* nz_tab,
+                          int lo, int hi) {
+        for (int k = lo; k < hi; k += DIM) {
+            uint32_t w = br.peek32();
+            int32_t e = vlc.entry_for(w, br);
+            if (br.bad) return false;
+            int sym = e >> 8;
+            int len = e & 0xFF;
+            if (SIGNED) {
+                br.consume(len);
+            } else {
+                int nz = nz_tab[sym];
+                br.consume(len + nz);
+                if (ESC) {
+                    const int8_t* up = up_tab + (size_t)sym * 4;
+                    for (int d = 0; d < DIM; ++d) {
+                        if (up[d] == 16) {
+                            int n = 4;
+                            while (br.get(1)) {
+                                if (++n > 28) { br.bad = true; return false; }
+                            }
+                            br.consume(n);
+                        }
+                    }
+                }
+            }
+            if (br.pos > br.nbits) { br.bad = true; return false; }
+        }
+        return true;
+    }
+
     bool decode_ics(BitReader& br, bool common, const IcsInfo* shared, IcsData& ics,
                     double* is_scale /* [8][64] out for intensity */,
                     int* is_sign /* [8][64] */,
                     int* is_ipos /* [8][64] */,
-                    bool full = true /* compact wire skips float scales */) {
+                    bool full = true /* compact wire skips float scales */,
+                    bool skip_spec = false /* v4: length-only spectral walk */) {
         ics.global_gain = (int)br.get(8);
         if (common) ics.info = *shared;
         else if (!decode_ics_info(br, ics.info)) return false;
@@ -524,6 +566,48 @@ struct Parser {
 
         // spectral data.  Only lines below swb[max_sfb] are ever coded
         // (long windows), so zero and later convert just that prefix.
+        ics.spectral_bit_start = (int)br.pos;
+        ics.had_pulse = n_pulse;
+        ics.had_pns = 0;
+        for (int g = 0; g < ii.num_window_groups; ++g)
+            for (int s = 0; s < ii.max_sfb; ++s)
+                if (ics.band_type[g][s] == 13) ics.had_pns = 1;
+        if (skip_spec) {
+            // v4 raw-AU wire: traverse the spectral bits (to locate
+            // the next syntactic element) without decoding values
+            for (int g = 0; g < ii.num_window_groups; ++g) {
+                for (int s = 0; s < ii.max_sfb; ++s) {
+                    int cb = ics.band_type[g][s];
+                    if (cb == 0 || cb >= 13) continue;
+                    int lo = ii.swb[s], hi = ii.swb[s + 1];
+                    const Vlc& vlc = g_tables.spectral[cb - 1];
+                    const int8_t* up_tab = g_tables.unpack[cb - 1].data();
+                    const uint8_t* nz_tab = g_tables.nzcnt[cb - 1].data();
+                    for (int w = 0; w < ii.group_lens[g]; ++w) {
+                        bool ok;
+                        switch (cb) {
+                            case 1: case 2:
+                                ok = skip_band<4, true, false>(br, vlc, up_tab, nz_tab, lo, hi);
+                                break;
+                            case 3: case 4:
+                                ok = skip_band<4, false, false>(br, vlc, up_tab, nz_tab, lo, hi);
+                                break;
+                            case 5: case 6:
+                                ok = skip_band<2, true, false>(br, vlc, up_tab, nz_tab, lo, hi);
+                                break;
+                            case 11:
+                                ok = skip_band<2, false, true>(br, vlc, up_tab, nz_tab, lo, hi);
+                                break;
+                            default:
+                                ok = skip_band<2, false, false>(br, vlc, up_tab, nz_tab, lo, hi);
+                                break;
+                        }
+                        if (!ok) return fail("spectral overrun");
+                    }
+                }
+            }
+            return !br.bad || !fail("bitstream overrun");
+        }
         ics.coded_limit = (short_win || n_pulse) ? 1024 : ii.swb[ii.max_sfb];
         memset(ics.quant, 0, (size_t)ics.coded_limit * 4);
         int win_base[8];
@@ -955,6 +1039,356 @@ struct Parser {
         bool any = false;
 
         explicit MsisRuns(const V3Dest& dd) : d(dd) {}
+
+        void flush() {
+            while (cur_len > 0) {
+                if (n >= V3_RUNS) { *d.overflow = 1; cur_len = 0; return; }
+                int l = cur_len > 255 ? 255 : cur_len;
+                d.msis_len[n] = (uint8_t)l;
+                d.msis_ms[n] = cms;
+                d.msis_pos[n] = cpos;
+                d.msis_sign[n] = csgn;
+                ++n;
+                cur_len -= l;
+            }
+        }
+
+        void push(int len, uint8_t ms, int8_t pos, int8_t sgn) {
+            if (len <= 0) return;
+            if (any && ms == cms && pos == cpos && sgn == csgn) {
+                cur_len += len;
+                return;
+            }
+            flush();
+            cur_len = len; cms = ms; cpos = pos; csgn = sgn; any = true;
+        }
+
+        void done() {
+            flush();
+            memset(d.msis_len + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_ms + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_pos + n, 0, (size_t)(V3_RUNS - n));
+            memset(d.msis_sign + n, 0, (size_t)(V3_RUNS - n));
+        }
+    };
+
+    // ---- v4 wire: raw AU + section program; the spectral Huffman
+    // decode happens ON DEVICE (ops/aac_entropy.py).  The host parses
+    // syntax up to spectral_data, walks the spectral bits length-only
+    // to reach the next element, and emits per channel: the bit offset
+    // where spectral_data starts plus packed (codebook, n_codewords,
+    // out_line) runs in decode order.  Falls back (overflow=1) for
+    // content the raw wire cannot express: PNS bands, pulses, more
+    // than V4_RUNS band runs, AUs larger than V4_AU_CAP. ----
+
+    static constexpr int V4_RUNS = 128;
+    static constexpr int V4_PNS = 16;
+    static constexpr int V4_AU_CAP = 1024;
+
+    struct V4LaneDest {
+        uint8_t* sf_len;    // [V3_RUNS]
+        uint8_t* sf_val;    // [V3_RUNS]
+        int16_t* regions;   // [MAX_FILTERS*3]
+        int8_t* refl;       // [MAX_FILTERS*MAX_ORDER]
+        uint8_t* crb;       // [MAX_FILTERS]
+        uint8_t* order;     // [MAX_FILTERS]
+        uint32_t* runs;     // [V4_RUNS]: cb | ncw<<4 | out<<10
+        uint8_t* n_runs;    // [1]
+        uint16_t* spec_bit; // [1]
+        uint32_t* pns;      // [V4_PNS]: start | nlines<<12 (0 = unused)
+    };
+
+    struct V4Dest {
+        V4LaneDest ch[2];
+        uint8_t* msis_len;  // [V3_RUNS]
+        uint8_t* msis_ms;   // [V3_RUNS]
+        int8_t* msis_pos;   // [V3_RUNS]
+        int8_t* msis_sign;  // [V3_RUNS]
+        uint8_t* seq;       // [2]
+        uint8_t* shape;     // [2]
+        uint8_t* valid;     // [2]
+        int32_t* overflow;
+    };
+
+    static void zero_lane_v4(const V4LaneDest& d) {
+        memset(d.sf_len, 0, V3_RUNS);
+        memset(d.sf_val, 0, V3_RUNS);
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.refl, 0, MAX_FILTERS * MAX_ORDER);
+        memset(d.crb, 0, MAX_FILTERS);
+        memset(d.order, 0, MAX_FILTERS);
+        memset(d.runs, 0, V4_RUNS * 4);
+        memset(d.pns, 0, V4_PNS * 4);
+        d.n_runs[0] = 0;
+        d.spec_bit[0] = 0;
+    }
+
+    static void zero_v4(const V4Dest& d) {
+        zero_lane_v4(d.ch[0]);
+        zero_lane_v4(d.ch[1]);
+        memset(d.msis_len, 0, V3_RUNS);
+        memset(d.msis_ms, 0, V3_RUNS);
+        memset(d.msis_pos, 0, V3_RUNS);
+        memset(d.msis_sign, 0, V3_RUNS);
+        d.seq[0] = d.seq[1] = 0;
+        d.shape[0] = d.shape[1] = 0;
+        d.valid[0] = d.valid[1] = 0;
+    }
+
+    void fill_lane_v4(const IcsData& ics, const V4LaneDest& d,
+                      int32_t* overflow) {
+        const IcsInfo& ii = ics.info;
+        bool short_win = ii.window_sequence == 2;
+
+        if (ics.had_pulse) *overflow = 1;
+        if (ics.spectral_bit_start < 0 || ics.spectral_bit_start > 0xFFFF)
+            *overflow = 1;
+        d.spec_bit[0] = (uint16_t)std::max(ics.spectral_bit_start, 0);
+
+        // section program in decode order (g, s, w)
+        int nr = 0;
+        int wbase_g[8];
+        int acc = 0;
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            wbase_g[g] = acc;
+            acc += ii.group_lens[g];
+        }
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            for (int s = 0; s < ii.max_sfb; ++s) {
+                int cb = ics.band_type[g][s];
+                if (cb == 0 || cb >= 13) continue;
+                int lo = ii.swb[s], hi = ii.swb[s + 1];
+                int dim = cb < 5 ? 4 : 2;
+                uint32_t ncw = (uint32_t)((hi - lo + dim - 1) / dim);
+                for (int w = 0; w < ii.group_lens[g]; ++w) {
+                    uint32_t out =
+                        (uint32_t)((short_win ? (wbase_g[g] + w) * 128 : 0) + lo);
+                    if (nr >= V4_RUNS) { *overflow = 1; break; }
+                    d.runs[nr++] = (uint32_t)cb | (ncw << 4) | (out << 10);
+                }
+            }
+        }
+        d.n_runs[0] = (uint8_t)nr;
+        memset(d.runs + nr, 0, (size_t)(V4_RUNS - nr) * 4);
+
+        // PNS bands: noise positions for the device-side sign fill
+        // (energies ride the line_sf runs; the device draws the +-1
+        // signs — spec-conformant noise, not bit-identical to the v3
+        // host LCG)
+        int np_ = 0;
+        memset(d.pns, 0, V4_PNS * 4);
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            for (int s = 0; s < ii.max_sfb; ++s) {
+                if (ics.band_type[g][s] != 13) continue;
+                int lo = ii.swb[s], hi = ii.swb[s + 1];
+                for (int w = 0; w < ii.group_lens[g]; ++w) {
+                    uint32_t out =
+                        (uint32_t)((short_win ? (wbase_g[g] + w) * 128 : 0) + lo);
+                    if (np_ >= V4_PNS) { *overflow = 1; break; }
+                    d.pns[np_++] = out | ((uint32_t)(hi - lo) << 12);
+                }
+            }
+        }
+
+        // scalefactor runs + TNS: identical semantics to the v3 lane
+        int nrun = 0;
+        auto emit = [&](int len, uint8_t val) {
+            while (len > 0) {
+                if (nrun >= V3_RUNS) { *overflow = 1; return; }
+                int l = len > 255 ? 255 : len;
+                d.sf_len[nrun] = (uint8_t)l;
+                d.sf_val[nrun] = val;
+                ++nrun;
+                len -= l;
+            }
+        };
+        int wlen = short_win ? 128 : 1024;
+        int wbase = 0;
+        for (int g = 0; g < ii.num_window_groups; ++g) {
+            for (int w = 0; w < ii.group_lens[g]; ++w) {
+                for (int s = 0; s < ii.max_sfb; ++s) {
+                    int cb = ics.band_type[g][s];
+                    int lo = ii.swb[s], hi = ii.swb[s + 1];
+                    if (cb == 0 || cb == 14 || cb == 15) {
+                        emit(hi - lo, 0);
+                        continue;
+                    }
+                    uint8_t sfv = (uint8_t)std::max(ics.band_sf[g][s], 0);
+                    emit(hi - lo, sfv);
+                }
+                int covered = ii.max_sfb > 0 ? ii.swb[ii.max_sfb] : 0;
+                emit(wlen - covered, 0);
+            }
+            wbase += ii.group_lens[g];
+        }
+        memset(d.sf_len + nrun, 0, (size_t)(V3_RUNS - nrun));
+        memset(d.sf_val + nrun, 0, (size_t)(V3_RUNS - nrun));
+
+        memset(d.regions, 0, MAX_FILTERS * 3 * 2);
+        memset(d.refl, 0, MAX_FILTERS * MAX_ORDER);
+        memset(d.crb, 0, MAX_FILTERS);
+        memset(d.order, 0, MAX_FILTERS);
+        int tmax = short_win ? AAC_TNS_MAX_128[sr_index] : AAC_TNS_MAX_1024[sr_index];
+        int mmax = std::min(tmax, ii.max_sfb);
+        int nf = 0;
+        for (int w = 0; w < ii.num_windows; ++w) {
+            int bottom = ii.num_swb;
+            for (int f = 0; f < ics.n_tns[w]; ++f) {
+                const TnsFilt& tf = ics.tns[w][f];
+                int top = bottom;
+                bottom = std::max(0, top - tf.length);
+                int order = std::min(tf.order, MAX_ORDER);
+                if (!order || nf >= MAX_FILTERS) continue;
+                int start = ii.swb[std::min(bottom, mmax)];
+                int end = ii.swb[std::min(top, mmax)];
+                if (end - start <= 0) continue;
+                int off = short_win ? w * 128 : 0;
+                for (int i = 0; i < order; ++i)
+                    d.refl[nf * MAX_ORDER + i] = tf.raw[i];
+                d.crb[nf] = (uint8_t)tf.crb;
+                d.order[nf] = (uint8_t)order;
+                d.regions[nf * 3 + 0] = (int16_t)(off + start);
+                d.regions[nf * 3 + 1] = (int16_t)(off + end);
+                d.regions[nf * 3 + 2] = (int16_t)tf.direction;
+                ++nf;
+            }
+        }
+    }
+
+    bool parse_au_v4(const uint8_t* au, long len, const V4Dest& d) {
+        g_tables.init();
+        BitReader br(au, len);
+        *d.overflow = 0;
+        if (len > V4_AU_CAP) *d.overflow = 1;
+
+        while (br.left() >= 3) {
+            int ide = (int)br.get(3);
+            if (ide == 7) break;
+            if (ide == 0 || ide == 3) {  // SCE / LFE
+                br.get(4);
+                IcsData ics;
+                double is_scale[8 * 64];
+                int is_sign[8 * 64];
+                int is_ipos[8 * 64];
+                if (!decode_ics(br, false, nullptr, ics, is_scale, is_sign,
+                                is_ipos, /*full=*/false, /*skip_spec=*/true))
+                    return false;
+                fill_lane_v4(ics, d.ch[0], d.overflow);
+                zero_lane_v4(d.ch[1]);
+                memset(d.msis_len, 0, V3_RUNS);
+                memset(d.msis_ms, 0, V3_RUNS);
+                memset(d.msis_pos, 0, V3_RUNS);
+                memset(d.msis_sign, 0, V3_RUNS);
+                d.seq[0] = (uint8_t)ics.info.window_sequence;
+                d.shape[0] = (uint8_t)ics.info.window_shape;
+                d.seq[1] = d.shape[1] = 0;
+                d.valid[0] = 1;
+                d.valid[1] = 0;
+                return true;
+            }
+            if (ide == 1) {  // CPE
+                br.get(4);
+                int common = (int)br.get(1);
+                IcsInfo shared;
+                uint8_t ms_band[8][64];
+                memset(ms_band, 0, sizeof ms_band);
+                int ms_present = 0;
+                if (common) {
+                    if (!decode_ics_info(br, shared)) return false;
+                    ms_present = (int)br.get(2);
+                    if (ms_present == 1) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = (uint8_t)br.get(1);
+                    } else if (ms_present == 2) {
+                        for (int g = 0; g < shared.num_window_groups; ++g)
+                            for (int s = 0; s < shared.max_sfb; ++s)
+                                ms_band[g][s] = 1;
+                    } else if (ms_present == 3) {
+                        return fail("reserved ms_mask_present");
+                    }
+                }
+                IcsData ics0, ics1;
+                double is_sc0[8 * 64], is_sc1[8 * 64];
+                int is_sg0[8 * 64], is_sg1[8 * 64];
+                int is_ip0[8 * 64], is_ip1[8 * 64];
+                if (!decode_ics(br, common != 0, &shared, ics0, is_sc0, is_sg0,
+                                is_ip0, false, /*skip_spec=*/true) ||
+                    !decode_ics(br, common != 0, &shared, ics1, is_sc1, is_sg1,
+                                is_ip1, false, /*skip_spec=*/true))
+                    return false;
+                fill_lane_v4(ics0, d.ch[0], d.overflow);
+                fill_lane_v4(ics1, d.ch[1], d.overflow);
+                d.seq[0] = (uint8_t)ics0.info.window_sequence;
+                d.shape[0] = (uint8_t)ics0.info.window_shape;
+                d.seq[1] = (uint8_t)ics1.info.window_sequence;
+                d.shape[1] = (uint8_t)ics1.info.window_shape;
+                d.valid[0] = d.valid[1] = 1;
+
+                // pair-level MS / intensity runs in line order (same
+                // walk as the v3 CPE; see the common==0 note there)
+                const IcsInfo& ii = ics0.info;
+                bool short_win = ii.window_sequence == 2;
+                int wlen2 = short_win ? 128 : 1024;
+                MsisRuns4 runs(d);
+                for (int g = 0; g < ii.num_window_groups; ++g) {
+                    for (int w = 0; w < ii.group_lens[g]; ++w) {
+                        for (int s = 0; s < ii.max_sfb; ++s) {
+                            int bt1 = common ? ics1.band_type[g][s] : 0;
+                            int lo = ii.swb[s], hi = ii.swb[s + 1];
+                            bool is_int = bt1 == 14 || bt1 == 15;
+                            if (is_int) {
+                                int c = is_sg1[g * 64 + s];
+                                if (ms_present && ms_band[g][s]) c = -c;
+                                int ip = is_ip1[g * 64 + s];
+                                int8_t ipc =
+                                    (int8_t)std::max(-128, std::min(127, ip));
+                                runs.push(hi - lo, 0, ipc,
+                                          (int8_t)(c < 0 ? -1 : 1));
+                            } else if (ms_band[g][s] &&
+                                       ics0.band_type[g][s] < 13 && bt1 < 13) {
+                                runs.push(hi - lo, 1, 0, 0);
+                            } else {
+                                runs.push(hi - lo, 0, 0, 0);
+                            }
+                        }
+                        int covered = ii.max_sfb > 0 ? ii.swb[ii.max_sfb] : 0;
+                        runs.push(wlen2 - covered, 0, 0, 0);
+                    }
+                }
+                runs.done();
+                return true;
+            }
+            if (ide == 4) {  // DSE
+                br.get(4);
+                int align = (int)br.get(1);
+                int count = (int)br.get(8);
+                if (count == 255) count += (int)br.get(8);
+                long sk = count * 8L;
+                if (align) sk += (8 - br.pos % 8) % 8;
+                br.skip(sk);
+            } else if (ide == 6) {  // FIL
+                int count = (int)br.get(4);
+                if (count == 15) count += (int)br.get(8) - 1;
+                br.skip(count * 8L);
+            } else {
+                return fail("unsupported element");
+            }
+            if (br.bad) return fail("bitstream overrun");
+        }
+        return fail("empty access unit");
+    }
+
+    // MsisRuns over a V4Dest (same run semantics as the v3 variant)
+    struct MsisRuns4 {
+        const V4Dest& d;
+        int n = 0;
+        int cur_len = 0;
+        uint8_t cms = 0;
+        int8_t cpos = 0, csgn = 0;
+        bool any = false;
+
+        explicit MsisRuns4(const V4Dest& dd) : d(dd) {}
 
         void flush() {
             while (cur_len > 0) {
@@ -1741,6 +2175,107 @@ int skt_aac_parse_batch_v3_ptrs(void* h, const uint8_t* const* aus,
         workers[t].join();
         failures += fails[t];
         *overflow |= ovfs[t];
+    }
+    return failures;
+}
+
+// v4 raw-AU wire batched parse: syntax metadata + section program on
+// the host, spectral values decoded on device from the raw AU bytes
+// (copied into au_out, zero padded).  Lane layout mirrors
+// ops.aac_batch.v4_wire_layout.
+int skt_aac_parse_batch_v4_ptrs(void* h, const uint8_t* const* aus,
+                                const int64_t* lens, int B, int nthreads,
+                                int16_t* regions, uint8_t* sf_len,
+                                uint8_t* sf_val, uint8_t* msis_len,
+                                uint8_t* msis_ms, int8_t* msis_pos,
+                                int8_t* msis_sign, int8_t* refl,
+                                uint8_t* crb, uint8_t* order,
+                                uint32_t* runs, uint8_t* n_runs,
+                                uint16_t* spec_bit, uint8_t* pns,
+                                uint8_t* seq, uint8_t* shape,
+                                uint8_t* chan_valid, uint8_t* au_out,
+                                int32_t* max_cw, int32_t* overflow) {
+    auto* p = (Parser*)h;
+    *overflow = 0;
+    *max_cw = 0;
+    constexpr int R = Parser::V3_RUNS;
+    constexpr int VR = Parser::V4_RUNS;
+    constexpr int CAP = Parser::V4_AU_CAP;
+
+    auto lane = [&](Parser* w, long b, int32_t* ovf, int32_t* max_cw) -> bool {
+        Parser::V4Dest d;
+        for (int c = 0; c < 2; ++c) {
+            d.ch[c].sf_len = sf_len + (b * 2 + c) * R;
+            d.ch[c].sf_val = sf_val + (b * 2 + c) * R;
+            d.ch[c].regions = regions + (b * 2 + c) * MAX_FILTERS * 3;
+            d.ch[c].refl = refl + (b * 2 + c) * MAX_FILTERS * MAX_ORDER;
+            d.ch[c].crb = crb + (b * 2 + c) * MAX_FILTERS;
+            d.ch[c].order = order + (b * 2 + c) * MAX_FILTERS;
+            d.ch[c].runs = runs + (b * 2 + c) * VR;
+            d.ch[c].n_runs = n_runs + (b * 2 + c);
+            d.ch[c].spec_bit = spec_bit + (b * 2 + c);
+            d.ch[c].pns =
+                (uint32_t*)(pns) + (b * 2 + c) * Parser::V4_PNS;
+        }
+        d.msis_len = msis_len + b * R;
+        d.msis_ms = msis_ms + b * R;
+        d.msis_pos = msis_pos + b * R;
+        d.msis_sign = msis_sign + b * R;
+        d.seq = seq + b * 2;
+        d.shape = shape + b * 2;
+        d.valid = chan_valid + b * 2;
+        int32_t o = 0;
+        d.overflow = &o;
+        bool ok = w->parse_au_v4(aus[b], lens[b], d);
+        long n = lens[b] < CAP ? lens[b] : CAP;
+        memcpy(au_out + b * CAP, aus[b], (size_t)n);
+        memset(au_out + b * CAP + n, 0, (size_t)(CAP - n));
+        if (!ok || o) Parser::zero_v4(d);
+        *ovf |= o;
+        // total codewords across both channels' section programs (the
+        // device interpreter's step budget for this lane)
+        int32_t cw = 0;
+        for (int c = 0; c < 2; ++c) {
+            int32_t lane_cw = 0;
+            int nr2 = d.ch[c].n_runs[0];
+            for (int r = 0; r < nr2; ++r)
+                lane_cw += (int32_t)((d.ch[c].runs[r] >> 4) & 63u);
+            if (lane_cw > cw) cw = lane_cw;
+        }
+        if (cw > *max_cw) *max_cw = cw;
+        return ok;
+    };
+
+    if (nthreads <= 1) {
+        int failures = 0;
+        for (int b = 0; b < B; ++b) {
+            if (!aus[b] || lens[b] < 0) continue;
+            if (!lane(p, b, overflow, max_cw)) ++failures;
+        }
+        return failures;
+    }
+    g_tables.init();
+    if (nthreads > B) nthreads = B;
+    std::vector<std::thread> workers;
+    std::vector<int> fails((size_t)nthreads, 0);
+    std::vector<int32_t> ovfs((size_t)nthreads, 0);
+    std::vector<int32_t> maxes((size_t)nthreads, 0);
+    for (int t = 0; t < nthreads; ++t) {
+        workers.emplace_back([&, t]() {
+            Parser w;
+            w.sr_index = p->sr_index;
+            for (int b = t; b < B; b += nthreads) {
+                if (!aus[b] || lens[b] < 0) continue;
+                if (!lane(&w, b, &ovfs[t], &maxes[t])) ++fails[t];
+            }
+        });
+    }
+    int failures = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        workers[t].join();
+        failures += fails[t];
+        *overflow |= ovfs[t];
+        if (maxes[t] > *max_cw) *max_cw = maxes[t];
     }
     return failures;
 }

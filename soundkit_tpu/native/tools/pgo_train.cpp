@@ -27,6 +27,13 @@ int skt_aac_parse_batch_compact_ptrs(void* h, const uint8_t* const* aus,
     int16_t* quant, uint8_t* line_sf, int8_t* int_pos, int8_t* int_sign,
     uint8_t* ms, int16_t* regions, float* lpc, int32_t* seq, int32_t* shape,
     uint8_t* chan_valid, int32_t* overflow);
+int skt_aac_parse_batch_v4_ptrs(void* h, const uint8_t* const* aus,
+    const int64_t* lens, int B, int nthreads,
+    int16_t* regions, uint8_t* sf_len, uint8_t* sf_val, uint8_t* msis_len,
+    uint8_t* msis_ms, int8_t* msis_pos, int8_t* msis_sign, int8_t* refl,
+    uint8_t* crb, uint8_t* order, uint32_t* runs, uint8_t* n_runs,
+    uint16_t* spec_bit, uint8_t* seq, uint8_t* shape, uint8_t* chan_valid,
+    uint8_t* au_out, int32_t* max_cw, int32_t* overflow);
 }
 
 int main(int argc, char** argv) {
@@ -74,7 +81,10 @@ int main(int argc, char** argv) {
     std::vector<int8_t> int_pos(B * 1024), int_sign(B * 1024);
     std::vector<float> lpc(B * 2 * 8 * 20);
     std::vector<int32_t> seq32(B * 2), shp32(B * 2);
-    int32_t ovf;
+    std::vector<uint32_t> runs(B * 2 * 128);
+    std::vector<uint8_t> n_runs(B * 2), au_out((size_t)B * 1024);
+    std::vector<uint16_t> spec_bit(B * 2);
+    int32_t ovf, max_cw;
 
     void* h = skt_aac_new(sr_index);
     for (int t = 0; t < 20; ++t) {
@@ -87,6 +97,12 @@ int main(int argc, char** argv) {
             sf_len.data(), sf_val.data(), msis_len.data(), msis_ms.data(),
             msis_pos.data(), msis_sign.data(), refl.data(), crb.data(),
             ord.data(), seq.data(), shp.data(), cv.data(), &ovf);
+        skt_aac_parse_batch_v4_ptrs(h, ptrs.data(), lens.data(), B, 1,
+            regions.data(), sf_len.data(), sf_val.data(), msis_len.data(),
+            msis_ms.data(), msis_pos.data(), msis_sign.data(), refl.data(),
+            crb.data(), ord.data(), runs.data(), n_runs.data(),
+            spec_bit.data(), seq.data(), shp.data(), cv.data(),
+            au_out.data(), &max_cw, &ovf);
         if (t < 4)  // keep the fallback path warm in the profile too
             skt_aac_parse_batch_compact_ptrs(h, ptrs.data(), lens.data(), B, 1,
                 quant16.data(), line_sf.data(), int_pos.data(), int_sign.data(),

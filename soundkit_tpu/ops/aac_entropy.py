@@ -142,16 +142,32 @@ def pack_runs(all_runs: List[List[Tuple[int, int, int]]]):
 # device interpreter
 # ---------------------------------------------------------------------------
 
+def max_steps_for(runs_ncw, n_runs, bucket: int = 64) -> int:
+    """Static scan length covering the worst lane, rounded up to a
+    bucket so jit caches stay warm across batches."""
+    per_lane = np.where(
+        np.arange(runs_ncw.shape[1])[None, :] < np.asarray(n_runs)[:, None],
+        np.asarray(runs_ncw), 0,
+    ).sum(axis=1)
+    worst = int(per_lane.max()) if per_lane.size else 0
+    return max(((worst + bucket - 1) // bucket) * bucket, bucket)
+
+
 def aac_spectral_decode_device(words, bitpos0, runs_cb, runs_ncw, runs_out,
-                               n_runs):
+                               n_runs, max_steps: int = 0):
     """Decode every lane's spectral codewords -> quant [B, 1024] int32.
 
     words:   [B, W] uint32 big-endian AU words
     bitpos0: [B] int32 bit offset of the channel's spectral_data
     runs_*:  [B, MAX_RUNS] the section program, n_runs [B]
+    max_steps: static scan length (see max_steps_for); 0 = data-
+      dependent while_loop.  On the axon tunnel backend every
+      while_loop cond costs a host round-trip (~3.5 ms/iteration
+      measured), so serving uses the fixed-length scan; the while
+      variant remains for backends with device-resident conds.
 
-    One while_loop iteration = one codeword on every active lane.
-    jit me (CPU mesh or TPU; integer-only, no precision concerns).
+    One iteration = one codeword on every active lane.  jit with
+    static_argnums=(6,) (integer-only; no precision concerns).
     """
     import jax
     import jax.numpy as jnp
@@ -267,5 +283,12 @@ def aac_spectral_decode_device(words, bitpos0, runs_cb, runs_ncw, runs_out,
     run_i = jnp.zeros(B, jnp.int32)
     cw_i = jnp.zeros(B, jnp.int32)
     state = (bitpos, run_i, cw_i, quant0)
-    bitpos, run_i, cw_i, quant = jax.lax.while_loop(cond, body, state)
+    if max_steps:
+        def scan_body(st, _):
+            return body(st), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=max_steps)
+        bitpos, run_i, cw_i, quant = state
+    else:
+        bitpos, run_i, cw_i, quant = jax.lax.while_loop(cond, body, state)
     return quant[:, :1024]

@@ -60,6 +60,7 @@ _SLOW_MODULES = {
     "test_mp3_native",
     "test_resample",
     "test_stretch",
+    "test_mesh_coverage",
 }
 
 

@@ -65,6 +65,7 @@ def test_device_entropy_bit_exact_corpus(testdata, golden):
         np.testing.assert_array_equal(quant[b], ref, err_msg=f"lane {b}")
 
 
+@pytest.mark.slow
 def test_device_entropy_sharded_8dev(testdata, golden):
     """The interpreter under an 8-device stream mesh equals unsharded
     (integer program, must be exact)."""
@@ -91,3 +92,58 @@ def test_device_entropy_sharded_8dev(testdata, golden):
 
     sharded = step(*[shard(a) for a in args])
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sharded))
+
+
+@pytest.mark.slow
+def test_v4_wire_matches_v3_end_to_end(testdata, golden):
+    """The v4 serving path (raw-AU wire + device entropy decode) must
+    equal the v3 path's PCM exactly on the ADTS corpus, and to PNS
+    noise-floor level on the PNS-bearing M4A corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.codecs.aac_lc import AdtsStream
+    from soundkit_tpu.codecs.aac_lc_native import (
+        NativeAacParser,
+        prepare_v3_batch_packed,
+        prepare_v4_batch_packed,
+    )
+    from soundkit_tpu.ops import aac_batch as ab
+
+    data = (golden / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    stream = AdtsStream()
+    aus = list(stream.push(data))
+    parser = NativeAacParser(stream.sr_index)
+    B = 8
+    saved, prev = ab.init_state(B)
+    s3, p3 = jnp.asarray(saved), jnp.asarray(prev)
+    s4, p4 = jnp.asarray(saved.copy()), jnp.asarray(prev.copy())
+    step3 = jax.jit(ab.aac_decode_frame_device_v3_packed)
+    step4 = jax.jit(ab.aac_decode_frame_device_v4_packed, static_argnums=(3,))
+    for t in range(10):
+        lanes = [aus[(t + i) % len(aus)] for i in range(B)]
+        b3, o3 = prepare_v3_batch_packed(parser, lanes)
+        b4, ms, o4 = prepare_v4_batch_packed(parser, lanes)
+        assert not o3 and not o4
+        pcm3, s3, p3 = step3(jnp.asarray(b3), p3, s3)
+        pcm4, s4, p4 = step4(jnp.asarray(b4), p4, s4, ms)
+        np.testing.assert_array_equal(np.asarray(pcm3), np.asarray(pcm4))
+
+
+@pytest.mark.slow
+def test_v4_serving_model_routes_and_matches(golden):
+    """BatchedAacLcDecoder prefers the v4 wire and produces the same
+    PCM as a v3-pinned instance."""
+    from soundkit_tpu.models.aac_lc_batch import BatchedAacLcDecoder
+
+    data = (golden / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    m4 = BatchedAacLcDecoder(2, 2)
+    m3 = BatchedAacLcDecoder(2, 2)
+    m3._try_v4 = lambda aus: None  # pin the v3 path
+    for b in (0, 1):
+        m4.push(b, data)
+        m3.push(b, data)
+    assert m4._try_v4 is not None
+    out4 = m4.decode_batches(4)
+    out3 = m3.decode_batches(4)
+    np.testing.assert_array_equal(out4, out3)
