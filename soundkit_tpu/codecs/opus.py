@@ -51,18 +51,71 @@ class OpusHead:
 
 
 class _OpusCore:
-    """Shared packet decode with OpusHead config."""
+    """Shared packet decode with OpusHead config.
+
+    Mono mapping-family-0 streams decode through the owned RFC 6716
+    decoder (opus_core.py, CELT modes); packets it cannot yet own
+    (SILK/hybrid) switch the stream to the libavcodec delegate with a
+    full packet replay so output is identical to an av-only decode."""
 
     def __init__(self, head: OpusHead):
         self.head = head
-        self._av = AvDecoder("opus", extradata=head.raw)
         self.sample_rate = OPUS_SAMPLE_RATE
         self.channels = head.channels
+        self._av: Optional[AvDecoder] = None
+        self._own = None
+        if head.channels == 1 and head.mapping_family == 0:
+            from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
+
+            self._own = _Own(head.channels)
+            self._history: List[bytes] = []
+            self._emitted = 0
+            self._skip = head.pre_skip
+            self._gain = (
+                10.0 ** (head.output_gain / (20.0 * 256.0))
+                if head.output_gain
+                else 1.0
+            )
+        else:
+            self._av = AvDecoder("opus", extradata=head.raw)
+
+    def _fallback(self) -> np.ndarray:
+        """Replay history into avcodec, dropping the samples the owned
+        path already emitted, so the caller's stream stays gapless."""
+        self._own = None
+        self._av = AvDecoder("opus", extradata=self.head.raw)
+        parts = [self._av.push(p) for p in self._history]
+        self._history = []
+        parts = [p for p in parts if p.size]
+        out = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.float32)
+        )
+        drop = self._emitted * self.channels
+        return out[drop:] if drop else out
 
     def decode_packet_f32(self, packet: bytes) -> np.ndarray:
+        if self._own is not None:
+            from soundkit_tpu.codecs.opus_core import OpusUnsupported
+
+            self._history.append(packet)
+            try:
+                pcm = self._own.decode_packet(packet)
+            except OpusUnsupported:
+                return self._fallback()
+            out = np.asarray(pcm, dtype=np.float32).reshape(-1)
+            if self._gain != 1.0:
+                out = out * np.float32(self._gain)
+            if self._skip:
+                k = min(self._skip, out.shape[0] // self.channels)
+                out = out[k * self.channels :]
+                self._skip -= k
+            self._emitted += out.shape[0] // self.channels
+            return out
         return self._av.push(packet)
 
     def flush_f32(self) -> np.ndarray:
+        if self._own is not None:
+            return np.zeros(0, dtype=np.float32)
         return self._av.flush()
 
 

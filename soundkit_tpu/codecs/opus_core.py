@@ -1,0 +1,161 @@
+"""RFC 6716 top level: TOC parsing, frame packing (§3), and the
+packet decoder that routes to the owned CELT layer (opus_celt.py).
+
+SILK and hybrid modes raise OpusUnsupported until opus_silk.py lands;
+the Ogg Opus fixture corpus is CELT-WB and decodes fully owned.
+Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from soundkit_tpu.codecs.opus_rc import RangeDecoder
+from soundkit_tpu.codecs.opus_celt import CeltDecoder
+from soundkit_tpu.codecs.opus_tables import tables
+
+
+class OpusUnsupported(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Toc:
+    config: int
+    stereo: bool
+    code: int
+
+    @property
+    def mode(self) -> str:
+        if self.config < 12:
+            return "silk"
+        if self.config < 16:
+            return "hybrid"
+        return "celt"
+
+    @property
+    def frame_duration(self) -> float:
+        """Frame duration in ms."""
+        c = self.config
+        if c < 12:
+            return (10, 20, 40, 60)[c % 4]
+        if c < 16:
+            return (10, 20)[c % 2]
+        return (2.5, 5, 10, 20)[c % 4]
+
+    @property
+    def bandwidth(self) -> int:
+        """0=NB 1=MB 2=WB 3=SWB 4=FB."""
+        c = self.config
+        if c < 12:
+            return (0, 1, 2)[c // 4]
+        if c < 16:
+            return 3 + (c - 12) // 2
+        return (0, 2, 3, 4)[(c - 16) // 4]
+
+
+def parse_packet(data: bytes) -> tuple:
+    """Split an Opus packet into (Toc, [frame bytes]) per RFC §3.2."""
+    if len(data) < 1:
+        raise OpusUnsupported("empty packet")
+    toc = Toc(data[0] >> 3, bool((data[0] >> 2) & 1), data[0] & 3)
+    body = data[1:]
+
+    def read_len(b, pos):
+        if pos >= len(b):
+            raise OpusUnsupported("truncated packet")
+        v = b[pos]
+        pos += 1
+        if v >= 252:
+            if pos >= len(b):
+                raise OpusUnsupported("truncated packet")
+            v += 4 * b[pos]
+            pos += 1
+        return v, pos
+
+    if toc.code == 0:
+        frames = [bytes(body)]
+    elif toc.code == 1:
+        if len(body) % 2:
+            raise OpusUnsupported("code 1 with odd payload")
+        h = len(body) // 2
+        frames = [bytes(body[:h]), bytes(body[h:])]
+    elif toc.code == 2:
+        n1, pos = read_len(body, 0)
+        if n1 > len(body) - pos:
+            raise OpusUnsupported("bad code 2 length")
+        frames = [bytes(body[pos : pos + n1]), bytes(body[pos + n1 :])]
+    else:
+        if len(body) < 1:
+            raise OpusUnsupported("truncated code 3")
+        fc = body[0] & 0x3F
+        vbr = bool(body[0] & 0x80)
+        pad = bool(body[0] & 0x40)
+        pos = 1
+        if fc == 0:
+            raise OpusUnsupported("zero frame count")
+        padding = 0
+        if pad:
+            while True:
+                if pos >= len(body):
+                    raise OpusUnsupported("truncated padding")
+                p = body[pos]
+                pos += 1
+                padding += 254 if p == 255 else p
+                if p != 255:
+                    break
+        avail = len(body) - padding
+        if vbr:
+            lens = []
+            for _ in range(fc - 1):
+                n, pos = read_len(body, pos)
+                lens.append(n)
+            rest = avail - pos - sum(lens)
+            if rest < 0:
+                raise OpusUnsupported("bad vbr lengths")
+            lens.append(rest)
+        else:
+            rest = avail - pos
+            if rest % fc:
+                raise OpusUnsupported("bad cbr split")
+            lens = [rest // fc] * fc
+        frames = []
+        for n in lens:
+            frames.append(bytes(body[pos : pos + n]))
+            pos += n
+    return toc, frames
+
+
+class OpusDecoder:
+    """Owned Opus packet decoder (48 kHz float output).
+
+    CELT modes decode through opus_celt.py; SILK/hybrid raise
+    OpusUnsupported until the SILK layer is complete."""
+
+    def __init__(self, channels: int = 1):
+        self.channels = channels
+        self.celt = CeltDecoder(channels)
+        t = tables()
+        self._band_end = t["celt_band_end"].astype(int)
+        self._last_duration = 960
+
+    def decode_packet(self, data: bytes) -> np.ndarray:
+        """One packet -> [n, channels] float64 at 48 kHz."""
+        if not data:
+            # PLC: decay through the overlap buffer
+            n = self._last_duration
+            return np.zeros((n, self.channels))
+        toc, frames = parse_packet(data)
+        if toc.mode != "celt":
+            raise OpusUnsupported(f"{toc.mode} mode not yet owned")
+        frame_size = int(toc.frame_duration * 48)
+        self._last_duration = frame_size
+        end = int(self._band_end[toc.bandwidth])
+        outs = []
+        for f in frames:
+            rc = RangeDecoder(f)
+            pcm = self.celt.decode_frame(rc, frame_size, 0, end)
+            outs.append(pcm.T)
+        return np.concatenate(outs, axis=0)

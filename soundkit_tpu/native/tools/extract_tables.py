@@ -374,5 +374,51 @@ def extract() -> None:
     print(f"wrote {OUT_DIR}/aac_tables.npz, mp3_tables.npz, vorbis_tables.npz, speex_tables.npz, ac3_tables.npz")
 
 
+def extract_opus() -> None:
+    """Slice every RFC 6716 data table out of opustab.o by symbol.
+
+    Unlike the other codecs this needs no dumper binary: all Opus
+    tables live in one object's .rodata, so the ELF symbol table gives
+    (offset, size) for each and the bytes are stored RAW (uint8); the
+    decoder reinterprets dtype/shape at load (codecs/opus_tables.py).
+    Pointer-valued symbols (ff_celt_window, ff_celt_pvq_u_row) are
+    reconstructed there from their backing arrays.
+    """
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        subprocess.run(["ar", "x", ARCHIVE, "opustab.o"], cwd=td, check=True)
+        obj = td / "opustab.o"
+        subprocess.run(
+            ["objcopy", "-O", "binary", "--only-section=.rodata",
+             str(obj), str(td / "rodata.bin")],
+            check=True,
+        )
+        blob = (td / "rodata.bin").read_bytes()
+        out = {}
+        dump = subprocess.run(
+            ["objdump", "-t", str(obj)], capture_output=True, text=True,
+            check=True,
+        ).stdout
+        for line in dump.splitlines():
+            parts = line.split()
+            if len(parts) < 6 or parts[3] != ".rodata":
+                continue
+            off = int(parts[0], 16)
+            size = int(parts[4], 16)
+            name = parts[5]
+            if size == 0 or not (
+                name.startswith("ff_celt_")
+                or name.startswith("ff_silk_")
+                or name.startswith("ff_opus_")
+                or name == "celt_pvq_u"
+            ):
+                continue
+            out[name] = np.frombuffer(blob[off : off + size], dtype=np.uint8)
+        assert "celt_pvq_u" in out and "ff_silk_lsf_codebook_wb" in out
+        np.savez(OUT_DIR / "opus_tables.npz", **out)
+        print(f"wrote {OUT_DIR}/opus_tables.npz ({len(out)} tables)")
+
+
 if __name__ == "__main__":
     extract()
+    extract_opus()

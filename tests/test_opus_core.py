@@ -1,0 +1,124 @@
+"""Owned Opus (RFC 6716) decoder conformance.
+
+Parity reference: soundkit-opus/src/lib.rs:295-430 decodes with the
+pure-Rust libopus-rs; here the CELT layer is owned from scratch
+(opus_rc.py / opus_celt.py / opus_core.py) and is validated against the
+libavcodec opus oracle on the fixture corpus and on crafted
+transient-heavy streams.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from soundkit_tpu.codecs.avdec import AvDecoder
+from soundkit_tpu.codecs.opus import OggOpusDemuxer, OpusHead, _OpusCore
+from soundkit_tpu.codecs.opus_core import OpusDecoder, parse_packet
+from pathlib import Path
+
+CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+TESTDATA = Path("/root/reference/testdata")
+
+
+def _fixture_packets():
+    data = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)
+    return dmx.head, pkts
+
+
+def _snr(ref, ours):
+    n = min(len(ref), len(ours))
+    e = ref[:n] - ours[:n]
+    return 10 * np.log10(np.mean(ref[:n] ** 2) / (np.mean(e**2) + 1e-300))
+
+
+def test_fixture_corpus_vs_oracle():
+    """Owned CELT decode of the Ogg Opus fixture: >90 dB vs libopus."""
+    head, pkts = _fixture_packets()
+    av = AvDecoder("opus", extradata=head.raw)
+    own = OpusDecoder(head.channels)
+    ref = np.concatenate(
+        [np.asarray(av.push(p), dtype=np.float64) for p in pkts]
+        + [np.asarray(av.flush(), dtype=np.float64)]
+    )
+    ours = np.concatenate([own.decode_packet(p).reshape(-1) for p in pkts])
+    ours = ours[head.pre_skip :]
+    assert len(ref) == len(ours)
+    assert _snr(ref, ours) > 90.0
+
+
+def test_packet_modes_parse():
+    head, pkts = _fixture_packets()
+    for p in pkts:
+        toc, frames = parse_packet(p)
+        assert toc.mode == "celt"
+        assert frames and all(isinstance(f, bytes) for f in frames)
+
+
+def test_opus_core_serving_path_is_owned():
+    """_OpusCore must not delegate CELT mono streams to avcodec."""
+    head, pkts = _fixture_packets()
+    core = _OpusCore(head)
+    assert core._own is not None
+    out = np.concatenate([core.decode_packet_f32(p) for p in pkts])
+    assert core._av is None  # never fell back
+    av = AvDecoder("opus", extradata=head.raw)
+    ref = np.concatenate(
+        [np.asarray(av.push(p), dtype=np.float64) for p in pkts]
+        + [np.asarray(av.flush(), dtype=np.float64)]
+    )
+    assert _snr(ref, out.astype(np.float64)) > 90.0
+
+
+def test_silk_stream_falls_back_gapless():
+    """SILK packets switch the stream to the delegate via replay."""
+    data = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
+    head = OpusHead.parse(data[:19])
+    body = data[19:]
+    pkts = []
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        pkts.append(body[pos + 2 : pos + 2 + n])
+        pos += 2 + n
+    core = _OpusCore(head)
+    out = np.concatenate([core.decode_packet_f32(p) for p in pkts])
+    out = np.concatenate([out, core.flush_f32()])
+    av = AvDecoder("opus", extradata=head.raw)
+    ref = np.concatenate([av.push(p) for p in pkts] + [av.flush()])
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=0.0)
+
+
+@pytest.mark.slow
+def test_transient_click_train_vs_oracle():
+    """Crafted click train forces short-block (transient) CELT frames;
+    every frame must clear 60 dB and the stream 85 dB overall."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(7)
+    sr = 48000
+    n = sr * 2
+    sig = np.zeros(n)
+    for t in range(200, n, 1900):
+        sig[t : t + 8] = rng.uniform(-0.9, 0.9, 8)
+    sig += 0.02 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)
+    pcm = (sig * 32767).astype(np.int16).reshape(-1, 1)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=96000)
+    pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(1)
+    n_trans = 0
+    frame_snrs = []
+    for p in pkts:
+        toc, _ = parse_packet(p)
+        assert toc.mode == "celt"
+        ref = np.asarray(av.push(p), dtype=np.float64)
+        ours = own.decode_packet(p).reshape(-1)
+        if np.mean(ref**2) > 1e-14:
+            frame_snrs.append(_snr(ref, ours))
+    assert len(frame_snrs) > 50
+    assert min(frame_snrs) > 60.0
+    assert np.median(frame_snrs) > 85.0
