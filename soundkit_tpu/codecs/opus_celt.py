@@ -629,7 +629,7 @@ class CeltDecoder:
         N2 = 2 * N - 1
         if stereo and N == 2:
             N2 -= 1
-        qb = (b + N2 * offset) // N2
+        qb = _sdiv(b + N2 * offset, N2)
         qb = min(b - pulse_cap - (4 << BITRES), qb)
         qb = min(8 << BITRES, qb)
         if qb < (1 << BITRES >> 1):
@@ -650,7 +650,7 @@ class CeltDecoder:
             if B == 1:
                 fill = (fill & 1) | (fill << 1)
             B = (B + 1) >> 1
-            itheta, delta, fill, qalloc = self._compute_theta(
+            itheta, delta, fill, qalloc, _inv = self._compute_theta(
                 ctx, N, b, B, B0, LM, fill
             )
             if itheta == 0:
@@ -738,20 +738,48 @@ class CeltDecoder:
         return cm
 
     def _compute_theta(self, ctx, N: int, b: int, B: int, B0: int,
-                       LM: int, fill: int):
+                       LM: int, fill: int, stereo: bool = False):
         rc: RangeDecoder = ctx["rc"]
         band = ctx["band"]
         pulse_cap = self.logN[band] + LM * (1 << BITRES)
-        offset = (pulse_cap >> 1) - 4  # QTHETA_OFFSET (mono)
-        qn = self._compute_qn(N, b, offset, pulse_cap, False)
+        # QTHETA_OFFSET = 4; QTHETA_OFFSET_TWOPHASE = 16
+        offset = (pulse_cap >> 1) - (16 if (stereo and N == 2) else 4)
+        qn = self._compute_qn(N, b, offset, pulse_cap, stereo)
+        if stereo and band >= ctx["intensity"]:
+            qn = 1
         tell = rc.tell_frac()
         itheta = 0
+        inv = 0
         if qn != 1:
-            if B0 > 1:
+            if stereo and N > 2:
+                # step pdf: probability p0 below the midpoint, 1 above
+                p0 = 3
+                x0 = qn >> 1
+                ft = p0 * (x0 + 1) + x0
+                fs = rc.decode(ft)
+                if fs < (x0 + 1) * p0:
+                    x = fs // p0
+                else:
+                    x = x0 + 1 + (fs - (x0 + 1) * p0)
+                rc.update(
+                    p0 * x if x <= x0 else (x - 1 - x0) + (x0 + 1) * p0,
+                    p0 * (x + 1) if x <= x0 else (x - x0) + (x0 + 1) * p0,
+                    ft,
+                )
+                itheta = x
+            elif B0 > 1 or stereo:
                 itheta = rc.dec_uint(qn + 1)
             else:
                 itheta = rc.dec_uint_tri(qn)
             itheta = (itheta * 16384) // qn
+        elif stereo:
+            inv = (
+                rc.dec_bit_logp(2)
+                if b > 2 << BITRES
+                and ctx["remaining_bits"] > 2 << BITRES
+                else 0
+            )
+            itheta = 0
         qalloc = rc.tell_frac() - tell
         if itheta == 0:
             delta = -16384
@@ -764,7 +792,117 @@ class CeltDecoder:
             iside = _bitexact_cos(16384 - itheta)
             delta = _frac_mul16((N - 1) << 7,
                                 _bitexact_log2tan(iside, imid))
-        return itheta, delta, fill, qalloc
+        return itheta, delta, fill, qalloc, inv
+
+    def _quant_band_n1(self, ctx, X, Y, lowband_out) -> int:
+        """One-sample band: decode a sign per channel."""
+        rc: RangeDecoder = ctx["rc"]
+        x = X
+        for _ in range(2 if Y is not None else 1):
+            sign = 0
+            if ctx["remaining_bits"] >= 1 << BITRES:
+                sign = rc.rawbits(1)
+                ctx["remaining_bits"] -= 1 << BITRES
+            x[0] = -1.0 if sign else 1.0
+            x = Y
+        if lowband_out is not None:
+            lowband_out[0] = X[0]
+        return 1
+
+    def _stereo_merge(self, X, Y, mid: float, N: int) -> None:
+        """Rebuild L/R from normalized mid X and side Y in place."""
+        xp = mid * float(np.dot(X[:N], Y[:N]))
+        side = float(np.dot(Y[:N], Y[:N]))
+        El = mid * mid + side - 2.0 * xp
+        Er = mid * mid + side + 2.0 * xp
+        if Er < 6e-4 or El < 6e-4:
+            Y[:N] = X[:N]
+            return
+        lgain = 1.0 / math.sqrt(El)
+        rgain = 1.0 / math.sqrt(Er)
+        l = mid * X[:N]
+        r = Y[:N].copy()
+        X[:N] = lgain * (l - r)
+        Y[:N] = rgain * (l + r)
+
+    def _quant_band_stereo(self, ctx, X: np.ndarray, Y: np.ndarray,
+                           N: int, b: int, B: int, lowband, LM: int,
+                           lowband_out, lowband_scratch,
+                           fill: int) -> int:
+        """Stereo band decode: theta split into mid/side (or two-phase
+        for N==2, intensity above ctx['intensity']), then merge."""
+        if N == 1:
+            return self._quant_band_n1(ctx, X, Y, lowband_out)
+        rc: RangeDecoder = ctx["rc"]
+        orig_fill = fill
+        itheta, delta, fill, qalloc, inv = self._compute_theta(
+            ctx, N, b, B, B, LM, fill, stereo=True
+        )
+        b -= qalloc
+        if itheta == 0:
+            imid, iside = 32767, 0
+        elif itheta == 16384:
+            imid, iside = 0, 32767
+        else:
+            imid = _bitexact_cos(itheta)
+            iside = _bitexact_cos(16384 - itheta)
+        mid = imid / 32768.0
+        side = iside / 32768.0
+        if N == 2:
+            mbits = b
+            sbits = (1 << BITRES) if itheta not in (0, 16384) else 0
+            mbits -= sbits
+            c = itheta > 8192
+            ctx["remaining_bits"] -= qalloc + sbits
+            x2, y2 = (Y, X) if c else (X, Y)
+            sign = rc.rawbits(1) if sbits else 0
+            sign = 1 - 2 * sign
+            # orig_fill so the side can fold even when itheta cleared
+            # the fill's low bits
+            cm = self._quant_band(ctx, x2, N, mbits, B, lowband, LM,
+                                  lowband_out, 1.0, lowband_scratch,
+                                  orig_fill)
+            y2[0] = -sign * x2[1]
+            y2[1] = sign * x2[0]
+            X[0] = mid * X[0]
+            X[1] = mid * X[1]
+            Y[0] = side * Y[0]
+            Y[1] = side * Y[1]
+            tmp = X[0]
+            X[0] = tmp - Y[0]
+            Y[0] = tmp + Y[0]
+            tmp = X[1]
+            X[1] = tmp - Y[1]
+            Y[1] = tmp + Y[1]
+        else:
+            mbits = max(0, min(b, _sdiv(b - delta, 2)))
+            sbits = b - mbits
+            ctx["remaining_bits"] -= qalloc
+            rebalance = ctx["remaining_bits"]
+            if mbits >= sbits:
+                # mid keeps unit gain: the normalized mid is the fold
+                # source for later bands
+                cm = self._quant_band(ctx, X, N, mbits, B, lowband, LM,
+                                      lowband_out, 1.0, lowband_scratch,
+                                      fill)
+                rebalance = mbits - (rebalance - ctx["remaining_bits"])
+                if rebalance > 3 << BITRES and itheta != 0:
+                    sbits += rebalance - (3 << BITRES)
+                cm |= self._quant_band(ctx, Y, N, sbits, B, None, LM,
+                                       None, side, None, fill >> B)
+            else:
+                cm = self._quant_band(ctx, Y, N, sbits, B, None, LM,
+                                      None, side, None, fill >> B)
+                rebalance = sbits - (rebalance - ctx["remaining_bits"])
+                if rebalance > 3 << BITRES and itheta != 16384:
+                    mbits += rebalance - (3 << BITRES)
+                cm |= self._quant_band(ctx, X, N, mbits, B, lowband, LM,
+                                       lowband_out, 1.0,
+                                       lowband_scratch, fill)
+            self._stereo_merge(X, Y, mid, N)
+        if inv:
+            Y[:N] = -Y[:N]
+        return cm
 
     def _quant_band(self, ctx, X: np.ndarray, N: int, b: int, B: int,
                     lowband, LM: int, lowband_out, gain: float,
@@ -776,17 +914,7 @@ class CeltDecoder:
         recombine = 0
         longBlocks = B0 == 1
         if N == 1:
-            # decode sign only
-            rc: RangeDecoder = ctx["rc"]
-            if ctx["remaining_bits"] >= 1 << BITRES:
-                sign = rc.rawbits(1)
-                ctx["remaining_bits"] -= 1 << BITRES
-            else:
-                sign = 0
-            X[0] = -1.0 if sign else 1.0
-            if lowband_out is not None:
-                lowband_out[0] = X[0]
-            return 1
+            return self._quant_band_n1(ctx, X, None, lowband_out)
         tf_change = ctx["tf_change"]
         if tf_change > 0:
             recombine = tf_change
@@ -846,18 +974,23 @@ class CeltDecoder:
         return cm
 
     def _quant_all_bands(self, rc: RangeDecoder, start: int, end: int,
-                         X_: np.ndarray, pulses, shortBlocks: bool,
+                         X_: np.ndarray, Y_, pulses, shortBlocks: bool,
                          spread: int, tf_res, total_bits: int, balance: int,
-                         LM: int, codedBands: int):
-        """Mono band loop (stereo handled by the caller via per-channel
-        calls is NOT valid for real stereo coupling; stereo TODO)."""
+                         LM: int, codedBands: int, intensity: int = 0,
+                         dual_stereo: int = 0):
+        """Band loop: mono when Y_ is None, else coupled stereo with
+        dual-stereo and intensity routing. Returns collapse masks
+        shaped [C, NB_BANDS]."""
+        C = 1 if Y_ is None else 2
         M = 1 << LM
         eBands = self.eBands
         B = M if shortBlocks else 1
         norm_offset = M * eBands[start]
-        norm = np.zeros(M * eBands[NB_BANDS - 1] - norm_offset)
-        lowband_scratch = np.zeros(M * (eBands[NB_BANDS] if False else 176))
-        collapse_masks = np.zeros(NB_BANDS, dtype=np.int64)
+        norm_size = M * eBands[NB_BANDS - 1] - norm_offset
+        norm = np.zeros(norm_size)
+        norm2 = np.zeros(norm_size) if C == 2 else None
+        lowband_scratch = np.zeros(M * 176)
+        collapse_masks = np.zeros((C, NB_BANDS), dtype=np.int64)
         lowband_offset = 0
         update_lowband = True
         effective_lowband = -1  # persists across bands (stale fold source)
@@ -869,10 +1002,12 @@ class CeltDecoder:
             "band": 0,
             "tf_change": 0,
             "B0": B,
+            "intensity": intensity,
         }
         for i in range(start, end):
             last = i == end - 1
             X = X_[M * eBands[i]:]
+            Y = Y_[M * eBands[i]:] if C == 2 else None
             N = M * (eBands[i + 1] - eBands[i])
             tell = rc.tell_frac()
             if i != start:
@@ -910,27 +1045,59 @@ class CeltDecoder:
                     if M * eBands[fold_end] >= (effective_lowband
                                                 + norm_offset + N):
                         break
-                x_cm = 0
+                x_cm = y_cm = 0
                 fold_i = fold_start
                 while True:
-                    x_cm |= int(collapse_masks[fold_i])
+                    x_cm |= int(collapse_masks[0][fold_i])
+                    y_cm |= int(collapse_masks[C - 1][fold_i])
                     fold_i += 1
                     if fold_i >= fold_end:
                         break
-                lowband = norm[effective_lowband:]
             else:
-                x_cm = (1 << B) - 1
-                lowband = (norm[effective_lowband:]
-                           if effective_lowband != -1 else None)
+                x_cm = y_cm = (1 << B) - 1
+            lowband = (norm[effective_lowband:]
+                       if effective_lowband != -1 else None)
+            lowband2 = (
+                norm2[effective_lowband:]
+                if (C == 2 and effective_lowband != -1) else None
+            )
             lowband_out = (
                 None if last
                 else norm[M * eBands[i] - norm_offset:]
             )
-            cm = self._quant_band(
-                ctx, X, N, b, B, lowband, LM, lowband_out, 1.0,
-                lowband_scratch, x_cm,
+            lowband_out2 = (
+                None if (last or C == 1)
+                else norm2[M * eBands[i] - norm_offset:]
             )
-            collapse_masks[i] = cm
+            if dual_stereo and i == intensity:
+                # switch off dual stereo to do intensity: fold source
+                # becomes the average of the two decoded channels
+                dual_stereo = 0
+                upto = M * eBands[i] - norm_offset
+                norm[:upto] = 0.5 * (norm[:upto] + norm2[:upto])
+            if dual_stereo:
+                x_cm = self._quant_band(
+                    ctx, X, N, b // 2, B, lowband, LM, lowband_out, 1.0,
+                    lowband_scratch, x_cm,
+                )
+                y_cm = self._quant_band(
+                    ctx, Y, N, b // 2, B, lowband2, LM, lowband_out2,
+                    1.0, lowband_scratch, y_cm,
+                )
+            else:
+                if C == 2:
+                    x_cm = self._quant_band_stereo(
+                        ctx, X, Y, N, b, B, lowband, LM, lowband_out,
+                        lowband_scratch, x_cm | y_cm,
+                    )
+                else:
+                    x_cm = self._quant_band(
+                        ctx, X, N, b, B, lowband, LM, lowband_out, 1.0,
+                        lowband_scratch, x_cm | y_cm,
+                    )
+                y_cm = x_cm
+            collapse_masks[0][i] = x_cm
+            collapse_masks[C - 1][i] = y_cm
             balance += int(pulses[i]) + tell
             update_lowband = b > (N << BITRES)
         self.rng = ctx["seed"]
@@ -1065,10 +1232,12 @@ class CeltDecoder:
 
         self._fine_energy(rc, start, end, fine_quant)
 
-        X = np.zeros(M * eBands[NB_BANDS] + 200)
+        X = np.zeros((C, M * eBands[NB_BANDS] + 200))
         collapse_masks = self._quant_all_bands(
-            rc, start, end, X, pulses, shortBlocks, spread, tf_res,
+            rc, start, end, X[0], X[1] if C == 2 else None, pulses,
+            shortBlocks, spread, tf_res,
             (total << BITRES) - anti_collapse_rsv, balance, LM, codedBands,
+            intensity, dual_stereo,
         )
 
         anti_collapse_on = 0
@@ -1091,7 +1260,7 @@ class CeltDecoder:
                 )
                 lo_b = M * eBands[i]
                 hi_b = M * eBands[i + 1]
-                freq[c, lo_b:hi_b] = X[lo_b:hi_b] * g
+                freq[c, lo_b:hi_b] = X[c, lo_b:hi_b] * g
 
         self.last_freq = freq.copy()
         self.last_X = X.copy()
@@ -1140,9 +1309,9 @@ class CeltDecoder:
                 if LM == 3:
                     r *= 1.41421356
                 r = min(thresh, r) * sqrt_1
-                band = X[(eBands[i] << LM):(eBands[i + 1] << LM)]
+                band = X[c, (eBands[i] << LM):(eBands[i + 1] << LM)]
                 renorm = False
-                mask = int(collapse_masks[i])
+                mask = int(collapse_masks[c if self.channels == 2 else 0][i])
                 for k in range(1 << LM):
                     if not (mask & (1 << k)):
                         for j in range(N0):
