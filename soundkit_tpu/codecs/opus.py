@@ -53,10 +53,10 @@ class OpusHead:
 class _OpusCore:
     """Shared packet decode with OpusHead config.
 
-    Mono mapping-family-0 streams decode through the owned RFC 6716
-    decoder (opus_core.py, CELT modes); packets it cannot yet own
-    (SILK/hybrid) switch the stream to the libavcodec delegate with a
-    full packet replay so output is identical to an av-only decode."""
+    Mono and stereo mapping-family-0 streams decode through the owned
+    RFC 6716 decoder (opus_core.py, CELT modes); packets it cannot yet
+    own (SILK/hybrid) switch the stream to the libavcodec delegate with
+    a full packet replay so output is identical to an av-only decode."""
 
     def __init__(self, head: OpusHead):
         self.head = head
@@ -64,7 +64,7 @@ class _OpusCore:
         self.channels = head.channels
         self._av: Optional[AvDecoder] = None
         self._own = None
-        if head.channels == 1 and head.mapping_family == 0:
+        if head.channels in (1, 2) and head.mapping_family == 0:
             from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
 
             self._own = _Own(head.channels)

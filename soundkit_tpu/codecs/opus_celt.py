@@ -993,7 +993,6 @@ class CeltDecoder:
         collapse_masks = np.zeros((C, NB_BANDS), dtype=np.int64)
         lowband_offset = 0
         update_lowband = True
-        effective_lowband = -1  # persists across bands (stale fold source)
         ctx = {
             "rc": rc,
             "spread": spread,
@@ -1006,6 +1005,7 @@ class CeltDecoder:
         }
         for i in range(start, end):
             last = i == end - 1
+            effective_lowband = -1  # per band: no fold source by default
             X = X_[M * eBands[i]:]
             Y = Y_[M * eBands[i]:] if C == 2 else None
             N = M * (eBands[i + 1] - eBands[i])
@@ -1291,14 +1291,17 @@ class CeltDecoder:
             self.oldLogE2[c, end:] = -28.0
 
     def _anti_collapse(self, X, collapse_masks, LM, start, end, pulses):
+        # NOTE: channel-outer, band-inner iteration (the libavcodec
+        # oracle's order; libopus nests the channel loop inside the
+        # band loop, which only permutes the LCG draw assignment)
         eBands = self.eBands
         seed = self.rng
-        for i in range(start, end):
-            N0 = eBands[i + 1] - eBands[i]
-            depth = ((1 + int(pulses[i])) // N0) >> LM
-            thresh = 0.5 * math.pow(2.0, -0.125 * depth)
-            sqrt_1 = 1.0 / math.sqrt(N0 << LM)
-            for c in range(self.channels):
+        for c in range(self.channels):
+            for i in range(start, end):
+                N0 = eBands[i + 1] - eBands[i]
+                depth = ((1 + int(pulses[i])) // N0) >> LM
+                thresh = 0.5 * math.pow(2.0, -0.125 * depth)
+                sqrt_1 = 1.0 / math.sqrt(N0 << LM)
                 prev1 = self.oldLogE[c, i]
                 prev2 = self.oldLogE2[c, i]
                 if self.channels == 1 and self.oldLogE.shape[0] > 1:

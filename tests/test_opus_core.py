@@ -92,6 +92,47 @@ def test_silk_stream_falls_back_gapless():
 
 
 @pytest.mark.slow
+def test_stereo_celt_vs_oracle():
+    """Owned stereo CELT (theta coupling, dual stereo, intensity,
+    anti-collapse): every frame >60 dB, median >100 dB at three rates."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(11)
+    sr = 48000
+    n = sr * 2
+    t = np.arange(n) / sr
+    left = 0.3 * np.sin(2 * np.pi * 330 * t) + 0.1 * np.sin(2 * np.pi * 1237 * t)
+    right = 0.25 * np.sin(2 * np.pi * 440 * t + 0.7) + 0.1 * np.sin(2 * np.pi * 979 * t)
+    common = 0.15 * np.sin(2 * np.pi * 660 * t)
+    left += common
+    right += common
+    for k in range(500, n, 4100):
+        left[k : k + 6] += rng.uniform(-0.5, 0.5, 6)
+        right[k : k + 6] += rng.uniform(-0.5, 0.5, 6)
+    left += 0.01 * rng.normal(size=n)
+    right += 0.01 * rng.normal(size=n)
+    pcm = (np.clip(np.stack([left, right], 1), -1, 1) * 32767).astype(np.int16)
+    for br in (48000, 96000):
+        enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=br)
+        pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+        head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 2, 0, 48000, 0, 0)
+        av = AvDecoder("opus", extradata=head)
+        own = OpusDecoder(2)
+        snrs = []
+        for p in pkts:
+            toc, _ = parse_packet(p)
+            assert toc.mode == "celt"
+            ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1, 2)
+            ours = np.asarray(own.decode_packet(p), dtype=np.float64)
+            m = min(len(ref), len(ours))
+            if m and np.mean(ref[:m] ** 2) > 1e-14:
+                snrs.append(_snr(ref[:m].ravel(), ours[:m].ravel()))
+        assert len(snrs) > 40
+        assert min(snrs) > 60.0, (br, min(snrs))
+        assert np.median(snrs) > 100.0, (br, np.median(snrs))
+
+
+@pytest.mark.slow
 def test_transient_click_train_vs_oracle():
     """Crafted click train forces short-block (transient) CELT frames;
     every frame must clear 60 dB and the stream 85 dB overall."""
