@@ -7,8 +7,10 @@ API equivalents of the reference's:
 - ``OpusStreamDecoder`` (soundkit-opus/src/lib.rs:295-430): soundkit's
   raw framing — 19-byte OpusHead, then u16-LE length-prefixed packets.
 
-Packet decode is libavcodec's native opus decoder configured with the
-OpusHead as extradata (pre-skip and channel mapping honored).
+Packet decode is the owned RFC 6716 decoder (opus_core.py: range
+decoder + CELT, mono and stereo) with pre-skip and output gain applied
+from the OpusHead; SILK/hybrid packets switch the stream to the
+libavcodec delegate through a gapless replay (see _OpusCore).
 """
 from __future__ import annotations
 

@@ -1,4 +1,9 @@
-"""Batched multi-stream Opus decoder (host-parallel libopus).
+"""Batched multi-stream Opus decoder (host-parallel libavcodec).
+
+Correctness note: the owned RFC 6716 decoder (codecs/opus_core.py)
+is the default in the streaming API and conforms at 130-137 dB; this
+lockstep serving model keeps the C decoder per lane for throughput
+until a batched device CELT path exists.
 
 Opus (CELT/SILK) is a per-sample adaptive entropy/range-coded codec —
 there is no host/device split analogous to AAC/MP3/FLAC (the spectral
