@@ -8,9 +8,10 @@ API equivalents of the reference's:
   raw framing — 19-byte OpusHead, then u16-LE length-prefixed packets.
 
 Packet decode is the owned RFC 6716 decoder (opus_core.py: range
-decoder + CELT, mono and stereo) with pre-skip and output gain applied
-from the OpusHead; SILK/hybrid packets switch the stream to the
-libavcodec delegate through a gapless replay (see _OpusCore).
+decoder + CELT mono/stereo + SILK mono) with pre-skip and output gain
+applied from the OpusHead; hybrid or stereo-SILK packets switch the
+stream to the libavcodec delegate through a gapless replay
+(see _OpusCore).
 """
 from __future__ import annotations
 
@@ -56,9 +57,10 @@ class _OpusCore:
     """Shared packet decode with OpusHead config.
 
     Mono and stereo mapping-family-0 streams decode through the owned
-    RFC 6716 decoder (opus_core.py, CELT modes); packets it cannot yet
-    own (SILK/hybrid) switch the stream to the libavcodec delegate with
-    a full packet replay so output is identical to an av-only decode."""
+    RFC 6716 decoder (opus_core.py: CELT mono/stereo, SILK mono);
+    packets it cannot yet own (hybrid, stereo SILK) switch the stream
+    to the libavcodec delegate with a full packet replay so output is
+    identical to an av-only decode."""
 
     def __init__(self, head: OpusHead):
         self.head = head

@@ -1,8 +1,10 @@
 """RFC 6716 top level: TOC parsing, frame packing (§3), and the
-packet decoder that routes to the owned CELT layer (opus_celt.py).
+packet decoder that routes to the owned CELT layer (opus_celt.py,
+mono+stereo) and the owned SILK layer (opus_silk.py, mono NB/MB/WB
+with the oracle-matched resampler in utils/swr.py).
 
-SILK and hybrid modes raise OpusUnsupported until opus_silk.py lands;
-the Ogg Opus fixture corpus is CELT-WB and decodes fully owned.
+Hybrid mode and stereo SILK raise OpusUnsupported (the serving layer
+falls back to the delegate for those via a gapless replay).
 Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
 """
 from __future__ import annotations
@@ -131,15 +133,37 @@ def parse_packet(data: bytes) -> tuple:
 class OpusDecoder:
     """Owned Opus packet decoder (48 kHz float output).
 
-    CELT modes decode through opus_celt.py; SILK/hybrid raise
-    OpusUnsupported until the SILK layer is complete."""
+    CELT modes decode through opus_celt.py (mono+stereo); SILK modes
+    through opus_silk.py (mono) + the oracle-matched resampler;
+    hybrid and stereo SILK raise OpusUnsupported."""
 
     def __init__(self, channels: int = 1):
         self.channels = channels
         self.celt = CeltDecoder(channels)
+        self._silk = None
+        self._resampler = None
         t = tables()
         self._band_end = t["celt_band_end"].astype(int)
         self._last_duration = 960
+
+    def _decode_silk_frame(self, rc: RangeDecoder, toc: Toc) -> np.ndarray:
+        from soundkit_tpu.codecs.opus_silk import SilkDecoder
+        from soundkit_tpu.utils.swr import SilkResampler
+
+        if self.channels != 1:
+            raise OpusUnsupported("stereo SILK not yet owned")
+        bw = toc.bandwidth  # 0=NB 1=MB 2=WB for silk configs
+        if self._silk is None:
+            self._silk = SilkDecoder()
+        if self._resampler is None or self._resampler_bw != bw:
+            rate = (8000, 12000, 16000)[bw]
+            self._resampler = SilkResampler(rate, bw, self.channels)
+            self._resampler_bw = bw
+        duration_ms = int(toc.frame_duration)
+        pcm = self._silk.decode_superframe(rc, bw, self.channels,
+                                           duration_ms)
+        out48 = self._resampler.process(pcm, duration_ms * 48)
+        return out48.astype(np.float64)
 
     def decode_packet(self, data: bytes) -> np.ndarray:
         """One packet -> [n, channels] float64 at 48 kHz."""
@@ -148,8 +172,15 @@ class OpusDecoder:
             n = self._last_duration
             return np.zeros((n, self.channels))
         toc, frames = parse_packet(data)
-        if toc.mode != "celt":
-            raise OpusUnsupported(f"{toc.mode} mode not yet owned")
+        if toc.mode == "hybrid":
+            raise OpusUnsupported("hybrid mode not yet owned")
+        if toc.mode == "silk":
+            outs = []
+            for f in frames:
+                rc = RangeDecoder(f)
+                outs.append(self._decode_silk_frame(rc, toc))
+            self._last_duration = int(toc.frame_duration * 48)
+            return np.concatenate(outs, axis=0)
         frame_size = int(toc.frame_duration * 48)
         self._last_duration = frame_size
         end = int(self._band_end[toc.bandwidth])

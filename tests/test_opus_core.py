@@ -71,8 +71,10 @@ def test_opus_core_serving_path_is_owned():
     assert _snr(ref, out.astype(np.float64)) > 90.0
 
 
-def test_silk_stream_falls_back_gapless():
-    """SILK packets switch the stream to the delegate via replay."""
+def test_silk_stream_decodes_owned():
+    """The raw-framing fixture is SILK-WB: the owned LP-layer decoder
+    (opus_silk.py) must handle it without the avcodec delegate and
+    match the oracle >90 dB."""
     data = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
     head = OpusHead.parse(data[:19])
     body = data[19:]
@@ -85,10 +87,22 @@ def test_silk_stream_falls_back_gapless():
     core = _OpusCore(head)
     out = np.concatenate([core.decode_packet_f32(p) for p in pkts])
     out = np.concatenate([out, core.flush_f32()])
+    assert core._own is not None and core._av is None  # never fell back
     av = AvDecoder("opus", extradata=head.raw)
     ref = np.concatenate([av.push(p) for p in pkts] + [av.flush()])
     assert out.shape == ref.shape
-    np.testing.assert_allclose(out, ref, atol=0.0)
+    assert _snr(ref.astype(np.float64), out.astype(np.float64)) > 90.0
+
+
+def test_silk_packet_modes():
+    data = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
+    body = data[19:]
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        toc, frames = parse_packet(body[pos + 2 : pos + 2 + n])
+        assert toc.mode == "silk" and toc.bandwidth == 2
+        pos += 2 + n
 
 
 @pytest.mark.slow
