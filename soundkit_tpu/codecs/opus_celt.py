@@ -1122,7 +1122,14 @@ class CeltDecoder:
         total = rc.total_bits
 
         tell = rc.tell()
-        silence = tell >= total or rc.dec_bit_logp(15)
+        # the silence flag exists only when CELT owns the stream from
+        # bit 1 (celt-only frames); in hybrid the coder enters midway
+        if tell >= total:
+            silence = True
+        elif tell == 1:
+            silence = bool(rc.dec_bit_logp(15))
+        else:
+            silence = False
         if silence:
             # consume everything; output decays to zero through the OLA
             self.oldE[:, :] = -28.0

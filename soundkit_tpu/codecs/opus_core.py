@@ -3,8 +3,10 @@ packet decoder that routes to the owned CELT layer (opus_celt.py,
 mono+stereo) and the owned SILK layer (opus_silk.py, mono NB/MB/WB
 with the oracle-matched resampler in utils/swr.py).
 
-Hybrid mode and stereo SILK raise OpusUnsupported (the serving layer
-falls back to the delegate for those via a gapless replay).
+Hybrid mode is owned (SILK-WB + CELT start band 17 sharing one
+range coder, redundancy signalling kept in sync); only stereo SILK
+raises OpusUnsupported (the serving layer falls back to the delegate
+via a gapless replay).
 Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
 """
 from __future__ import annotations
@@ -133,9 +135,10 @@ def parse_packet(data: bytes) -> tuple:
 class OpusDecoder:
     """Owned Opus packet decoder (48 kHz float output).
 
-    CELT modes decode through opus_celt.py (mono+stereo); SILK modes
-    through opus_silk.py (mono) + the oracle-matched resampler;
-    hybrid and stereo SILK raise OpusUnsupported."""
+    CELT modes decode through opus_celt.py (mono+stereo); SILK and
+    hybrid modes through opus_silk.py (mono) + the oracle-matched
+    resampler (+ CELT high band for hybrid); stereo SILK raises
+    OpusUnsupported."""
 
     def __init__(self, channels: int = 1):
         self.channels = channels
@@ -146,13 +149,15 @@ class OpusDecoder:
         self._band_end = t["celt_band_end"].astype(int)
         self._last_duration = 960
 
-    def _decode_silk_frame(self, rc: RangeDecoder, toc: Toc) -> np.ndarray:
+    def _decode_silk_frame(self, rc: RangeDecoder, toc: Toc,
+                           force_wb: bool = False) -> np.ndarray:
         from soundkit_tpu.codecs.opus_silk import SilkDecoder
         from soundkit_tpu.utils.swr import SilkResampler
 
         if self.channels != 1:
             raise OpusUnsupported("stereo SILK not yet owned")
-        bw = toc.bandwidth  # 0=NB 1=MB 2=WB for silk configs
+        # hybrid runs SILK at WB regardless of the packet bandwidth
+        bw = 2 if force_wb else toc.bandwidth  # 0=NB 1=MB 2=WB
         if self._silk is None:
             self._silk = SilkDecoder()
         if self._resampler is None or self._resampler_bw != bw:
@@ -165,6 +170,35 @@ class OpusDecoder:
         out48 = self._resampler.process(pcm, duration_ms * 48)
         return out48.astype(np.float64)
 
+    def _decode_hybrid_frame(self, rc: RangeDecoder, toc: Toc,
+                             frame_len: int) -> np.ndarray:
+        """SILK-WB low band + CELT (start band 17) high band sharing
+        one range coder; outputs are summed at 48 kHz."""
+        if self.channels != 1:
+            raise OpusUnsupported("stereo hybrid not yet owned")
+        silk48 = self._decode_silk_frame(rc, toc, force_wb=True)
+        # redundancy signalling (kept in sync; the redundancy CELT
+        # frame itself only matters on mode transitions)
+        total = rc.total_bits
+        redundancy = 0
+        if rc.tell() + 5 <= total:
+            redundancy = rc.dec_bit_logp(12)
+        if redundancy:
+            rc.dec_bit_logp(1)
+            red_size = rc.dec_uint(256) + 2
+            # the trailing redundancy bytes are not part of the main
+            # frame's raw-bit region; the 5 ms redundancy CELT frame
+            # is skipped (transition smoothing only) and the CELT
+            # state reset as the delegate does
+            rc.storage = max(rc.storage - red_size, rc.offs)
+            self.celt.reset()
+        frame_size = int(toc.frame_duration * 48)
+        end = int(self._band_end[toc.bandwidth])
+        celt = self.celt.decode_frame(rc, frame_size, 17, end)
+        n = min(len(silk48), celt.shape[1])
+        out = silk48[:n] + celt.T[:n]
+        return out
+
     def decode_packet(self, data: bytes) -> np.ndarray:
         """One packet -> [n, channels] float64 at 48 kHz."""
         if not data:
@@ -173,7 +207,12 @@ class OpusDecoder:
             return np.zeros((n, self.channels))
         toc, frames = parse_packet(data)
         if toc.mode == "hybrid":
-            raise OpusUnsupported("hybrid mode not yet owned")
+            outs = []
+            for f in frames:
+                rc = RangeDecoder(f)
+                outs.append(self._decode_hybrid_frame(rc, toc, len(f)))
+            self._last_duration = int(toc.frame_duration * 48)
+            return np.concatenate(outs, axis=0)
         if toc.mode == "silk":
             outs = []
             for f in frames:

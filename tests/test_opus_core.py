@@ -106,6 +106,42 @@ def test_silk_packet_modes():
 
 
 @pytest.mark.slow
+def test_hybrid_vs_oracle():
+    """Hybrid packets (SILK-WB + CELT start band 17 on one coder):
+    median >100 dB vs the oracle on a crafted speech-like stream."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(1)
+    sr = 48000
+    n = sr * 2
+    t = np.arange(n) / sr
+    f0 = 120 + 20 * np.sin(2 * np.pi * 2.5 * t)
+    phs = np.cumsum(2 * np.pi * f0 / sr)
+    sig = 0.4 * np.sin(phs) + 0.2 * np.sin(2 * phs) + 0.1 * np.sin(3 * phs)
+    sig *= 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 3 * t))
+    sig += 0.02 * rng.normal(size=n)
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16).reshape(-1, 1)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=32000)
+    pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(1)
+    snrs = []
+    n_hybrid = 0
+    for p in pkts:
+        toc, _ = parse_packet(p)
+        n_hybrid += toc.mode == "hybrid"
+        ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1)
+        ours = own.decode_packet(p).reshape(-1)
+        m = min(len(ref), len(ours))
+        if m and np.mean(ref[:m] ** 2) > 1e-14:
+            snrs.append(_snr(ref[:m], ours[:m]))
+    assert n_hybrid > 50
+    assert np.median(snrs) > 100.0
+    assert min(snrs) > 60.0
+
+
+@pytest.mark.slow
 def test_stereo_celt_vs_oracle():
     """Owned stereo CELT (theta coupling, dual stereo, intensity,
     anti-collapse): every frame >60 dB, median >100 dB at three rates."""
