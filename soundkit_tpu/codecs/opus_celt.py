@@ -316,8 +316,8 @@ class CeltDecoder:
 
     # -- energy ----------------------------------------------------------
     def _coarse_energy(self, rc: RangeDecoder, start: int, end: int,
-                       intra: bool, LM: int) -> None:
-        C = self.channels
+                       intra: bool, LM: int, C: int = 0) -> None:
+        C = C or self.channels
         prob = self.e_prob[LM][1 if intra else 0]
         # the extracted beta table is pre-complemented (stores 1-beta),
         # so the inter-band accumulator is prev += beta_table * q
@@ -349,8 +349,8 @@ class CeltDecoder:
                 prev[c] = prev[c] + beta * q
 
     def _fine_energy(self, rc: RangeDecoder, start: int, end: int,
-                     fine_quant) -> None:
-        C = self.channels
+                     fine_quant, C: int = 0) -> None:
+        C = C or self.channels
         for i in range(start, end):
             if fine_quant[i] <= 0:
                 continue
@@ -359,8 +359,9 @@ class CeltDecoder:
                 self.oldE[c, i] += (q2 + 0.5) / (1 << fine_quant[i]) - 0.5
 
     def _finalize_energy(self, rc: RangeDecoder, start: int, end: int,
-                         fine_quant, fine_priority, bits_left: int) -> None:
-        C = self.channels
+                         fine_quant, fine_priority, bits_left: int,
+                         C: int = 0) -> None:
+        C = C or self.channels
         for prio in (0, 1):
             i = start
             while i < end and bits_left >= C:
@@ -397,8 +398,8 @@ class CeltDecoder:
 
     def _interp_bits2pulses(self, start, end, skip_start, bits1, bits2,
                             thresh, cap, total, skip_rsv, intensity_rsv,
-                            dual_stereo_rsv, rc: RangeDecoder, LM):
-        C = self.channels
+                            dual_stereo_rsv, rc: RangeDecoder, LM, C=0):
+        C = C or self.channels
         eBands = self.eBands
         alloc_floor = C << BITRES
         stereo = 1 if C > 1 else 0
@@ -534,8 +535,8 @@ class CeltDecoder:
                 intensity, dual_stereo)
 
     def _compute_allocation(self, start, end, offsets, cap, alloc_trim,
-                            total, rc: RangeDecoder, LM):
-        C = self.channels
+                            total, rc: RangeDecoder, LM, C=0):
+        C = C or self.channels
         eBands = self.eBands
         total = max(total, 0)
         skip_start = start
@@ -611,7 +612,7 @@ class CeltDecoder:
             bits2[j] = b2
         return self._interp_bits2pulses(
             start, end, skip_start, bits1, bits2, thresh, cap, total,
-            skip_rsv, intensity_rsv, dual_stereo_rsv, rc, LM,
+            skip_rsv, intensity_rsv, dual_stereo_rsv, rc, LM, C,
         )
 
     # -- PVQ band decode ---------------------------------------------------
@@ -1111,10 +1112,12 @@ class CeltDecoder:
         return freq @ mat
 
     def decode_frame(self, rc: RangeDecoder, frame_size: int,
-                     start: int, end: int) -> np.ndarray:
-        """Decode one CELT frame (mono). Returns [frame_size] float
-        PCM at 48 kHz."""
-        C = self.channels
+                     start: int, end: int,
+                     coded_channels: int = 0) -> np.ndarray:
+        """Decode one CELT frame. Returns [C, frame_size] float PCM
+        at 48 kHz (C = coded channels; the caller duplicates when the
+        output is stereo but the packet is mono)."""
+        C = coded_channels or self.channels
         LM = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
         N = frame_size
         M = 1 << LM
@@ -1159,7 +1162,7 @@ class CeltDecoder:
         if rc.tell() + 3 <= total:
             intra = bool(rc.dec_bit_logp(3))
 
-        self._coarse_energy(rc, start, end, intra, LM)
+        self._coarse_energy(rc, start, end, intra, LM, C)
 
         # tf_res
         tf_res = np.zeros(NB_BANDS, dtype=np.int64)
@@ -1234,10 +1237,10 @@ class CeltDecoder:
 
         (pulses, fine_quant, fine_priority, codedBands, balance,
          intensity, dual_stereo) = self._compute_allocation(
-            start, end, offsets, cap, alloc_trim, bits_8, rc, LM
+            start, end, offsets, cap, alloc_trim, bits_8, rc, LM, C
         )
 
-        self._fine_energy(rc, start, end, fine_quant)
+        self._fine_energy(rc, start, end, fine_quant, C)
 
         X = np.zeros((C, M * eBands[NB_BANDS] + 200))
         collapse_masks = self._quant_all_bands(
@@ -1252,10 +1255,11 @@ class CeltDecoder:
             anti_collapse_on = rc.rawbits(1)
 
         self._finalize_energy(rc, start, end, fine_quant, fine_priority,
-                              total - rc.tell())
+                              total - rc.tell(), C)
 
         if anti_collapse_on:
-            self._anti_collapse(X, collapse_masks, LM, start, end, pulses)
+            self._anti_collapse(X, collapse_masks, LM, start, end,
+                                pulses, C)
 
         # denormalize
         freq = np.zeros((C, N))
@@ -1276,20 +1280,21 @@ class CeltDecoder:
                                max(pf_period, COMBFILTER_MINPERIOD),
                                pf_gain, pf_tapset)
 
-        self._post_frame_energy(start, end, isTransient)
+        self._post_frame_energy(start, end, isTransient, C)
         # the fold/noise PRNG is re-seeded from the range coder's final
         # state after every frame (not a free-running LCG)
         self.rng = int(rc.rng) & 0xFFFFFFFF
         return out
 
     def _post_frame_energy(self, start: int, end: int,
-                           isTransient: bool) -> None:
+                           isTransient: bool, C: int = 0) -> None:
+        C = C or self.channels
         if not isTransient:
-            self.oldLogE2[:, :] = self.oldLogE
-            self.oldLogE[:, :] = self.oldE
+            self.oldLogE2[:C] = self.oldLogE[:C]
+            self.oldLogE[:C] = self.oldE[:C]
         else:
-            self.oldLogE = np.minimum(self.oldLogE, self.oldE)
-        for c in range(self.channels):
+            self.oldLogE[:C] = np.minimum(self.oldLogE[:C], self.oldE[:C])
+        for c in range(C):
             self.oldE[c, :start] = 0
             self.oldE[c, end:] = 0
             self.oldLogE[c, :start] = -28.0
@@ -1297,13 +1302,14 @@ class CeltDecoder:
             self.oldLogE2[c, :start] = -28.0
             self.oldLogE2[c, end:] = -28.0
 
-    def _anti_collapse(self, X, collapse_masks, LM, start, end, pulses):
+    def _anti_collapse(self, X, collapse_masks, LM, start, end,
+                       pulses, C=0):
         # NOTE: channel-outer, band-inner iteration (the libavcodec
         # oracle's order; libopus nests the channel loop inside the
         # band loop, which only permutes the LCG draw assignment)
         eBands = self.eBands
         seed = self.rng
-        for c in range(self.channels):
+        for c in range(C or self.channels):
             for i in range(start, end):
                 N0 = eBands[i + 1] - eBands[i]
                 depth = ((1 + int(pulses[i])) // N0) >> LM
@@ -1311,7 +1317,7 @@ class CeltDecoder:
                 sqrt_1 = 1.0 / math.sqrt(N0 << LM)
                 prev1 = self.oldLogE[c, i]
                 prev2 = self.oldLogE2[c, i]
-                if self.channels == 1 and self.oldLogE.shape[0] > 1:
+                if (C or self.channels) == 1 and self.oldLogE.shape[0] > 1:
                     prev1 = max(prev1, self.oldLogE[1, i])
                     prev2 = max(prev2, self.oldLogE2[1, i])
                 Ediff = max(0.0, self.oldE[c, i] - min(prev1, prev2))
@@ -1321,7 +1327,7 @@ class CeltDecoder:
                 r = min(thresh, r) * sqrt_1
                 band = X[c, (eBands[i] << LM):(eBands[i + 1] << LM)]
                 renorm = False
-                mask = int(collapse_masks[c if self.channels == 2 else 0][i])
+                mask = int(collapse_masks[c if collapse_masks.shape[0] == 2 else 0][i])
                 for k in range(1 << LM):
                     if not (mask & (1 << k)):
                         for j in range(N0):
@@ -1338,7 +1344,7 @@ class CeltDecoder:
         """Inverse MDCT + overlap-add + comb postfilter (with the
         old->current and current->new crossfades of the oracle) +
         de-emphasis."""
-        C = self.channels
+        C = freq.shape[0]
         M = 1 << LM
         B = M if shortBlocks else 1
         NB = N // B

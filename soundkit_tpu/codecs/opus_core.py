@@ -3,10 +3,10 @@ packet decoder that routes to the owned CELT layer (opus_celt.py,
 mono+stereo) and the owned SILK layer (opus_silk.py, mono NB/MB/WB
 with the oracle-matched resampler in utils/swr.py).
 
-Hybrid mode is owned (SILK-WB + CELT start band 17 sharing one
-range coder, redundancy signalling kept in sync); only stereo SILK
-raises OpusUnsupported (the serving layer falls back to the delegate
-via a gapless replay).
+All modes are owned: CELT and SILK in mono and stereo (mid/side
+unmix, LBRR, midonly, mono-coded packets in stereo streams), and
+hybrid (SILK-WB + CELT start band 17 sharing one range coder with
+redundancy signalling kept in sync).
 Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
 """
 from __future__ import annotations
@@ -135,10 +135,9 @@ def parse_packet(data: bytes) -> tuple:
 class OpusDecoder:
     """Owned Opus packet decoder (48 kHz float output).
 
-    CELT modes decode through opus_celt.py (mono+stereo); SILK and
-    hybrid modes through opus_silk.py (mono) + the oracle-matched
-    resampler (+ CELT high band for hybrid); stereo SILK raises
-    OpusUnsupported."""
+    CELT modes decode through opus_celt.py, SILK through
+    opus_silk.py + the oracle-matched resampler, hybrid through both
+    on one shared coder; mono and stereo are owned end to end."""
 
     def __init__(self, channels: int = 1):
         self.channels = channels
@@ -154,8 +153,9 @@ class OpusDecoder:
         from soundkit_tpu.codecs.opus_silk import SilkDecoder
         from soundkit_tpu.utils.swr import SilkResampler
 
-        if self.channels != 1:
-            raise OpusUnsupported("stereo SILK not yet owned")
+        coded = 2 if toc.stereo else 1
+        if coded > self.channels:
+            raise OpusUnsupported("stereo packet in a mono stream")
         # hybrid runs SILK at WB regardless of the packet bandwidth
         bw = 2 if force_wb else toc.bandwidth  # 0=NB 1=MB 2=WB
         if self._silk is None:
@@ -165,8 +165,9 @@ class OpusDecoder:
             self._resampler = SilkResampler(rate, bw, self.channels)
             self._resampler_bw = bw
         duration_ms = int(toc.frame_duration)
-        pcm = self._silk.decode_superframe(rc, bw, self.channels,
-                                           duration_ms)
+        pcm = self._silk.decode_superframe(rc, bw, coded, duration_ms)
+        if coded < self.channels:
+            pcm = np.repeat(pcm, self.channels, axis=1)
         out48 = self._resampler.process(pcm, duration_ms * 48)
         return out48.astype(np.float64)
 
@@ -174,8 +175,6 @@ class OpusDecoder:
                              frame_len: int) -> np.ndarray:
         """SILK-WB low band + CELT (start band 17) high band sharing
         one range coder; outputs are summed at 48 kHz."""
-        if self.channels != 1:
-            raise OpusUnsupported("stereo hybrid not yet owned")
         silk48 = self._decode_silk_frame(rc, toc, force_wb=True)
         # redundancy signalling (kept in sync; the redundancy CELT
         # frame itself only matters on mode transitions)
@@ -194,7 +193,10 @@ class OpusDecoder:
             self.celt.reset()
         frame_size = int(toc.frame_duration * 48)
         end = int(self._band_end[toc.bandwidth])
-        celt = self.celt.decode_frame(rc, frame_size, 17, end)
+        coded = 2 if toc.stereo else 1
+        celt = self.celt.decode_frame(rc, frame_size, 17, end, coded)
+        if coded < self.channels:
+            celt = np.repeat(celt, self.channels, axis=0)
         n = min(len(silk48), celt.shape[1])
         out = silk48[:n] + celt.T[:n]
         return out
@@ -223,9 +225,14 @@ class OpusDecoder:
         frame_size = int(toc.frame_duration * 48)
         self._last_duration = frame_size
         end = int(self._band_end[toc.bandwidth])
+        coded = 2 if toc.stereo else 1
+        if coded > self.channels:
+            raise OpusUnsupported("stereo packet in a mono stream")
         outs = []
         for f in frames:
             rc = RangeDecoder(f)
-            pcm = self.celt.decode_frame(rc, frame_size, 0, end)
+            pcm = self.celt.decode_frame(rc, frame_size, 0, end, coded)
+            if coded < self.channels:
+                pcm = np.repeat(pcm, self.channels, axis=0)
             outs.append(pcm.T)
         return np.concatenate(outs, axis=0)

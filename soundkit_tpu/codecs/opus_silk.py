@@ -61,8 +61,8 @@ class SilkFrame:
 
 
 class SilkDecoder:
-    """Stateful SILK decoder for one stream (mono supported; stereo
-    raises, the serving path keeps its delegate for those)."""
+    """Stateful SILK decoder for one stream, mono or stereo (mid/side
+    prediction weights, midonly flag, LBRR parse, L/R unmix)."""
 
     def __init__(self) -> None:
         t = tables()
@@ -74,31 +74,42 @@ class SilkDecoder:
         self.subframes = 0
         self.sflength = 0
         self.flength = 0
+        self.stereo_weights = [0.0, 0.0]
+        self.prev_stereo_weights = [0.0, 0.0]
+        self.midonly = 0
 
     def flush(self) -> None:
         for f in self.frames:
             f.reset()
+        self.stereo_weights = [0.0, 0.0]
+        self.prev_stereo_weights = [0.0, 0.0]
+        self.midonly = 0
 
     # ------------------------------------------------------------------
     def decode_superframe(self, rc: RangeDecoder, bandwidth: int,
                           coded_channels: int, duration_ms: int
                           ) -> np.ndarray:
-        """Decode one SILK superframe -> [n, 1] float at the internal
-        rate (bandwidth: 0=NB 1=MB 2=WB)."""
-        if coded_channels != 1:
-            raise NotImplementedError("stereo SILK not yet owned")
+        """Decode one SILK superframe -> [n, channels] float at the
+        internal rate (bandwidth: 0=NB 1=MB 2=WB)."""
         nb_frames = 1 + (duration_ms > 20) + (duration_ms > 40)
         self.subframes = duration_ms // nb_frames // 5
         self.sflength = 20 * (bandwidth + 2)
         self.flength = self.sflength * self.subframes
         self.bandwidth = bandwidth
         self.wb = bandwidth == 2
+        if getattr(self, "_prev_channels", 0) < coded_channels:
+            # side-channel state starts fresh when the stream becomes
+            # stereo
+            self.frames[1].reset()
+        self._prev_channels = coded_channels
 
-        # header bits
-        active = [[bool(rc.dec_bit_logp(1)) for _ in range(nb_frames)]
-                  for _ in range(coded_channels)]
-        redundancy = [bool(rc.dec_bit_logp(1))
-                      for _ in range(coded_channels)]
+        # header bits: per channel, VAD flags then the LBRR flag
+        active = []
+        redundancy = []
+        for c in range(coded_channels):
+            active.append([bool(rc.dec_bit_logp(1))
+                           for _ in range(nb_frames)])
+            redundancy.append(bool(rc.dec_bit_logp(1)))
         lbrr = [[False] * nb_frames for _ in range(coded_channels)]
         for c in range(coded_channels):
             if redundancy[c]:
@@ -111,30 +122,85 @@ class SilkDecoder:
                     flags = rc.dec_cdf(model) + 1
                     for j in range(nb_frames):
                         lbrr[c][j] = bool((flags >> j) & 1)
-        # LBRR frames are decoded (to keep the range coder in sync)
-        # and discarded
+        # LBRR frames: decoded in place exactly as the oracle does
+        # (state carries into the regular frames), output discarded
         for j in range(nb_frames):
             for c in range(coded_channels):
                 if lbrr[c][j]:
-                    saved = _snapshot(self.frames[c])
-                    self._decode_frame(rc, c, coded_channels, True, 0)
-                    _restore(self.frames[c], saved)
+                    active1 = 0 if (c == 0 and not lbrr[1][j]) else 1
+                    self._decode_frame(rc, c, coded_channels, True, 0,
+                                       active1, lbrr=True)
+            self.midonly = 0
         out = []
+        flen = self.flength
         for j in range(nb_frames):
+            chans = []
             for c in range(coded_channels):
+                if c == 1 and self.midonly:
+                    # side frame absent from the bitstream
+                    if self.frames[1].coded:
+                        self.frames[1].reset()
+                    chans.append(np.zeros(flen))
+                    break
+                act1 = active[1][j] if coded_channels == 2 else 1
                 pcm = self._decode_frame(rc, c, coded_channels,
-                                         active[c][j], j)
-                out.append(pcm)
-        return np.concatenate(out).reshape(-1, 1)
+                                         active[c][j], j, int(act1))
+                chans.append(pcm[:, 0] if pcm.ndim == 2 else pcm)
+            if coded_channels == 2:
+                out.append(self._unmix(flen))
+            else:
+                out.append(chans[0].reshape(-1, 1))
+            self.midonly = 0
+        return np.concatenate(out, axis=0)
+
+    def _unmix(self, flen: int) -> np.ndarray:
+        """Mid/side -> L/R with the low-pass predictor and the 8 ms
+        weight interpolation, on the 1-sample-delayed grid."""
+        t = self.t
+        base = SILK_HISTORY - flen - 2
+        mid = self.frames[0].output[base:base + flen + 2]
+        side = self.frames[1].output[base:base + flen + 2]
+        n1 = int(t["silk_stereo_interp_len"][self.bandwidth])
+        w0p, w1p = self.prev_stereo_weights
+        w0, w1 = self.stereo_weights
+        c = np.arange(flen, dtype=np.float64)
+        i0 = np.where(c < n1, w0p + c * (w0 - w0p) / n1, w0)
+        i1 = np.where(c < n1, w1p + c * (w1 - w1p) / n1, w1)
+        p0 = 0.25 * (mid[:-2] + 2.0 * mid[1:-1] + mid[2:])
+        m1 = mid[1:-1]
+        s1 = side[1:-1]
+        left = np.clip((1.0 + i1) * m1 + s1 + i0 * p0, -1.0, 1.0)
+        right = np.clip((1.0 - i1) * m1 - s1 - i0 * p0, -1.0, 1.0)
+        self.prev_stereo_weights = list(self.stereo_weights)
+        return np.stack([left, right], axis=1)
 
     # ------------------------------------------------------------------
     def _decode_frame(self, rc: RangeDecoder, channel: int,
                       coded_channels: int, active: bool,
-                      frame_num: int) -> np.ndarray:
+                      frame_num: int, active1: int = 1,
+                      lbrr: bool = False) -> np.ndarray:
         t = self.t
         frame = self.frames[channel]
         order = 16 if self.wb else 10
         sfl = self.sflength
+
+        # stereo prediction weights + mid-only flag (mid channel only)
+        if coded_channels == 2 and channel == 0:
+            n = rc.dec_cdf(t["silk_model_stereo_s1"])
+            wi0 = rc.dec_cdf(t["silk_model_stereo_s2"]) + 3 * (n // 5)
+            ws0 = rc.dec_cdf(t["silk_model_stereo_s3"])
+            wi1 = rc.dec_cdf(t["silk_model_stereo_s2"]) + 3 * (n % 5)
+            ws1 = rc.dec_cdf(t["silk_model_stereo_s3"])
+            wtab = t["silk_stereo_weights"]
+            w = []
+            for wi, ws in ((wi0, ws0), (wi1, ws1)):
+                lo = int(wtab[wi])
+                hi = int(wtab[wi + 1])
+                w.append(lo + (((hi - lo) * 6554) >> 16) * (ws * 2 + 1))
+            self.stereo_weights = [(w[0] - w[1]) / 8192.0,
+                                   w[1] / 8192.0]
+            self.midonly = (rc.dec_cdf(t["silk_model_mid_only"])
+                            if active1 == 0 else 0)
 
         # frame type
         if active:
@@ -251,8 +317,14 @@ class SilkDecoder:
             rc, qoffset_high, int(active), int(voiced)
         )
 
-        # synthesis
         flength = self.flength
+        if lbrr:
+            # LBRR frames are parsed only: log_gain/NLSF/LPC/lag state
+            # updates stay, but prev_voiced, coded and the output
+            # history are untouched (the oracle skips the synthesis
+            # tail entirely)
+            return np.zeros(flength)
+        # synthesis
         residual = np.zeros(SILK_MAX_LAG + flength)
         residual[SILK_MAX_LAG:] = excitation
         dst = frame.output

@@ -106,6 +106,41 @@ def test_silk_packet_modes():
 
 
 @pytest.mark.slow
+def test_stereo_silk_vs_oracle():
+    """Stereo SILK (mid/side weights, midonly, LBRR, unmix) and
+    mono-coded packets inside stereo streams."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(4)
+    sr = 48000
+    n = sr * 2
+    t = np.arange(n) / sr
+    f0 = 120 + 20 * np.sin(2 * np.pi * 2.5 * t)
+    phs = np.cumsum(2 * np.pi * f0 / sr)
+    base = 0.4 * np.sin(phs) + 0.2 * np.sin(2 * phs)
+    base *= 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 3 * t))
+    left = base + 0.02 * rng.normal(size=n)
+    right = 0.8 * base + 0.05 * np.sin(2 * np.pi * 350 * t) + 0.02 * rng.normal(size=n)
+    pcm = (np.clip(np.stack([left, right], 1), -1, 1) * 32767).astype(np.int16)
+    enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=12000)
+    pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 2, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(2)
+    snrs = []
+    for p in pkts:
+        toc, _ = parse_packet(p)
+        assert toc.mode == "silk"
+        ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1, 2)
+        ours = np.asarray(own.decode_packet(p), dtype=np.float64)
+        m = min(len(ref), len(ours))
+        if m and np.mean(ref[:m] ** 2) > 1e-14:
+            snrs.append(_snr(ref[:m].ravel(), ours[:m].ravel()))
+    assert np.median(snrs) > 100.0
+    assert min(snrs) > 60.0
+
+
+@pytest.mark.slow
 def test_hybrid_vs_oracle():
     """Hybrid packets (SILK-WB + CELT start band 17 on one coder):
     median >100 dB vs the oracle on a crafted speech-like stream."""
