@@ -5,10 +5,10 @@ API equivalent of the reference's oxideav-speex ``SpeexDecoder``
 fixed offsets (rate@36, mode@40, channels@48, frames/packet@64 —
 lib.rs:29-54), then per-packet decode.
 
-Narrowband (mode 0, mono) packet decode is OWNED
-(codecs/speex_core.py: CELP — LSP VQ, 3-tap adaptive codebook,
-split-shape innovation, LPC synthesis).  Wideband/UWB modes and
-multichannel fall back to libavcodec (documented scope cut).
+Narrowband (mode 0) and wideband (mode 1) mono packet decode is
+OWNED (codecs/speex_core.py: NB CELP core + the SB-CELP high band
+with QMF synthesis).  UWB (mode 2) and multichannel fall back to
+libavcodec (documented scope cut).
 """
 from __future__ import annotations
 
@@ -38,6 +38,10 @@ class SpeexDecoder:
             from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
 
             self._dec = SpeexNbDecoder()
+        elif self.mode == 1 and self.channels == 1:
+            from soundkit_tpu.codecs.speex_core import SpeexSbDecoder
+
+            self._dec = SpeexSbDecoder()
         else:
             self._av = AvDecoder(
                 "speex",

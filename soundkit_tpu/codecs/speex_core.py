@@ -264,6 +264,8 @@ class SpeexNbDecoder:
         self._mem_sp = np.zeros(NB_ORDER, dtype=np.float64)
         self._hp_mem = np.zeros(4, dtype=np.float64)  # x1,x2,y1,y2
         self._last_ol_gain = 0.0
+        self._innov_save = np.zeros(FRAME_SIZE, dtype=np.float64)
+        self._pi_gain = np.zeros(4, dtype=np.float64)
 
     # -- LSP dequant -------------------------------------------------------
 
@@ -394,9 +396,17 @@ class SpeexNbDecoder:
             if sm.split_cb is not None:
                 innov = self._split_cb_unquant(br, sm.split_cb)
                 exc[off : off + SUBFRAME] += ener * innov
+                self._innov_save[sub * SUBFRAME : (sub + 1) * SUBFRAME] = (
+                    ener * innov
+                )
                 if sm.double_codebook:
                     innov2 = self._split_cb_unquant(br, sm.split_cb)
                     exc[off : off + SUBFRAME] += 0.454 * ener * innov2
+                    self._innov_save[
+                        sub * SUBFRAME : (sub + 1) * SUBFRAME
+                    ] += 0.454 * ener * innov2
+            else:
+                self._innov_save[sub * SUBFRAME : (sub + 1) * SUBFRAME] = 0.0
 
         # output excitation: always one subframe DELAYED relative to
         # the decoded excitation (the oracle's alignment, enhanced or
@@ -433,6 +443,10 @@ class SpeexNbDecoder:
             interp = np.clip(interp, 0.002, np.pi - 0.002)
             interp = self._enforce_margin(interp, 0.002)
             a = lsp_to_lpc(interp)
+            # A(-1) response, used by the SB layer's filter ratio
+            self._pi_gain[sub] = 1.0 + float(
+                np.sum(a[1::2] - a[0::2])
+            )
             for i in range(SUBFRAME):
                 y = exc_out[sub * SUBFRAME + i] + st[0]
                 out[sub * SUBFRAME + i] = y
@@ -443,6 +457,7 @@ class SpeexNbDecoder:
         # nb_decode @0x4cd5 runs only on the count_lost path — packet
         # loss concealment is out of scope here, as in the reference)
         self._exc_mem = exc[-len(self._exc_mem) :].copy()
+        self._exc_save = exc[base : base + FRAME_SIZE].copy()
         self._old_qlsp = qlsp.copy()
         return self._highpass(out)
 
@@ -509,6 +524,203 @@ class SpeexNbDecoder:
 
     def decode_packet(self, packet: bytes, frames_per_packet: int = 0) -> np.ndarray:
         """Decode all frames in one Speex packet -> f32 in [-1, 1]."""
+        br = Bits(packet)
+        outs: List[np.ndarray] = []
+        while br.left() >= 5:
+            f = self.decode_frame(br)
+            if f is None:
+                break
+            outs.append(f)
+            if frames_per_packet and len(outs) >= frames_per_packet:
+                break
+        if not outs:
+            return np.zeros(0, dtype=np.float32)
+        pcm = np.concatenate(outs)
+        return (pcm / 32768.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# wideband (SB-CELP) layer — sb_celp.c semantics over the NB core
+# ---------------------------------------------------------------------------
+
+SB_FRAME = 160          # high-band samples per frame (at 8 kHz)
+SB_ORDER = 8
+_SB_SPLIT = {
+    # name -> (subvect, n_subvect, shape_bits, have_sign)
+    "hexc_10_32": (10, 4, 5, 0),
+    "hexc_table": (8, 5, 7, 1),
+}
+# wb submode id -> (split codebook name or None for folding,
+#                   double_codebook)
+_SB_SUBMODES = {
+    1: (None, False),
+    2: ("hexc_10_32", False),
+    3: ("hexc_table", False),
+    4: ("hexc_table", True),
+}
+
+
+class SpeexSbDecoder:
+    """Speex wideband decoder: NB core for the low band + the SB-CELP
+    high-band layer + QMF synthesis (sb_celp.c / filterbank.c
+    semantics)."""
+
+    def __init__(self, enhanced: bool = True) -> None:
+        self.nb = SpeexNbDecoder(enhanced=enhanced)
+        self._t = self.nb._t
+        self._h0 = self._t["h0"].astype(np.float64)
+        self._old_qlsp: Optional[np.ndarray] = None
+        self._mem_sp = np.zeros(SB_ORDER, dtype=np.float64)
+        self._qmf_mem1 = np.zeros(64, dtype=np.float64)
+        self._qmf_mem2 = np.zeros(64, dtype=np.float64)
+        # the high band leaves one subframe delayed, like the NB core
+        self._high_delay = np.zeros(SB_FRAME // 4, dtype=np.float64)
+
+    # -- helpers ---------------------------------------------------------
+    def _high_lsp_unquant(self, br: Bits) -> np.ndarray:
+        t = self._t
+        lsp = 0.3125 * np.arange(SB_ORDER) + 0.75
+        idx = br.read(6)
+        lsp += 0.00390625 * t["high_lsp_cdbk"][idx].astype(np.float64)
+        idx = br.read(6)
+        lsp += 0.001953125 * t["high_lsp_cdbk2"][idx].astype(np.float64)
+        return lsp
+
+    def _sb_split_unquant(self, br: Bits, name: str) -> np.ndarray:
+        ss, nsub, bits, have_sign = _SB_SPLIT[name]
+        table = self._t[name]
+        innov = np.zeros(SB_FRAME // 4, dtype=np.float64)
+        for i in range(nsub):
+            sign = 1.0
+            if have_sign and br.read(1):
+                sign = -1.0
+            idx = br.read(bits)
+            innov[i * ss : (i + 1) * ss] += (
+                sign * 0.03125 * table[idx].astype(np.float64)
+            )
+        return innov
+
+    def _qmf_synth(self, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+        """filterbank.c qmf_synth: N=320, M=64."""
+        a = self._h0
+        M2, N2 = 32, 160
+        xx1 = np.empty(M2 + N2)
+        xx2 = np.empty(M2 + N2)
+        xx1[:N2] = x1[::-1]
+        xx1[N2:] = self._qmf_mem1[1::2][:M2]
+        xx2[:N2] = x2[::-1]
+        xx2[N2:] = self._qmf_mem2[1::2][:M2]
+        y = np.zeros(2 * N2)
+        for i in range(0, N2, 2):
+            y0 = y1 = y2 = y3 = 0.0
+            x10 = xx1[N2 - 2 - i]
+            x20 = xx2[N2 - 2 - i]
+            for j in range(0, M2, 2):
+                a0 = a[2 * j]
+                a1 = a[2 * j + 1]
+                x11 = xx1[N2 - 1 + j - i]
+                x21 = xx2[N2 - 1 + j - i]
+                y0 += a0 * (x11 - x21)
+                y1 += a1 * (x11 + x21)
+                y2 += a0 * (x10 - x20)
+                y3 += a1 * (x10 + x20)
+                a0 = a[2 * j + 2]
+                a1 = a[2 * j + 3]
+                x10 = xx1[N2 + j - i]
+                x20 = xx2[N2 + j - i]
+                y0 += a0 * (x10 - x20)
+                y1 += a1 * (x10 + x20)
+                y2 += a0 * (x11 - x21)
+                y3 += a1 * (x11 + x21)
+            y[2 * i] = 2.0 * y0
+            y[2 * i + 1] = 2.0 * y1
+            y[2 * i + 2] = 2.0 * y2
+            y[2 * i + 3] = 2.0 * y3
+        self._qmf_mem1[1::2] = xx1[:M2]
+        self._qmf_mem2[1::2] = xx2[:M2]
+        return y
+
+    # -- frame decode ----------------------------------------------------
+    def decode_frame(self, br: Bits) -> Optional[np.ndarray]:
+        low = self.nb.decode_frame(br)
+        if low is None:
+            return None
+        sub_id = 0
+        if br.left() > 0 and br.read(1):
+            sub_id = br.read(3)
+        if sub_id == 0:
+            high = np.zeros(SB_FRAME, dtype=np.float64)
+            return self._qmf_synth(low, self._delay_high(high))
+        if sub_id not in _SB_SUBMODES:
+            raise SpeexError(f"invalid SB submode {sub_id}")
+        cb_name, double_cb = _SB_SUBMODES[sub_id]
+
+        qlsp = self._high_lsp_unquant(br)
+        if self._old_qlsp is None:
+            self._old_qlsp = qlsp.copy()
+
+        high = np.zeros(SB_FRAME, dtype=np.float64)
+        st = self._mem_sp
+        t = self._t
+        sfs = SB_FRAME // 4
+        for sub in range(4):
+            # SB interpolation runs one subframe ahead of the NB
+            # layer's: weight (sub+1)/4 (oracle constant .LC1)
+            tmp = (sub + 1.0) / 4.0
+            interp = (1.0 - tmp) * self._old_qlsp + tmp * qlsp
+            interp = np.clip(interp, 0.05, np.pi - 0.05)
+            interp = SpeexNbDecoder._enforce_margin(interp, 0.05)
+            a = lsp_to_lpc(interp)
+
+            # response ratio between the two filters at the band edge
+            rh = 1.0 + float(np.sum(a[1::2] - a[0::2]))
+            rl = float(self.nb._pi_gain[sub])
+            filter_ratio = (rl + 0.01) / (rh + 0.01)
+
+            exc = np.zeros(sfs, dtype=np.float64)
+            innov_lo = self.nb._innov_save[sub * sfs : (sub + 1) * sfs]
+            if cb_name is None:
+                # spectral folding of the low-band innovation with
+                # alternating signs (the oracle's alias loop)
+                quant = br.read(5)
+                g = np.exp(0.125 * (quant - 10)) / filter_ratio
+                exc[:] = g * innov_lo
+                exc[1::2] = -exc[1::2]
+            else:
+                qgc = br.read(4)
+                # el: rms of the full low-band excitation subframe
+                # (the NB core saves it undelayed), with the oracle's
+                # +0.1 regularizer
+                el = float(np.sqrt(np.mean(
+                    self.nb._exc_save[sub * sfs:(sub + 1) * sfs] ** 2
+                ) + 0.1))
+                gc = 0.87359619 * float(t["gc_quant_bound"][qgc])
+                scale = gc * el / filter_ratio
+                innov = self._sb_split_unquant(br, cb_name)
+                exc[:] = scale * innov
+                if double_cb:
+                    innov2 = self._sb_split_unquant(br, cb_name)
+                    exc += 0.4 * scale * innov2
+
+            for i in range(sfs):
+                y = exc[i] + st[0]
+                high[sub * sfs + i] = y
+                st[:-1] = st[1:] - a[:-1] * y
+                st[-1] = -a[-1] * y
+
+        self._old_qlsp = qlsp.copy()
+        return self._qmf_synth(low, self._delay_high(high))
+
+    def _delay_high(self, high: np.ndarray) -> np.ndarray:
+        """One-subframe output delay on the high band (the oracle's
+        alignment with the delayed NB output)."""
+        n = len(self._high_delay)
+        out = np.concatenate([self._high_delay, high[:-n]])
+        self._high_delay = high[-n:].copy()
+        return out
+
+    def decode_packet(self, packet: bytes,
+                      frames_per_packet: int = 0) -> np.ndarray:
         br = Bits(packet)
         outs: List[np.ndarray] = []
         while br.left() >= 5:

@@ -2,6 +2,8 @@
 AMR-NB, G.729, AC-3 — decode real fixtures, compare against the
 reference golden WAVs with PSNR (the reference used different C
 backends, so bit-exactness is not expected; quality parity is)."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -291,3 +293,55 @@ def test_speex_stream_decoder_uses_own_core():
     assert len(pcm) == 23680
     rms = np.sqrt(np.mean(pcm**2))
     assert rms > 1e-3, f"decoded to near-silence rms={rms}"
+
+
+@pytest.mark.slow
+def test_speex_wideband_owned():
+    """The SB-CELP wideband layer decodes owned (no avcodec): crafted
+    WB stream vs the native speex oracle; NB fixture unaffected."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from vorbis_craft import ogg_encapsulate
+
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.encoders import AvEncoder
+    from soundkit_tpu.codecs.speex import SpeexDecoder
+
+    rng = np.random.default_rng(2)
+    sr = 16000
+    n = sr * 2
+    t = np.arange(n) / sr
+    f0 = 120 + 20 * np.sin(2 * np.pi * 2.5 * t)
+    ph = np.cumsum(2 * np.pi * f0 / sr)
+    sig = (0.4 * np.sin(ph) + 0.2 * np.sin(2 * ph) + 0.1 * np.sin(5 * ph)
+           + 0.05 * np.sin(2 * np.pi * 5000 * t))
+    sig *= 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 3 * t))
+    sig += 0.02 * rng.normal(size=n)
+    enc = AvEncoder("libspeex", 16000, 1)
+    pkts = enc.push_f32(np.clip(sig, -1, 1).astype(np.float32)) + enc.flush()
+    extradata = enc.extradata
+    comment = b"\x10\x00\x00\x00soundkit-tpu-tst" + b"\x00" * 4
+    stream = ogg_encapsulate([extradata, comment] + pkts)
+
+    dec = SpeexDecoder()
+    out = np.concatenate([dec.decode_f32(stream), dec.flush()])
+    assert dec._dec is not None and dec._av is None  # owned path
+    av = AvDecoder("speex", sample_rate=16000, channels=1,
+                   extradata=extradata)
+    ref = np.concatenate([av.push(p) for p in pkts] + [av.flush()])
+    m = min(len(ref), len(out))
+    e = ref[:m].astype(np.float64) - out[:m].astype(np.float64)
+    snr = 10 * np.log10(np.mean(ref[:m].astype(np.float64) ** 2)
+                        / (np.mean(e ** 2) + 1e-300))
+    # bounded by the NB core's enhancer-selection noise (~23 dB), same
+    # as the NB conformance bar
+    assert snr > 20.0
+    # the high band itself conforms much closer
+    from numpy.fft import rfft
+
+    E = np.abs(rfft(e[:16000])) ** 2
+    R = np.abs(rfft(ref[:16000].astype(np.float64))) ** 2
+    half = len(R) // 2
+    hi = 10 * np.log10(R[half:].sum() / (E[half:].sum() + 1e-30))
+    assert hi > 22.0
