@@ -5,10 +5,11 @@ API equivalent of the reference's oxideav-speex ``SpeexDecoder``
 fixed offsets (rate@36, mode@40, channels@48, frames/packet@64 —
 lib.rs:29-54), then per-packet decode.
 
-Narrowband (mode 0) and wideband (mode 1) mono packet decode is
-OWNED (codecs/speex_core.py: NB CELP core + the SB-CELP high band
-with QMF synthesis).  UWB (mode 2) and multichannel fall back to
-libavcodec (documented scope cut).
+All mono modes decode OWNED (codecs/speex_core.py): narrowband
+(mode 0, CELP core), wideband (mode 1, + SB-CELP high band with QMF
+synthesis) and ultra-wideband (mode 2, a second fold-only SB layer at
+32 kHz).  Multichannel falls back to libavcodec (documented scope
+cut; the reference is mono-only here too).
 """
 from __future__ import annotations
 
@@ -38,10 +39,10 @@ class SpeexDecoder:
             from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
 
             self._dec = SpeexNbDecoder()
-        elif self.mode == 1 and self.channels == 1:
+        elif self.mode in (1, 2) and self.channels == 1:
             from soundkit_tpu.codecs.speex_core import SpeexSbDecoder
 
-            self._dec = SpeexSbDecoder()
+            self._dec = SpeexSbDecoder(uwb=self.mode == 2)
         else:
             self._av = AvDecoder(
                 "speex",

@@ -563,18 +563,35 @@ _SB_SUBMODES = {
 class SpeexSbDecoder:
     """Speex wideband decoder: NB core for the low band + the SB-CELP
     high-band layer + QMF synthesis (sb_celp.c / filterbank.c
-    semantics)."""
+    semantics).  With ``uwb=True`` it stacks a second, fold-only SB
+    layer over a wideband decoder (mode 2, 32 kHz)."""
 
-    def __init__(self, enhanced: bool = True) -> None:
-        self.nb = SpeexNbDecoder(enhanced=enhanced)
-        self._t = self.nb._t
+    def __init__(self, enhanced: bool = True, uwb: bool = False) -> None:
+        if uwb:
+            self.nb = SpeexSbDecoder(enhanced=enhanced)
+            self.frame = 2 * SB_FRAME
+            self.folding_gain = 0.7
+            self.fold_only = True
+        else:
+            self.nb = SpeexNbDecoder(enhanced=enhanced)
+            self.frame = SB_FRAME
+            self.folding_gain = 0.9
+            self.fold_only = False
+        self.sfs = self.frame // 4
+        self._t = _tables()
         self._h0 = self._t["h0"].astype(np.float64)
         self._old_qlsp: Optional[np.ndarray] = None
         self._mem_sp = np.zeros(SB_ORDER, dtype=np.float64)
         self._qmf_mem1 = np.zeros(64, dtype=np.float64)
         self._qmf_mem2 = np.zeros(64, dtype=np.float64)
         # the high band leaves one subframe delayed, like the NB core
-        self._high_delay = np.zeros(SB_FRAME // 4, dtype=np.float64)
+        self._high_delay = np.zeros(self.sfs, dtype=np.float64)
+        # state exposed to a stacked (UWB) layer
+        self._pi_gain = np.zeros(4, dtype=np.float64)
+        self._exc_save = np.zeros(self.frame, dtype=np.float64)
+        # innovation exposed at the OUTPUT rate (2x this band's rate,
+        # evens carry the samples) for a stacked UWB layer
+        self._innov_save = np.zeros(2 * self.frame, dtype=np.float64)
 
     # -- helpers ---------------------------------------------------------
     def _high_lsp_unquant(self, br: Bits) -> np.ndarray:
@@ -601,9 +618,9 @@ class SpeexSbDecoder:
         return innov
 
     def _qmf_synth(self, x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
-        """filterbank.c qmf_synth: N=320, M=64."""
+        """filterbank.c qmf_synth (M=64)."""
         a = self._h0
-        M2, N2 = 32, 160
+        M2, N2 = 32, self.frame
         xx1 = np.empty(M2 + N2)
         xx2 = np.empty(M2 + N2)
         xx1[:N2] = x1[::-1]
@@ -649,20 +666,27 @@ class SpeexSbDecoder:
         if br.left() > 0 and br.read(1):
             sub_id = br.read(3)
         if sub_id == 0:
-            high = np.zeros(SB_FRAME, dtype=np.float64)
+            high = np.zeros(self.frame, dtype=np.float64)
+            self._innov_save[:] = 0.0
+            self._exc_save[:] = 0.0
             return self._qmf_synth(low, self._delay_high(high))
-        if sub_id not in _SB_SUBMODES:
-            raise SpeexError(f"invalid SB submode {sub_id}")
-        cb_name, double_cb = _SB_SUBMODES[sub_id]
+        if self.fold_only:
+            if sub_id != 1:
+                raise SpeexError(f"invalid UWB submode {sub_id}")
+            cb_name, double_cb = None, False
+        else:
+            if sub_id not in _SB_SUBMODES:
+                raise SpeexError(f"invalid SB submode {sub_id}")
+            cb_name, double_cb = _SB_SUBMODES[sub_id]
 
         qlsp = self._high_lsp_unquant(br)
         if self._old_qlsp is None:
             self._old_qlsp = qlsp.copy()
 
-        high = np.zeros(SB_FRAME, dtype=np.float64)
+        high = np.zeros(self.frame, dtype=np.float64)
         st = self._mem_sp
         t = self._t
-        sfs = SB_FRAME // 4
+        sfs = self.sfs
         for sub in range(4):
             # SB interpolation runs one subframe ahead of the NB
             # layer's: weight (sub+1)/4 (oracle constant .LC1)
@@ -674,6 +698,7 @@ class SpeexSbDecoder:
 
             # response ratio between the two filters at the band edge
             rh = 1.0 + float(np.sum(a[1::2] - a[0::2]))
+            self._pi_gain[sub] = 1.0 + float(np.sum(a[1::2] + a[0::2]))
             rl = float(self.nb._pi_gain[sub])
             filter_ratio = (rl + 0.01) / (rh + 0.01)
 
@@ -681,10 +706,11 @@ class SpeexSbDecoder:
             innov_lo = self.nb._innov_save[sub * sfs : (sub + 1) * sfs]
             if cb_name is None:
                 # spectral folding of the low-band innovation with
-                # alternating signs (the oracle's alias loop)
+                # alternating signs (the oracle's alias loop) and the
+                # mode's folding gain (0.9 WB / 0.7 UWB)
                 quant = br.read(5)
                 g = np.exp(0.125 * (quant - 10)) / filter_ratio
-                exc[:] = g * innov_lo
+                exc[:] = g * self.folding_gain * innov_lo
                 exc[1::2] = -exc[1::2]
             else:
                 qgc = br.read(4)
@@ -695,12 +721,22 @@ class SpeexSbDecoder:
                     self.nb._exc_save[sub * sfs:(sub + 1) * sfs] ** 2
                 ) + 0.1))
                 gc = 0.87359619 * float(t["gc_quant_bound"][qgc])
+                if sfs == 80:
+                    gc *= 1.4142135623730951
                 scale = gc * el / filter_ratio
                 innov = self._sb_split_unquant(br, cb_name)
                 exc[:] = scale * innov
                 if double_cb:
                     innov2 = self._sb_split_unquant(br, cb_name)
                     exc += 0.4 * scale * innov2
+
+            # state for a stacked layer: innovation saved interleaved
+            # at the output rate (evens carry the samples), plus the
+            # excitation rms source
+            b0 = 2 * sub * sfs
+            self._innov_save[b0 : b0 + 2 * sfs] = 0.0
+            self._innov_save[b0 : b0 + 2 * sfs : 2] = exc
+            self._exc_save[sub * sfs : (sub + 1) * sfs] = exc
 
             for i in range(sfs):
                 y = exc[i] + st[0]

@@ -345,3 +345,33 @@ def test_speex_wideband_owned():
     half = len(R) // 2
     hi = 10 * np.log10(R[half:].sum() / (E[half:].sum() + 1e-30))
     assert hi > 22.0
+
+
+@pytest.mark.slow
+def test_speex_ultrawideband_owned():
+    """Mode-2 (32 kHz) streams decode through the stacked fold-only
+    SB layer, owned end to end."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.encoders import AvEncoder
+    from soundkit_tpu.codecs.speex_core import SpeexSbDecoder
+
+    rng = np.random.default_rng(3)
+    sr = 32000
+    n = sr * 2
+    t = np.arange(n) / sr
+    ph = np.cumsum(2 * np.pi * (120 + 20 * np.sin(2 * np.pi * 2.5 * t)) / sr)
+    sig = (0.4 * np.sin(ph) + 0.2 * np.sin(2 * ph)
+           + 0.05 * np.sin(2 * np.pi * 9000 * t)
+           + 0.02 * rng.normal(size=n))
+    enc = AvEncoder("libspeex", 32000, 1)
+    pkts = enc.push_f32(np.clip(sig, -1, 1).astype(np.float32)) + enc.flush()
+    av = AvDecoder("speex", sample_rate=32000, channels=1,
+                   extradata=enc.extradata)
+    ref = np.concatenate([av.push(p) for p in pkts] + [av.flush()])
+    dec = SpeexSbDecoder(uwb=True)
+    ours = np.concatenate([dec.decode_packet(p, 1) for p in pkts])
+    m = min(len(ref), len(ours))
+    e = ref[:m].astype(np.float64) - ours[:m].astype(np.float64)
+    snr = 10 * np.log10(np.mean(ref[:m].astype(np.float64) ** 2)
+                        / (np.mean(e ** 2) + 1e-300))
+    assert snr > 20.0  # bounded by the NB core, like WB
