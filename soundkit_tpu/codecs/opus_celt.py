@@ -1113,7 +1113,8 @@ class CeltDecoder:
 
     def decode_frame(self, rc: RangeDecoder, frame_size: int,
                      start: int, end: int,
-                     coded_channels: int = 0) -> np.ndarray:
+                     coded_channels: int = 0,
+                     parse_only: bool = False) -> np.ndarray:
         """Decode one CELT frame. Returns [C, frame_size] float PCM
         at 48 kHz (C = coded channels; the caller duplicates when the
         output is stereo but the packet is mono)."""
@@ -1276,9 +1277,38 @@ class CeltDecoder:
         self.last_freq = freq.copy()
         self.last_X = X.copy()
         self.last_shape = (LM, shortBlocks)
-        out = self._synthesize(freq, N, LM, shortBlocks,
-                               max(pf_period, COMBFILTER_MINPERIOD),
-                               pf_gain, pf_tapset)
+        # everything the synthesis stage needs, exposed so a batched
+        # device backend can run it off-host (ops/celt_batch.py)
+        self.last_parse = {
+            "freq": freq.copy(),
+            "shortBlocks": bool(shortBlocks),
+            "LM": LM,
+            "pf_period": max(pf_period, COMBFILTER_MINPERIOD),
+            "pf_gain": pf_gain,
+            "pf_tapset": pf_tapset,
+            # pre-synthesis postfilter state (the synthesis rotates it)
+            "pf_state": (self.pf_period_old, self.pf_period,
+                         self.pf_gain_old, self.pf_gain,
+                         self.pf_tapset_old, self.pf_tapset),
+        }
+        if parse_only:
+            # a device backend owns the synthesis state; rotate the
+            # postfilter params exactly as _synthesize would
+            out = None
+            self.pf_period_old = self.pf_period
+            self.pf_gain_old = self.pf_gain
+            self.pf_tapset_old = self.pf_tapset
+            self.pf_period = max(pf_period, COMBFILTER_MINPERIOD)
+            self.pf_gain = pf_gain
+            self.pf_tapset = pf_tapset
+            if LM != 0:
+                self.pf_period_old = self.pf_period
+                self.pf_gain_old = self.pf_gain
+                self.pf_tapset_old = self.pf_tapset
+        else:
+            out = self._synthesize(freq, N, LM, shortBlocks,
+                                   max(pf_period, COMBFILTER_MINPERIOD),
+                                   pf_gain, pf_tapset)
 
         self._post_frame_energy(start, end, isTransient, C)
         # the fold/noise PRNG is re-seeded from the range coder's final

@@ -1,25 +1,27 @@
-"""Batched multi-stream Opus decoder (host-parallel libavcodec).
+"""Batched multi-stream Opus decoders.
 
-Correctness note: the owned RFC 6716 decoder (codecs/opus_core.py)
-is the default in the streaming API and conforms at 130-137 dB; this
-lockstep serving model keeps the C decoder per lane for throughput
-until a batched device CELT path exists.
+Two serving models share the soundkit raw-Opus wire framing (u16-LE
+length-prefixed packets, codecs/opus.py OpusStreamDecoder framing):
 
-Opus (CELT/SILK) is a per-sample adaptive entropy/range-coded codec —
-there is no host/device split analogous to AAC/MP3/FLAC (the spectral
-reconstruction is interleaved with the range decoder state), so the
-serving model keeps libopus on the host with one decoder state per
-stream and batches the *framing* work: lockstep packet batches, one
-fixed-shape [B, C, frame] output per step, ragged lanes padded with
-silence.  Reference role: soundkit-opus's per-pipeline decoder
-(soundkit-opus/src/lib.rs), rebatched for lockstep serving; device
-CELT remains the round-2 research item noted in COVERAGE.md.
+- ``BatchedCeltDecoder`` — the device path for CELT streams.  The
+  range decoder / allocation / PVQ stage is inherently sequential
+  (per-symbol adaptive entropy coding), so it runs on the host via
+  the owned RFC 6716 decoder (codecs/opus_celt.py,
+  ``parse_only=True``); the synthesis — IMDCT, overlap-add, comb
+  postfilter, de-emphasis, where the FLOPs are — runs as ONE jitted
+  step over all lanes (ops/celt_batch.py), following the framework's
+  host parse -> fixed-shape [B, C, ...] -> jitted step with carried
+  state pattern.
+- ``BatchedOpusDecoder`` — the generic fallback: one libavcodec
+  decoder per lane, batched at the framing level only.  Kept for
+  SILK/hybrid/multi-frame packings the device model does not serve.
 
-Input framing is the soundkit raw-Opus wire: u16-LE length-prefixed
-packets (codecs/opus.py OpusStreamDecoder framing).
+Reference role: soundkit-opus's per-pipeline decoder
+(soundkit-opus/src/lib.rs), rebatched for lockstep serving.
 """
 from __future__ import annotations
 
+import functools
 import struct
 from typing import List, Optional
 
@@ -106,4 +108,193 @@ class BatchedOpusDecoder:
                 k = min(len(frames), self.FRAME)
                 out[i, b, : frames.shape[1], :k] = frames[:k].T
                 lengths[i, b] = k
+        return out, lengths
+
+
+@functools.lru_cache(maxsize=4)
+def _celt_masked_step():
+    """Jitted lockstep CELT synthesis with a validity mask: invalid
+    lanes (no packet this round) emit silence and freeze their
+    carried state, the standard ragged-lane pattern."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.ops.celt_batch import celt_synth_step
+
+    def step(freq, short_flag, comb_params, valid, ola, hist, emph):
+        pcm, o2, h2, e2 = celt_synth_step(
+            freq, short_flag, comb_params, ola, hist, emph
+        )
+        v1 = valid[:, None, None]
+        pcm = jnp.where(v1, pcm, 0.0)
+        o2 = jnp.where(v1, o2, ola)
+        h2 = jnp.where(v1, h2, hist)
+        e2 = jnp.where(valid[:, None], e2, emph)
+        return pcm, o2, h2, e2
+
+    return jax.jit(step)
+
+
+class BatchedCeltDecoder:
+    """Lockstep multi-stream CELT-Opus decoder with device synthesis.
+
+    Host side: per-lane range decode + PVQ through the owned CELT
+    decoder in ``parse_only`` mode, producing denormalized spectra
+    and postfilter parameters.  Device side: one jitted
+    ``celt_synth_step`` over ``[B, C, 960]`` (IMDCT / overlap-add /
+    comb / de-emphasis), with carried overlap, comb history and
+    de-emphasis state resident per lane.
+
+    Serves 20 ms fullband CELT packets (the dominant real-time
+    packing and the fixture corpus); SILK, hybrid and other frame
+    sizes raise ``OpusUnsupported`` — route those lanes through
+    ``BatchedOpusDecoder``.  Mono-coded packets inside stereo lanes
+    are duplicated across channels as the host decoder does.
+
+    Reference role: soundkit-opus/src/lib.rs per-pipeline decode,
+    re-split so the synthesis FLOPs batch onto the device.
+    """
+
+    FRAME = 960
+
+    def __init__(self, num_streams: int, channels: int = 1):
+        from soundkit_tpu.codecs.opus_celt import CeltDecoder, tables
+
+        self.B = num_streams
+        self.C = channels
+        self.sample_rate = 48000
+        self._dec = [CeltDecoder(channels) for _ in range(num_streams)]
+        t = tables()
+        self._band_end = t["celt_band_end"].astype(int)
+        self._taps = t["celt_postfilter_taps"].astype(np.float64)
+        self._buf = [bytearray() for _ in range(num_streams)]
+        self._packets: List[List[bytes]] = [[] for _ in range(num_streams)]
+        self._head_done = [False] * num_streams
+        self._skip = [0] * num_streams
+        self._gain = [1.0] * num_streams
+        from soundkit_tpu.ops.celt_batch import HIST
+
+        self._ola = np.zeros((self.B, channels, 120), np.float32)
+        self._hist = np.zeros((self.B, channels, HIST), np.float32)
+        self._emph = np.zeros((self.B, channels), np.float32)
+
+    def push(self, stream_idx: int, data: bytes) -> None:
+        """Feed the soundkit raw-Opus wire: optional OpusHead(19B),
+        then u16-LE length-prefixed packets."""
+        buf = self._buf[stream_idx]
+        buf.extend(data)
+        if not self._head_done[stream_idx]:
+            if len(buf) < 8:
+                return
+            if bytes(buf[:8]) == b"OpusHead":
+                if len(buf) < 19:
+                    return
+                self._skip[stream_idx] = struct.unpack_from("<H", buf, 10)[0]
+                gain_q8 = struct.unpack_from("<h", buf, 16)[0]
+                if gain_q8:
+                    self._gain[stream_idx] = 10.0 ** (gain_q8 / (20.0 * 256.0))
+                del buf[:19]
+            self._head_done[stream_idx] = True
+        while len(buf) >= 2:
+            (n,) = struct.unpack_from("<H", buf, 0)
+            if len(buf) < 2 + n:
+                break
+            self._packets[stream_idx].append(bytes(buf[2 : 2 + n]))
+            del buf[: 2 + n]
+
+    def push_packet(self, stream_idx: int, packet: bytes) -> None:
+        """Enqueue one already-framed Opus packet."""
+        self._packets[stream_idx].append(packet)
+
+    @property
+    def ready_packets(self) -> int:
+        return min(len(p) for p in self._packets)
+
+    def _parse_lane(self, b: int, pkt: bytes):
+        """Host stage for one lane: range decode + PVQ, returns
+        (freq [C, 960], short_flag, comb_params [16])."""
+        from soundkit_tpu.codecs.opus_core import (
+            OpusUnsupported,
+            parse_packet,
+        )
+        from soundkit_tpu.codecs.opus_rc import RangeDecoder
+        from soundkit_tpu.ops.celt_batch import pack_comb_params
+
+        toc, frames = parse_packet(pkt)
+        if toc.mode != "celt" or toc.frame_duration != 20 or len(frames) != 1:
+            raise OpusUnsupported(
+                "BatchedCeltDecoder serves single-frame 20 ms CELT packets"
+            )
+        coded = 2 if toc.stereo else 1
+        if coded > self.C:
+            raise OpusUnsupported("stereo packet in a mono lane")
+        dec = self._dec[b]
+        rc = RangeDecoder(frames[0])
+        dec.decode_frame(
+            rc, self.FRAME, 0, int(self._band_end[toc.bandwidth]),
+            coded, parse_only=True,
+        )
+        lp = dec.last_parse
+        freq = np.asarray(lp["freq"], np.float32)
+        if coded < self.C:
+            freq = np.repeat(freq, self.C, axis=0)
+        cp = pack_comb_params(
+            lp["pf_state"], lp["pf_period"], lp["pf_gain"],
+            lp["pf_tapset"], self._taps,
+        )
+        return freq, int(bool(lp["shortBlocks"])), cp
+
+    def decode_ready(self, max_packets: Optional[int] = None):
+        """Decode lockstep packet batches on the device.
+
+        Returns (pcm [packets, B, C, 960] f32, lengths [packets, B]
+        i32).  Valid samples sit at the start of each slot; a lane's
+        first slots are short by its head's preskip.  Lanes with no
+        queued packet in a round emit silence (length 0) and keep
+        their synthesis state frozen.
+        """
+        import jax.numpy as jnp
+
+        counts = [len(p) for p in self._packets]
+        n = max(counts) if counts else 0
+        if max_packets is not None:
+            n = min(n, max_packets)
+        step = _celt_masked_step()
+        out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
+        lengths = np.zeros((n, self.B), dtype=np.int32)
+        ola, hist, emph = (
+            jnp.asarray(self._ola), jnp.asarray(self._hist),
+            jnp.asarray(self._emph),
+        )
+        for i in range(n):
+            freq = np.zeros((self.B, self.C, self.FRAME), np.float32)
+            sflag = np.zeros(self.B, np.int32)
+            comb = np.zeros((self.B, 16), np.float32)
+            valid = np.zeros(self.B, bool)
+            for b in range(self.B):
+                if not self._packets[b]:
+                    continue
+                pkt = self._packets[b].pop(0)
+                freq[b], sflag[b], comb[b] = self._parse_lane(b, pkt)
+                valid[b] = True
+            pcm, ola, hist, emph = step(
+                jnp.asarray(freq), jnp.asarray(sflag), jnp.asarray(comb),
+                jnp.asarray(valid), ola, hist, emph,
+            )
+            host = np.asarray(pcm)
+            for b in range(self.B):
+                if not valid[b]:
+                    continue
+                lane = host[b]
+                if self._gain[b] != 1.0:
+                    lane = lane * np.float32(self._gain[b])
+                k = min(self._skip[b], self.FRAME)
+                if k:
+                    self._skip[b] -= k
+                    lane = lane[:, k:]
+                out[i, b, :, : lane.shape[1]] = lane
+                lengths[i, b] = lane.shape[1]
+        self._ola, self._hist, self._emph = (
+            np.asarray(ola), np.asarray(hist), np.asarray(emph),
+        )
         return out, lengths

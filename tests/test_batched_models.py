@@ -142,6 +142,119 @@ def test_batched_opus_decoder():
     assert out2.shape[0] == 0
 
 
+def test_batched_celt_device_decoder(testdata):
+    """Device-CELT serving model vs the owned host decoder on the
+    fixture corpus: host range decode + one jitted synthesis step per
+    lockstep round, ragged lanes frozen and resumed."""
+    import struct as _struct
+
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer, OpusStreamDecoder
+    from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
+
+    data = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)[:48]
+    head = dmx.head
+    wire = head.raw[:19] + b"".join(
+        _struct.pack("<H", len(p)) + p for p in pkts
+    )
+    ref = OpusStreamDecoder().decode_f32(wire).astype(np.float64)
+
+    B = 3
+    m = BatchedCeltDecoder(B, channels=head.channels)
+    m.push(0, wire)
+    for i in range(0, len(wire), 313):  # chunked lane
+        m.push(1, wire[i : i + 313])
+    m.push(2, wire[:19])
+    for p in pkts[:20]:
+        m.push_packet(2, p)
+    out, lens = m.decode_ready()
+    assert out.shape == (len(pkts), B, head.channels, 960)
+    assert lens[0, 0] == 960 - head.pre_skip  # preskip shortens slot 0
+    assert lens[20:, 2].sum() == 0  # ragged lane froze
+
+    def lane(b, outs, lenss):
+        parts = [o[b, :, : l[b]] for o, l in zip(outs, lenss) if l[b]]
+        return np.concatenate(parts, axis=1).T.reshape(-1)
+
+    for b in (0, 1):
+        got = lane(b, out, lens)
+        n = min(len(got), len(ref))
+        err = ref[:n] - got[:n]
+        snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+        assert snr > 90, f"lane {b}: {snr:.1f} dB"
+
+    # resume the frozen lane: state must pick up exactly where it froze
+    for p in pkts[20:]:
+        m.push_packet(2, p)
+    out2, lens2 = m.decode_ready()
+    got = np.concatenate(
+        [lane(2, out, lens), lane(2, out2, lens2)]
+    )
+    n = min(len(got), len(ref))
+    err = ref[:n] - got[:n]
+    snr = 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr > 90, f"resumed lane: {snr:.1f} dB"
+
+
+def test_celt_synth_sharded_8dev(testdata):
+    """celt_synth_step is sharding-invariant over the streams axis of
+    the 8-device mesh (the serving scale-out path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer
+    from soundkit_tpu.codecs.opus_core import OpusDecoder, parse_packet
+    from soundkit_tpu.codecs.opus_rc import RangeDecoder
+    from soundkit_tpu.codecs.opus_celt import CeltDecoder, tables
+    from soundkit_tpu.ops.celt_batch import (
+        HIST,
+        celt_synth_step,
+        pack_comb_params,
+    )
+
+    data = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)
+    t = tables()
+    band_end = t["celt_band_end"].astype(int)
+    taps = t["celt_postfilter_taps"].astype(np.float64)
+    dec = CeltDecoder(1)
+    rng = np.random.default_rng(0)
+    B, C = 8, 1
+    freqs, sflags, combs = [], [], []
+    for p in pkts[:B]:
+        toc, frames = parse_packet(p)
+        rc = RangeDecoder(frames[0])
+        dec.decode_frame(rc, 960, 0, int(band_end[toc.bandwidth]), 1,
+                         parse_only=True)
+        lp = dec.last_parse
+        freqs.append(lp["freq"].astype(np.float32))
+        sflags.append(int(bool(lp["shortBlocks"])))
+        combs.append(pack_comb_params(lp["pf_state"], lp["pf_period"],
+                                      lp["pf_gain"], lp["pf_tapset"], taps))
+    args = (
+        np.stack(freqs), np.asarray(sflags, np.int32),
+        np.stack(combs).astype(np.float32),
+        rng.normal(size=(B, C, 120)).astype(np.float32) * 0.01,
+        rng.normal(size=(B, C, HIST)).astype(np.float32) * 0.01,
+        rng.normal(size=(B, C)).astype(np.float32),
+    )
+    plain = jax.jit(celt_synth_step)(*args)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("streams",))
+
+    def shard(a):
+        return jax.device_put(
+            jnp.asarray(a),
+            NamedSharding(mesh, P("streams", *([None] * (np.ndim(a) - 1)))),
+        )
+
+    sharded = jax.jit(celt_synth_step)(*[shard(a) for a in args])
+    for p, s in zip(plain, sharded):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(s), atol=1e-5)
+    assert len(sharded[0].sharding.device_set) == 8
+
+
 def test_no_recompilation_steady_state(testdata):
     """TPU analog of the reference's zero-allocation steady-state test
     (soundkit-aac-lc/tests/no_alloc_decode.rs): after the first batch
