@@ -1137,6 +1137,26 @@ class CeltDecoder:
         if silence:
             # consume everything; output decays to zero through the OLA
             self.oldE[:, :] = -28.0
+            if parse_only:
+                # zero spectrum, postfilter params held (the synthesis
+                # would pass the current params as "new"), state
+                # rotated exactly as _synthesize would
+                self.last_parse = {
+                    "freq": np.zeros((C, N)),
+                    "shortBlocks": False,
+                    "LM": LM,
+                    "pf_period": self.pf_period,
+                    "pf_gain": self.pf_gain,
+                    "pf_tapset": self.pf_tapset,
+                    "pf_state": (self.pf_period_old, self.pf_period,
+                                 self.pf_gain_old, self.pf_gain,
+                                 self.pf_tapset_old, self.pf_tapset),
+                }
+                self.pf_period_old = self.pf_period
+                self.pf_gain_old = self.pf_gain
+                self.pf_tapset_old = self.pf_tapset
+                self._post_frame_energy(start, end, False)
+                return None
             out = self._synthesize(np.zeros((C, N)), N, LM, False,
                                    self.pf_period, self.pf_gain,
                                    self.pf_tapset)
