@@ -1,0 +1,184 @@
+"""ctypes wrapper for the native CELT parse stage (native/src/
+celt_parse.cpp): range decode + allocation + PVQ + anti-collapse +
+denormalize on the host, emitting the spectra and packed postfilter
+parameters the batched device synthesis (ops/celt_batch.py) consumes.
+
+The C++ code is a port of the owned Python decoder (opus_celt.py);
+spec tables are pushed from the extracted RFC set at load time, so
+both implementations decode from the same data.
+Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import numpy as np
+
+from soundkit_tpu.codecs.opus_tables import tables, PVQ_U_ROW_OFFSETS
+
+FRAME = 960
+
+
+class CeltNativeError(RuntimeError):
+    pass
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    from soundkit_tpu.native.loader import load
+
+    lib = load()
+    lib.skt_celt_table_i.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long]
+    lib.skt_celt_table_f.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+    lib.skt_celt_tables_done.restype = ctypes.c_int
+    lib.skt_celt_new.restype = ctypes.c_void_p
+    lib.skt_celt_new.argtypes = [ctypes.c_int]
+    lib.skt_celt_free.argtypes = [ctypes.c_void_p]
+    lib.skt_celt_reset.argtypes = [ctypes.c_void_p]
+    lib.skt_celt_parse.restype = ctypes.c_int
+    lib.skt_celt_parse.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.skt_celt_parse_many.restype = ctypes.c_int
+    lib.skt_celt_parse_many.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    t = tables()
+
+    def push_i(name, arr):
+        a = np.ascontiguousarray(np.asarray(arr).reshape(-1),
+                                 dtype=np.int64)
+        lib.skt_celt_table_i(
+            name.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a.size)
+
+    def push_f(name, arr):
+        a = np.ascontiguousarray(np.asarray(arr).reshape(-1),
+                                 dtype=np.float64)
+        lib.skt_celt_table_f(
+            name.encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), a.size)
+
+    push_i("pvq_u", t["celt_pvq_u"])
+    push_i("pvq_row_off", np.asarray(PVQ_U_ROW_OFFSETS))
+    push_i("freq_bands", t["celt_freq_bands"])
+    push_i("log_freq_range", t["celt_log_freq_range"])
+    push_f("mean_energy", t["celt_mean_energy"])
+    push_f("alpha_coef", t["celt_alpha_coef"])
+    push_f("beta_coef", t["celt_beta_coef"])
+    push_i("coarse_energy_dist", t["celt_coarse_energy_dist"])
+    push_i("static_alloc", t["celt_static_alloc"])
+    push_i("static_caps", t["celt_static_caps"])
+    push_i("cache_index", t["celt_cache_index"])
+    push_i("cache_bits", t["celt_cache_bits"])
+    push_i("log2_frac", t["celt_log2_frac"])
+    push_i("tf_select", t["celt_tf_select"])
+    push_i("qn_exp2", t["celt_qn_exp2"])
+    push_i("bit_interleave", t["celt_bit_interleave"])
+    push_i("bit_deinterleave", t["celt_bit_deinterleave"])
+    push_i("model_spread", t["celt_model_spread"])
+    push_i("model_tapset", t["celt_model_tapset"])
+    push_i("model_alloc_trim", t["celt_model_alloc_trim"])
+    push_i("model_energy_small", t["celt_model_energy_small"])
+    push_f("postfilter_taps", t["celt_postfilter_taps"])
+    if lib.skt_celt_tables_done() != 0:
+        raise CeltNativeError("celt table finalize failed")
+    return lib
+
+
+class NativeCeltParser:
+    """One stream's CELT parse state (mirrors CeltDecoder parse_only)."""
+
+    def __init__(self, channels: int):
+        self._lib = _lib()
+        self.channels = channels
+        self._h = self._lib.skt_celt_new(channels)
+        if not self._h:
+            raise CeltNativeError("skt_celt_new failed")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_celt_free(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.skt_celt_reset(self._h)
+
+    def parse(self, frame: bytes, end: int, coded_channels: int = 0,
+              frame_size: int = FRAME, start: int = 0):
+        """Returns (freq [C, frame_size] f64, comb [16] f64, sflag)."""
+        C = coded_channels or self.channels
+        freq = np.zeros((C, frame_size), dtype=np.float64)
+        comb = np.zeros(16, dtype=np.float64)
+        sflag = ctypes.c_int(0)
+        r = self._lib.skt_celt_parse(
+            self._h, frame, len(frame), frame_size, start, end, C,
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(sflag))
+        if r != 0:
+            raise CeltNativeError(f"celt parse failed ({r})")
+        return freq, comb, int(sflag.value)
+
+
+class NativeCeltBatch:
+    """B lockstep parse states with a single-call batch parse."""
+
+    def __init__(self, num_streams: int, channels: int):
+        self._lib = _lib()
+        self.B = num_streams
+        self.C = channels
+        self._parsers = [NativeCeltParser(channels)
+                         for _ in range(num_streams)]
+        self._handles = (ctypes.c_void_p * num_streams)(
+            *[p._h for p in self._parsers])
+
+    def reset_lane(self, b: int) -> None:
+        self._parsers[b].reset()
+
+    def parse_many(self, frames, ends, coded, valid,
+                   frame_size: int = FRAME):
+        """frames: list of B byte strings (ignored where not valid).
+
+        Returns (freq [B, C, frame_size] f64, comb [B, 16] f64,
+        sflag [B] i32, ok [B] i32)."""
+        B, C = self.B, self.C
+        buf = b"".join(f for f, v in zip(frames, valid) if v)
+        offs = np.zeros(B, dtype=np.int64)
+        lens = np.zeros(B, dtype=np.int64)
+        pos = 0
+        for b in range(B):
+            if valid[b]:
+                offs[b] = pos
+                lens[b] = len(frames[b])
+                pos += lens[b]
+        ends_a = np.ascontiguousarray(ends, dtype=np.int32)
+        coded_a = np.ascontiguousarray(coded, dtype=np.int32)
+        valid_a = np.ascontiguousarray(valid, dtype=np.uint8)
+        freq = np.zeros((B, C, frame_size), dtype=np.float64)
+        comb = np.zeros((B, 16), dtype=np.float64)
+        sflag = np.zeros(B, dtype=np.int32)
+        ok = np.zeros(B, dtype=np.int32)
+        self._lib.skt_celt_parse_many(
+            self._handles, B, buf,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ends_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            coded_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            valid_a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            frame_size, C,
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sflag.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return freq, comb, sflag, ok

@@ -157,13 +157,28 @@ class BatchedCeltDecoder:
 
     FRAME = 960
 
-    def __init__(self, num_streams: int, channels: int = 1):
+    def __init__(self, num_streams: int, channels: int = 1,
+                 native: bool = True):
         from soundkit_tpu.codecs.opus_celt import CeltDecoder, tables
 
         self.B = num_streams
         self.C = channels
         self.sample_rate = 48000
-        self._dec = [CeltDecoder(channels) for _ in range(num_streams)]
+        # host parse backend: the C++ port (native/src/celt_parse.cpp,
+        # ~160x the Python stage) when the toolchain is present,
+        # otherwise the owned Python decoder
+        self._native = None
+        if native:
+            try:
+                from soundkit_tpu.codecs.celt_native import NativeCeltBatch
+
+                self._native = NativeCeltBatch(num_streams, channels)
+            except Exception:
+                self._native = None
+        self._dec = (
+            None if self._native is not None
+            else [CeltDecoder(channels) for _ in range(num_streams)]
+        )
         t = tables()
         self._band_end = t["celt_band_end"].astype(int)
         self._taps = t["celt_postfilter_taps"].astype(np.float64)
@@ -210,15 +225,13 @@ class BatchedCeltDecoder:
     def ready_packets(self) -> int:
         return min(len(p) for p in self._packets)
 
-    def _parse_lane(self, b: int, pkt: bytes):
-        """Host stage for one lane: range decode + PVQ, returns
-        (freq [C, 960], short_flag, comb_params [16])."""
+    def _frame_of(self, pkt: bytes):
+        """TOC split: one packet -> (CELT frame bytes, end band,
+        coded channels)."""
         from soundkit_tpu.codecs.opus_core import (
             OpusUnsupported,
             parse_packet,
         )
-        from soundkit_tpu.codecs.opus_rc import RangeDecoder
-        from soundkit_tpu.ops.celt_batch import pack_comb_params
 
         toc, frames = parse_packet(pkt)
         if toc.mode != "celt" or toc.frame_duration != 20 or len(frames) != 1:
@@ -228,12 +241,18 @@ class BatchedCeltDecoder:
         coded = 2 if toc.stereo else 1
         if coded > self.C:
             raise OpusUnsupported("stereo packet in a mono lane")
+        return frames[0], int(self._band_end[toc.bandwidth]), coded
+
+    def _parse_lane(self, b: int, pkt: bytes):
+        """Python host stage for one lane: range decode + PVQ, returns
+        (freq [C, 960], short_flag, comb_params [16])."""
+        from soundkit_tpu.codecs.opus_rc import RangeDecoder
+        from soundkit_tpu.ops.celt_batch import pack_comb_params
+
+        frame, end, coded = self._frame_of(pkt)
         dec = self._dec[b]
-        rc = RangeDecoder(frames[0])
-        dec.decode_frame(
-            rc, self.FRAME, 0, int(self._band_end[toc.bandwidth]),
-            coded, parse_only=True,
-        )
+        rc = RangeDecoder(frame)
+        dec.decode_frame(rc, self.FRAME, 0, end, coded, parse_only=True)
         lp = dec.last_parse
         freq = np.asarray(lp["freq"], np.float32)
         if coded < self.C:
@@ -267,16 +286,41 @@ class BatchedCeltDecoder:
             jnp.asarray(self._emph),
         )
         for i in range(n):
-            freq = np.zeros((self.B, self.C, self.FRAME), np.float32)
-            sflag = np.zeros(self.B, np.int32)
-            comb = np.zeros((self.B, 16), np.float32)
-            valid = np.zeros(self.B, bool)
-            for b in range(self.B):
-                if not self._packets[b]:
-                    continue
-                pkt = self._packets[b].pop(0)
-                freq[b], sflag[b], comb[b] = self._parse_lane(b, pkt)
-                valid[b] = True
+            if self._native is not None:
+                frames = [b""] * self.B
+                ends = np.zeros(self.B, np.int32)
+                coded = np.ones(self.B, np.int32)
+                valid = np.zeros(self.B, bool)
+                for b in range(self.B):
+                    if not self._packets[b]:
+                        continue
+                    pkt = self._packets[b].pop(0)
+                    frames[b], ends[b], coded[b] = self._frame_of(pkt)
+                    valid[b] = True
+                freq64, comb64, sflag, ok = self._native.parse_many(
+                    frames, ends, coded, valid
+                )
+                if np.any(ok[valid] != 0):
+                    bad = int(np.flatnonzero(valid & (ok != 0))[0])
+                    from soundkit_tpu.codecs.opus_core import OpusUnsupported
+
+                    raise OpusUnsupported(
+                        f"native celt parse failed on lane {bad} "
+                        f"({int(ok[bad])})"
+                    )
+                freq = freq64.astype(np.float32)
+                comb = comb64.astype(np.float32)
+            else:
+                freq = np.zeros((self.B, self.C, self.FRAME), np.float32)
+                sflag = np.zeros(self.B, np.int32)
+                comb = np.zeros((self.B, 16), np.float32)
+                valid = np.zeros(self.B, bool)
+                for b in range(self.B):
+                    if not self._packets[b]:
+                        continue
+                    pkt = self._packets[b].pop(0)
+                    freq[b], sflag[b], comb[b] = self._parse_lane(b, pkt)
+                    valid[b] = True
             pcm, ola, hist, emph = step(
                 jnp.asarray(freq), jnp.asarray(sflag), jnp.asarray(comb),
                 jnp.asarray(valid), ola, hist, emph,
