@@ -170,6 +170,38 @@ def bench_vorbis(passes):
     return st
 
 
+def bench_opus(passes):
+    """Device-CELT serving path: native C++ parse (range decode + PVQ)
+    + one jitted synthesis step over the lanes."""
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer
+    from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
+
+    B = 64
+    data = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)
+    head = dmx.head
+    model = BatchedCeltDecoder(B, channels=head.channels)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            for p in pkts:
+                model.push_packet(b, p)
+        out, lens = model.decode_ready()
+        el = time.perf_counter() - t0
+        return _xrt(B * out.shape[0] * 0.02, el)
+
+    one_pass()  # compile warmup
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mb"] = round(B * len(data) / 1e6, 2)
+    st["backend"] = "native" if model._native is not None else "python"
+    return st
+
+
 def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0):
     from soundkit_tpu.models.telephony_batch import BatchedTelephonyDecoder
 
@@ -245,6 +277,7 @@ def main():
         "mp3": lambda: bench_mp3(args.passes),
         "flac": lambda: bench_flac(args.passes),
         "vorbis": lambda: bench_vorbis(args.passes),
+        "opus": lambda: bench_opus(args.passes),
         "g711_mulaw": lambda: bench_telephony(
             "g711_mulaw", "g711_ulaw", ".ulaw", 8000.0, args.passes),
         "g722": lambda: bench_telephony("g722", "g722", ".g722", 16000.0, args.passes),

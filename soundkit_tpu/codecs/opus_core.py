@@ -146,6 +146,7 @@ class OpusDecoder:
         self._resampler = None
         t = tables()
         self._band_end = t["celt_band_end"].astype(int)
+        self._w2 = t["celt_window2"].astype(np.float64)
         self._last_duration = 960
 
     def _decode_silk_frame(self, rc: RangeDecoder, toc: Toc,
@@ -171,34 +172,119 @@ class OpusDecoder:
         out48 = self._resampler.process(pcm, duration_ms * 48)
         return out48.astype(np.float64)
 
+    def _decode_redundancy(self, data: bytes, toc: Toc,
+                           coded: int) -> np.ndarray:
+        """5 ms CELT redundancy frame from the packet's trailing bytes
+        (opusdec's opus_decode_redundancy). SILK MB promotes to WB."""
+        bw = toc.bandwidth
+        if toc.mode == "silk" and bw == 1:
+            bw = 2
+        rc = RangeDecoder(data)
+        red = self.celt.decode_frame(rc, 240, 0,
+                                     int(self._band_end[bw]), coded)
+        if red.shape[0] < self.channels:
+            red = np.repeat(red, self.channels, axis=0)
+        return red  # [channels, 240]
+
+    def _apply_redundancy_fade(self, out: np.ndarray, red: np.ndarray,
+                               pos: int) -> None:
+        """Crossfade with ff_celt_window2, in our time-aligned frame
+        grid (the oracle's delayed_samples bookkeeping cancels out
+        because our resampler emits full frames):
+        - pos=1 (redundancy first, celt->silk): the frame's first 120
+          samples ARE the redundancy, then fade redundancy -> frame.
+        - pos=0 (redundancy last, silk->celt): fade the frame's last
+          120 samples into the redundancy's second half; the carry
+          into the next frame collapses onto the same window."""
+        w2 = self._w2[:, None]
+        r = red.T  # [240, channels]
+        if pos:
+            out[:120] = r[:120]
+            out[120:240] = out[120:240] * w2 + r[120:240] * (1.0 - w2)
+        else:
+            S = out.shape[0]
+            out[S - 120:] = out[S - 120:] * (1.0 - w2) + r[120:240] * w2
+
+    def _silk_transition(self, rc: RangeDecoder, toc: Toc, f: bytes,
+                         out: np.ndarray) -> np.ndarray:
+        """Post-SILK redundancy handling for SILK-only frames (opusdec
+        opus_decode_frame): any spare bytes after the SILK payload are
+        a 5 ms CELT redundancy frame; the CELT state is flushed on
+        every SILK frame, and a pos=0 redundancy decode seeds the
+        flushed state so the next CELT frame predicts from it."""
+        total = rc.total_bits
+        tell = rc.tell()
+        coded = 2 if toc.stereo else 1
+        red = None
+        pos = 0
+        # guard calibrated against the oracle: trailing bytes become a
+        # redundancy frame once >= 17 bits of slack remain
+        if tell + 17 <= total:
+            pos = rc.dec_bit_logp(1)
+            red_size = len(f) - ((tell + 7) >> 3)
+            main_size = len(f) - red_size
+            if red_size >= 1 and main_size >= 0:
+                if pos:
+                    # redundancy continues the PREVIOUS celt stream:
+                    # decode with the current state, then flush
+                    red = self._decode_redundancy(
+                        f[main_size:main_size + red_size], toc, coded)
+                self.celt.reset()
+                if not pos:
+                    # decode on the flushed state; it persists into
+                    # the next (celt) frame's predictors
+                    red = self._decode_redundancy(
+                        f[main_size:main_size + red_size], toc, coded)
+            else:
+                self.celt.reset()
+        else:
+            self.celt.reset()
+        if red is not None:
+            self._apply_redundancy_fade(out, red, pos)
+        return out
+
     def _decode_hybrid_frame(self, rc: RangeDecoder, toc: Toc,
                              frame_len: int) -> np.ndarray:
         """SILK-WB low band + CELT (start band 17) high band sharing
-        one range coder; outputs are summed at 48 kHz."""
+        one range coder; outputs are summed at 48 kHz, with mode-
+        transition redundancy decoded and crossfaded as the oracle
+        does."""
         silk48 = self._decode_silk_frame(rc, toc, force_wb=True)
-        # redundancy signalling (kept in sync; the redundancy CELT
-        # frame itself only matters on mode transitions)
         total = rc.total_bits
         redundancy = 0
-        if rc.tell() + 5 <= total:
+        pos = 0
+        red_bytes = None
+        coded = 2 if toc.stereo else 1
+        # +37 in this tell convention (the flag is logp-12, so the
+        # 32-bit window between this and the earlier +5 guard is
+        # observationally empty on encoder output; +37 is asm-exact)
+        if rc.tell() + 37 <= total:
             redundancy = rc.dec_bit_logp(12)
         if redundancy:
-            rc.dec_bit_logp(1)
+            pos = rc.dec_bit_logp(1)
             red_size = rc.dec_uint(256) + 2
+            main_size = max(rc.storage - red_size, rc.offs)
+            red_bytes = bytes(rc.buf[main_size:main_size + red_size])
             # the trailing redundancy bytes are not part of the main
-            # frame's raw-bit region; the 5 ms redundancy CELT frame
-            # is skipped (transition smoothing only) and the CELT
-            # state reset as the delegate does
-            rc.storage = max(rc.storage - red_size, rc.offs)
+            # frame's raw-bit region
+            rc.storage = main_size
+        red = None
+        if redundancy and pos:
+            # redundancy continues the previous stream's celt; decode
+            # with the current state, then flush for the main frame
+            red = self._decode_redundancy(red_bytes, toc, coded)
             self.celt.reset()
         frame_size = int(toc.frame_duration * 48)
         end = int(self._band_end[toc.bandwidth])
-        coded = 2 if toc.stereo else 1
         celt = self.celt.decode_frame(rc, frame_size, 17, end, coded)
         if coded < self.channels:
             celt = np.repeat(celt, self.channels, axis=0)
+        if redundancy and not pos:
+            red = self._decode_redundancy(red_bytes, toc, coded)
         n = min(len(silk48), celt.shape[1])
         out = silk48[:n] + celt.T[:n]
+        if red is not None:
+            self._apply_redundancy_fade(out, red, pos)
         return out
 
     def decode_packet(self, data: bytes) -> np.ndarray:
@@ -219,9 +305,15 @@ class OpusDecoder:
             outs = []
             for f in frames:
                 rc = RangeDecoder(f)
-                outs.append(self._decode_silk_frame(rc, toc))
+                out = self._decode_silk_frame(rc, toc)
+                outs.append(self._silk_transition(rc, toc, f, out))
             self._last_duration = int(toc.frame_duration * 48)
             return np.concatenate(outs, axis=0)
+        # celt-only frames flush the LP layer (opusdec: ff_silk_flush
+        # + swr_close) so a later SILK span restarts from scratch
+        if self._silk is not None:
+            self._silk = None
+        self._resampler = None
         frame_size = int(toc.frame_duration * 48)
         self._last_duration = frame_size
         end = int(self._band_end[toc.bandwidth])

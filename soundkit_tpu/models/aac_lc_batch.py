@@ -187,7 +187,18 @@ class BatchedAacLcDecoder:
         buf, max_steps, overflow = prepare_v4_batch_packed(
             self._native[srs.pop()], aus
         )
-        return None if overflow else (buf, max_steps)
+        if overflow:
+            return None
+        # sticky power-of-two scan length: the static max_steps arg
+        # keys the jit cache, so per-batch values would retrace every
+        # new peak; growing geometrically and never shrinking bounds
+        # lifetime compiles at ~log2(peak) and makes the steady-state
+        # serving loop retrace-free (test_no_recompilation)
+        steps = 256
+        while steps < max_steps:
+            steps *= 2
+        self._v4_steps = max(steps, getattr(self, "_v4_steps", 0))
+        return buf, self._v4_steps
 
     def _try_v3(self, aus):
         """Packed v3 wire for this batch, or None to fall back (no

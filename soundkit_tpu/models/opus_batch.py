@@ -221,6 +221,21 @@ class BatchedCeltDecoder:
         """Enqueue one already-framed Opus packet."""
         self._packets[stream_idx].append(packet)
 
+    def reset_lane(self, b: int) -> None:
+        """Recycle one lane for a new stream (fleet pattern)."""
+        if self._native is not None:
+            self._native.reset_lane(b)
+        else:
+            self._dec[b].reset()
+        self._buf[b] = bytearray()
+        self._packets[b] = []
+        self._head_done[b] = False
+        self._skip[b] = 0
+        self._gain[b] = 1.0
+        self._ola[b] = 0.0
+        self._hist[b] = 0.0
+        self._emph[b] = 0.0
+
     @property
     def ready_packets(self) -> int:
         return min(len(p) for p in self._packets)
@@ -338,7 +353,9 @@ class BatchedCeltDecoder:
                     lane = lane[:, k:]
                 out[i, b, :, : lane.shape[1]] = lane
                 lengths[i, b] = lane.shape[1]
+        # np.array copies: zero-copy views of jax buffers are read-only
+        # and reset_lane writes rows in place
         self._ola, self._hist, self._emph = (
-            np.asarray(ola), np.asarray(hist), np.asarray(emph),
+            np.array(ola), np.array(hist), np.array(emph),
         )
         return out, lengths

@@ -12,8 +12,12 @@ synthesis over ``[B, C, 960]`` lanes:
 - overlap-add with a carried 120-sample lap per channel
 - the comb postfilter (old->current crossfade over the first 120
   samples, current->new over the rest) and the one-pole de-emphasis,
-  fused into a single 960-step ``lax.scan`` with lane-resident
-  history (periods vary per lane; taps are gathered dynamically)
+  fused into one ``lax.scan`` over 8-sample blocks: the comb lookback
+  is >= 13 samples (min period 15, taps +-2), so all reads of a block
+  land strictly before it — each step does two contiguous 12-wide
+  gathers per lane (old/new period) instead of per-sample indexing,
+  and the de-emphasis recurrence becomes a lower-triangular [8, 8]
+  matmul (120 scan steps instead of 960; ~10x on the TPU)
 
 Matmul precision pinned to float32 (see aac_batch: the MXU's bf16
 default would cap accuracy far below the oracle bars).
@@ -134,9 +138,10 @@ def _celt_synth_step(freq, short_flag, comb_params, ola, hist, emph):
     new_ola = full[..., N:]
     frame = full[..., :N]
 
-    # fused comb postfilter + de-emphasis scan
+    # fused comb postfilter + de-emphasis, blocked scan (8/step)
+    BLK = 8
     x = jnp.concatenate([hist, frame], axis=-1)   # [B, C, HIST+960]
-    w2 = jnp.asarray(_win2())                      # [120]
+    w2 = _win2()
     cp = comb_params                               # [B, 16]
     Ta0 = cp[:, 0].astype(jnp.int32)
     Ta1 = cp[:, 1].astype(jnp.int32)
@@ -147,42 +152,62 @@ def _celt_synth_step(freq, short_flag, comb_params, ola, hist, emph):
     gc = cp[:, 10:13]
     gd = cp[:, 13:16]
 
-    lane = jnp.arange(B)
+    # crossfade factor per sample: stage A uses w2[j] (j < 120), stage
+    # B uses w2[j - 120] then saturates at 1
+    fvec = jnp.asarray(
+        np.concatenate([w2, w2, np.ones(N - 2 * OVERLAP, np.float32)])
+    )
+    # de-emphasis y[k] = x[k] + c*y[k-1] as lower-triangular powers
+    kk = np.arange(BLK)
+    lower = np.tril(
+        np.power(np.float32(CELT_EMPH_COEFF), (kk[:, None] - kk[None, :]))
+    ).astype(np.float32)                           # [BLK, BLK]
+    Lmat = jnp.asarray(lower.T)                    # x_blk @ Lmat.T form
+    cpow = jnp.asarray(
+        np.power(np.float32(CELT_EMPH_COEFF), kk + 1).astype(np.float32)
+    )                                              # [BLK]
 
-    def tap(xbuf, j, T, g3):
-        """g3[:,0]*x[j-T] + g3[:,1]*(x[j-T±1]) + g3[:,2]*(x[j-T±2])
-        per lane/channel."""
-        idx = HIST + j - T                     # [B]
-        def g(off):
-            return xbuf[lane[:, None], jnp.arange(C)[None, :],
-                        (idx + off)[:, None]]
-        return (g3[:, 0:1] * g(0)
-                + g3[:, 1:2] * (g(-1) + g(1))
-                + g3[:, 2:3] * (g(-2) + g(2)))
+    nsteps = N // BLK
+    swA = OVERLAP // BLK                           # blocks in stage A
 
-    def step(carry, j):
+    def tap5(win12, g3):
+        """5-tap comb from a contiguous 12-sample window centered on
+        [2:10]: g0*x[j-T] + g1*(x+-1) + g2*(x+-2), per lane/channel."""
+        return (g3[:, None, 0:1] * win12[:, :, 2:10]
+                + g3[:, None, 1:2] * (win12[:, :, 1:9] + win12[:, :, 3:11])
+                + g3[:, None, 2:3] * (win12[:, :, 0:8] + win12[:, :, 4:12]))
+
+    def gather12(xbuf, start):
+        """xbuf[b, c, start[b] : start[b]+12] as [B, C, 12]."""
+        ix = start[:, None] + jnp.arange(12)[None, :]       # [B, 12]
+        ix = jnp.broadcast_to(ix[:, None, :], (B, C, 12))
+        return jnp.take_along_axis(xbuf, ix, axis=2)
+
+    def step(carry, k):
         xbuf, em = carry
-        inA = j < OVERLAP
-        inB = (j >= OVERLAP) & (j < 2 * OVERLAP)
-        f = jnp.where(inA, w2[jnp.clip(j, 0, OVERLAP - 1)],
-                      jnp.where(inB, w2[jnp.clip(j - OVERLAP, 0, OVERLAP - 1)],
-                                1.0))
+        j0 = k * BLK
+        inA = k < swA
         T0 = jnp.where(inA, Ta0, Tb0)
         T1 = jnp.where(inA, Ta1, Tb1)
-        G0 = jnp.where(inA, ga.T, gc.T).T      # [B, 3]
-        G1 = jnp.where(inA, gb.T, gd.T).T
-        y = xbuf[lane[:, None], jnp.arange(C)[None, :],
-                 jnp.full((B, 1), HIST) + j]
-        y = (y
-             + (1.0 - f) * tap(xbuf, j, T0, G0)
-             + f * tap(xbuf, j, T1, G1))
-        xbuf = xbuf.at[:, :, HIST + j].set(y)
-        em = y + CELT_EMPH_COEFF * em
-        return (xbuf, em), em
+        G0 = jnp.where(inA, ga, gc)
+        G1 = jnp.where(inA, gb, gd)
+        f = lax.dynamic_slice(fvec, (j0,), (BLK,))          # [BLK]
+        x_blk = lax.dynamic_slice(
+            xbuf, (0, 0, HIST + j0), (B, C, BLK))
+        w0 = gather12(xbuf, HIST + j0 - T0 - 2)
+        w1 = gather12(xbuf, HIST + j0 - T1 - 2)
+        y = (x_blk
+             + (1.0 - f)[None, None, :] * tap5(w0, G0)
+             + f[None, None, :] * tap5(w1, G1))
+        xbuf = lax.dynamic_update_slice(xbuf, y, (0, 0, HIST + j0))
+        out = y @ Lmat + em[:, :, None] * cpow[None, None, :]
+        em = out[:, :, BLK - 1]
+        return (xbuf, em), out
 
     (xbuf, new_emph), outs = lax.scan(
-        step, (x, emph), jnp.arange(N)
+        step, (x, emph), jnp.arange(nsteps)
     )
-    pcm = jnp.moveaxis(outs, 0, -1) / 32768.0     # [B, C, 960]
+    # outs [nsteps, B, C, BLK] -> [B, C, 960]
+    pcm = jnp.moveaxis(outs, 0, 2).reshape(B, C, N) / 32768.0
     new_hist = xbuf[..., -HIST:]
     return pcm, new_ola, new_hist, new_emph

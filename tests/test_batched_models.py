@@ -290,12 +290,18 @@ def test_no_recompilation_steady_state(testdata):
         m = BatchedAacLcDecoder(2, 2)
         m.push(0, aac)
         m.push(1, aac[: len(aac) // 2])
-        m.decode_ready(max_frames=3)
+        # warmup: first batches may compile (and the sticky v4 scan
+        # bucket may grow to the content's peak) — that's lifetime
+        # O(log) work, not a steady-state property
+        m.decode_ready(max_frames=40)
+        n_warm = counters[0].n
         m.push(1, aac[len(aac) // 2 :])
-        m.decode_ready()  # ragged + full drain: same program throughout
-        # 0 is fine too: an identical program compiled by an earlier
-        # test is served from XLA's in-memory executable cache
-        assert counters[0].n <= 1, f"AAC step compiled {counters[0].n}x"
+        m.decode_ready()  # ragged + full drain: steady state
+        steady = counters[0].n - n_warm
+        # one late bucket growth is tolerated; per-batch retraces are
+        # the regression this guards against (a 20-40 s stall per
+        # frame on a real chip)
+        assert steady <= 1, f"AAC step compiled {steady}x in steady state"
 
         mp3 = (testdata / "mp3" / f"{CLIP}.mp3").read_bytes()
         m2 = BatchedMp3Decoder(2, channels=1)

@@ -105,6 +105,80 @@ def test_silk_packet_modes():
         pos += 2 + n
 
 
+def test_silk_trailing_redundancy_vs_oracle():
+    """Spare bytes after a SILK payload are a 5 ms CELT redundancy
+    frame (RFC 6716 §4.5); the oracle decodes and crossfades it at
+    the frame start (pos=1 here). Padding a packet with k>=3 bytes
+    must reproduce the oracle's faded output; k<=2 must not fade."""
+    data = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
+    head = data[:19]
+    body = data[19:]
+    pkts = []
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        pkts.append(body[pos + 2 : pos + 2 + n])
+        pos += 2 + n
+    for k in (0, 2, 3, 6):
+        av = AvDecoder("opus", extradata=head)
+        own = OpusDecoder(1)
+        ref, ours = [], []
+        for i, p in enumerate(pkts[:40]):
+            q = p + bytes([0x5A] * k) if i == 30 else p
+            ref.append(np.asarray(av.push(q), dtype=np.float64))
+            ours.append(own.decode_packet(q).reshape(-1))
+        assert _snr(np.concatenate(ref), np.concatenate(ours)) > 90, k
+
+
+@pytest.mark.slow
+def test_mode_transitions_vs_oracle():
+    """Real encoder mode switches (hybrid->silk->celt at 24 kbps on
+    alternating speech/music content): the redundancy frames must be
+    decoded through the CELT state (seeding the post-transition
+    energy predictors) and crossfaded exactly as the oracle does."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(3)
+    sr = 48000
+    secs = 8
+    n = sr * secs
+    t = np.arange(n) / sr
+    sig = np.zeros(n)
+    for s in range(secs):
+        seg = slice(s * sr, (s + 1) * sr)
+        ts = t[seg]
+        if (s // 2) % 2 == 0:
+            f0 = 120 + 20 * np.sin(2 * np.pi * 2.5 * ts)
+            phs = np.cumsum(2 * np.pi * f0 / sr)
+            sig[seg] = (0.4 * np.sin(phs) + 0.2 * np.sin(2 * phs)) * (
+                0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 3 * ts)))
+        else:
+            x = 0.0
+            for f in (523, 659, 784, 1047, 1319, 2093, 3136, 5274,
+                      8000, 11000):
+                x = x + 0.08 * np.sin(2 * np.pi * f * ts + rng.uniform(0, 6))
+            sig[seg] = x + 0.05 * rng.normal(size=sr)
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16).reshape(-1, 1)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=24000)
+    pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(1)
+    modes = [parse_packet(p)[0].mode for p in pkts]
+    n_trans = sum(1 for a, b in zip(modes, modes[1:]) if a != b)
+    assert n_trans >= 2, "stream must actually switch modes"
+    snrs = []
+    for i, p in enumerate(pkts):
+        ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1)
+        ours = own.decode_packet(p).reshape(-1)
+        m = min(len(ref), len(ours))
+        if m and np.mean(ref[:m] ** 2) > 1e-12:
+            snrs.append((_snr(ref[:m], ours[:m]), i))
+    worst = min(snrs)
+    assert worst[0] > 60.0, f"frame {worst[1]}: {worst[0]:.1f} dB"
+    assert np.median([s for s, _ in snrs]) > 100.0
+
+
 @pytest.mark.slow
 def test_stereo_silk_vs_oracle():
     """Stereo SILK (mid/side weights, midonly, LBRR, unmix) and
