@@ -135,6 +135,48 @@ def _celt_masked_step():
     return jax.jit(step)
 
 
+# rounds per device call: the tunnel charges a fixed dispatch+sync
+# cost per call (~tens of ms), so lockstep rounds are batched through
+# one jitted scan; always called at this R (short tails padded with
+# invalid rounds) so exactly one program is ever compiled
+ROUNDS_PER_CALL = 8
+
+
+@functools.lru_cache(maxsize=2)
+def _celt_multi_step():
+    """jit of ROUNDS_PER_CALL masked synthesis rounds as one scan:
+    inputs [R, B, ...], carried (ola, hist, emph), output
+    pcm [R, B, C, 960]."""
+    import jax
+    from jax import lax
+
+    import jax.numpy as jnp
+
+    from soundkit_tpu.ops.celt_batch import celt_synth_step
+
+    def body(carry, xs):
+        ola, hist, emph = carry
+        freq, short_flag, comb_params, valid = xs
+        pcm, o2, h2, e2 = celt_synth_step(
+            freq, short_flag, comb_params, ola, hist, emph
+        )
+        v1 = valid[:, None, None]
+        pcm = jnp.where(v1, pcm, 0.0)
+        o2 = jnp.where(v1, o2, ola)
+        h2 = jnp.where(v1, h2, hist)
+        e2 = jnp.where(valid[:, None], e2, emph)
+        return (o2, h2, e2), pcm
+
+    def multi(freq, short_flag, comb_params, valid, ola, hist, emph):
+        (ola, hist, emph), pcm = lax.scan(
+            body, (ola, hist, emph),
+            (freq, short_flag, comb_params, valid),
+        )
+        return pcm, ola, hist, emph
+
+    return jax.jit(multi)
+
+
 class BatchedCeltDecoder:
     """Lockstep multi-stream CELT-Opus decoder with device synthesis.
 
@@ -293,66 +335,81 @@ class BatchedCeltDecoder:
         n = max(counts) if counts else 0
         if max_packets is not None:
             n = min(n, max_packets)
-        step = _celt_masked_step()
-        out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
-        lengths = np.zeros((n, self.B), dtype=np.int32)
-        ola, hist, emph = (
-            jnp.asarray(self._ola), jnp.asarray(self._hist),
-            jnp.asarray(self._emph),
-        )
+        R = ROUNDS_PER_CALL
+        n_pad = (n + R - 1) // R * R
+        # host stage: parse every round up front
+        freq = np.zeros((n_pad, self.B, self.C, self.FRAME), np.float32)
+        sflag = np.zeros((n_pad, self.B), np.int32)
+        comb = np.zeros((n_pad, self.B, 16), np.float32)
+        valid = np.zeros((n_pad, self.B), bool)
         for i in range(n):
             if self._native is not None:
                 frames = [b""] * self.B
                 ends = np.zeros(self.B, np.int32)
                 coded = np.ones(self.B, np.int32)
-                valid = np.zeros(self.B, bool)
                 for b in range(self.B):
                     if not self._packets[b]:
                         continue
                     pkt = self._packets[b].pop(0)
                     frames[b], ends[b], coded[b] = self._frame_of(pkt)
-                    valid[b] = True
-                freq64, comb64, sflag, ok = self._native.parse_many(
-                    frames, ends, coded, valid
+                    valid[i, b] = True
+                f64, c64, sf, ok = self._native.parse_many(
+                    frames, ends, coded, valid[i]
                 )
-                if np.any(ok[valid] != 0):
-                    bad = int(np.flatnonzero(valid & (ok != 0))[0])
+                if np.any(ok[valid[i]] != 0):
+                    bad = int(np.flatnonzero(valid[i] & (ok != 0))[0])
                     from soundkit_tpu.codecs.opus_core import OpusUnsupported
 
                     raise OpusUnsupported(
                         f"native celt parse failed on lane {bad} "
                         f"({int(ok[bad])})"
                     )
-                freq = freq64.astype(np.float32)
-                comb = comb64.astype(np.float32)
+                freq[i] = f64
+                comb[i] = c64
+                sflag[i] = sf
             else:
-                freq = np.zeros((self.B, self.C, self.FRAME), np.float32)
-                sflag = np.zeros(self.B, np.int32)
-                comb = np.zeros((self.B, 16), np.float32)
-                valid = np.zeros(self.B, bool)
                 for b in range(self.B):
                     if not self._packets[b]:
                         continue
                     pkt = self._packets[b].pop(0)
-                    freq[b], sflag[b], comb[b] = self._parse_lane(b, pkt)
-                    valid[b] = True
+                    freq[i, b], sflag[i, b], comb[i, b] = \
+                        self._parse_lane(b, pkt)
+                    valid[i, b] = True
+        # device stage: R rounds per jitted scan call (fixed R keeps
+        # exactly one compiled program; the tunnel charges a fixed
+        # dispatch+sync cost per call), chunked d2h (stalls past
+        # ~1-2 MB per fetch)
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        step = _celt_multi_step()
+        out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
+        lengths = np.zeros((n, self.B), dtype=np.int32)
+        ola, hist, emph = (
+            jnp.asarray(self._ola), jnp.asarray(self._hist),
+            jnp.asarray(self._emph),
+        )
+        for r0 in range(0, n_pad, R):
             pcm, ola, hist, emph = step(
-                jnp.asarray(freq), jnp.asarray(sflag), jnp.asarray(comb),
-                jnp.asarray(valid), ola, hist, emph,
+                jnp.asarray(freq[r0:r0 + R]),
+                jnp.asarray(sflag[r0:r0 + R]),
+                jnp.asarray(comb[r0:r0 + R]),
+                jnp.asarray(valid[r0:r0 + R]),
+                ola, hist, emph,
             )
-            host = np.asarray(pcm)
-            for b in range(self.B):
-                if not valid[b]:
-                    continue
-                lane = host[b]
-                if self._gain[b] != 1.0:
-                    lane = lane * np.float32(self._gain[b])
-                k = min(self._skip[b], self.FRAME)
-                if k:
-                    self._skip[b] -= k
-                    lane = lane[:, k:]
-                out[i, b, :, : lane.shape[1]] = lane
-                lengths[i, b] = lane.shape[1]
+            host = from_device_chunked(pcm)
+            for i in range(r0, min(r0 + R, n)):
+                for b in range(self.B):
+                    if not valid[i, b]:
+                        continue
+                    lane = host[i - r0, b]
+                    if self._gain[b] != 1.0:
+                        lane = lane * np.float32(self._gain[b])
+                    k = min(self._skip[b], self.FRAME)
+                    if k:
+                        self._skip[b] -= k
+                        lane = lane[:, k:]
+                    out[i, b, :, : lane.shape[1]] = lane
+                    lengths[i, b] = lane.shape[1]
         # np.array copies: zero-copy views of jax buffers are read-only
         # and reset_lane writes rows in place
         self._ola, self._hist, self._emph = (
