@@ -106,4 +106,9 @@ class BatchedFlacDecoder:
             metas.append(meta_all)
         if not outs:
             return np.zeros((0, self.B, 2, self.stride), np.int32), []
-        return np.stack(outs), metas
+        # fetch each round's [B, 2, stride] i32 in sub-cliff chunks:
+        # a whole-batch fetch (2.4 MB at B=64) sits in the tunnel's
+        # d2h stall zone and was the dominant cost of this model
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        return np.stack([from_device_chunked(o) for o in outs]), metas
