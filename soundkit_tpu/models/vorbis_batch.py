@@ -36,6 +36,7 @@ class _Lane:
         self.pkts = OggPacketizer()
         self.headers: List[bytes] = []
         self.setup: Optional[VorbisSetup] = None
+        self.parser = None  # native C++ parse stage, or the setup itself
         self.queue: List = []  # decoded spectra
         self.primed = False
 
@@ -63,6 +64,19 @@ class BatchedVorbisDecoder:
                     )
                     if self._topology is None:
                         self._topology = topo
+                    if topo == self._topology:
+                        # per-packet hot path: the C++ parse stage
+                        # (native/src/vorbis_parse.cpp) when the
+                        # toolchain is present, else the Python decoder
+                        lane.parser = lane.setup
+                        try:
+                            from soundkit_tpu.codecs.vorbis_native import (
+                                NativeVorbisParser,
+                            )
+
+                            lane.parser = NativeVorbisParser(lane.setup)
+                        except Exception:
+                            pass
                     elif topo != self._topology:
                         # leave the lane unconfigured so a later
                         # reset_lane/alloc starts clean
@@ -73,7 +87,7 @@ class BatchedVorbisDecoder:
                             f"topology {self._topology}"
                         )
                 continue
-            spec = lane.setup.decode_packet_spectrum(packet)
+            spec = lane.parser.decode_packet_spectrum(packet)
             if spec is not None:
                 lane.queue.append(spec)
 
@@ -112,68 +126,95 @@ class BatchedVorbisDecoder:
             return [np.zeros((0, 0)) for _ in range(self.B)]
         n0, n1, C = self._topology
         h1 = n1 // 2
+        R = 8  # rounds per device call (fixed: one compiled program)
         if self._step is None:
-            self._step = jax.jit(
-                lambda *a: vb.vorbis_synth_step(*a, n0=n0, n1=n1)
-            )
+            def _multi(specs, n_flags, pfs, nfs, valids, primeds,
+                       cflags, state):
+                from jax import lax
+
+                def body(st, xs):
+                    sp, nfl, p_, n_, v_, pr, cf = xs
+                    out, _len, st2, _ = vb.vorbis_synth_step(
+                        sp, nfl, p_, n_, v_, pr, st, cf, n0=n0, n1=n1)
+                    return st2, out
+
+                state, outs = lax.scan(
+                    body, state,
+                    (specs, n_flags, pfs, nfs, valids, primeds, cflags))
+                return outs, state
+
+            self._step = jax.jit(_multi)
             carry, cflag = vb.init_state(self.B, C, n1)
             self._state = jnp.asarray(carry)
             self._cflag = cflag  # host-side, never round-tripped
 
-        outs = [[] for _ in range(self.B)]
-        dev_outs: List = []
-        dev_lens: List[np.ndarray] = []
-        for _ in range(n_batches):
-            spec = np.zeros((self.B, C, h1), dtype=np.float32)
-            n_flag = np.ones(self.B, dtype=np.int32)
-            pf = np.ones(self.B, dtype=np.int32)
-            nf = np.ones(self.B, dtype=np.int32)
-            valid = np.zeros(self.B, dtype=bool)
-            primed = np.zeros(self.B, dtype=bool)
-            cflag_host = self._cflag
+        # host stage: parse/queue every round up front (the tunnel
+        # charges a fixed dispatch cost per call, so R rounds batch
+        # through one jitted scan; short tails pad with invalid rounds)
+        n_pad = (n_batches + R - 1) // R * R
+        spec = np.zeros((n_pad, self.B, C, h1), dtype=np.float32)
+        n_flag = np.ones((n_pad, self.B), dtype=np.int32)
+        pf = np.ones((n_pad, self.B), dtype=np.int32)
+        nf = np.ones((n_pad, self.B), dtype=np.int32)
+        valid = np.zeros((n_pad, self.B), dtype=bool)
+        primed = np.zeros((n_pad, self.B), dtype=bool)
+        cflag = np.zeros((n_pad, self.B), dtype=np.int32)
+        len_np = np.zeros((n_batches, self.B), dtype=np.int32)
+        for r in range(n_batches):
+            cflag[r] = self._cflag
             for b, lane in enumerate(self._lanes):
-                primed[b] = lane.primed
+                primed[r, b] = lane.primed
                 if not lane.queue:
                     continue
-                s = lane.queue.pop(0)
-                valid[b] = True
-                half = s.n // 2
-                spec[b, :, :half] = s.spectrum.astype(np.float32)
-                n_flag[b] = 1 if s.n == n1 else 0
-                pf[b] = s.prev_flag
-                nf[b] = s.next_flag
+                sdec = lane.queue.pop(0)
+                valid[r, b] = True
+                half = sdec.n // 2
+                spec[r, b, :, :half] = sdec.spectrum.astype(np.float32)
+                n_flag[r, b] = 1 if sdec.n == n1 else 0
+                pf[r, b] = sdec.prev_flag
+                nf[r, b] = sdec.next_flag
                 if not lane.primed:
                     # prime: treat prev block as same-size (d = n/2)
-                    cflag_host[b] = n_flag[b]
+                    cflag[r, b] = n_flag[r, b]
                     lane.primed = True
-            out, out_len, carry, _ = self._step(
-                jnp.asarray(spec), jnp.asarray(n_flag), jnp.asarray(pf),
-                jnp.asarray(nf), jnp.asarray(valid), jnp.asarray(primed),
-                self._state, jnp.asarray(cflag_host),
-            )
-            self._state = carry
             # host mirror of the step's new_carry_flag
-            self._cflag = np.where(valid, n_flag, cflag_host).astype(np.int32)
-            # host-computable lengths: no device fetch needed
-            prev_n = np.where(cflag_host == 1, n1, n0)
-            cur_n = np.where(n_flag == 1, n1, n0)
-            len_np = np.where(valid & primed, prev_n // 4 + cur_n // 4, 0)
-            del out_len  # device twin of len_np
+            self._cflag = np.where(
+                valid[r], n_flag[r], cflag[r]).astype(np.int32)
+            prev_n = np.where(cflag[r] == 1, n1, n0)
+            cur_n = np.where(n_flag[r] == 1, n1, n0)
+            len_np[r] = np.where(valid[r] & primed[r],
+                                 prev_n // 4 + cur_n // 4, 0)
+
+        outs = [[] for _ in range(self.B)]
+        dev_outs: List = []
+        for r0 in range(0, n_pad, R):
+            out, self._state = self._step(
+                jnp.asarray(spec[r0:r0 + R]),
+                jnp.asarray(n_flag[r0:r0 + R]),
+                jnp.asarray(pf[r0:r0 + R]),
+                jnp.asarray(nf[r0:r0 + R]),
+                jnp.asarray(valid[r0:r0 + R]),
+                jnp.asarray(primed[r0:r0 + R]),
+                jnp.asarray(cflag[r0:r0 + R]),
+                self._state,
+            )
+            hi = min(r0 + R, n_batches)
             if device_out:
-                dev_outs.append(out)
-                dev_lens.append(len_np)
+                for r in range(r0, hi):
+                    dev_outs.append(out[r - r0])
                 continue
-            mx = int(len_np.max()) if len_np.size else 0
+            mx = int(len_np[r0:hi].max()) if hi > r0 else 0
             if mx == 0:
                 continue
-            out_np = from_device_chunked(out[..., :mx])
-            for b in range(self.B):
-                if len_np[b] > 0:
-                    outs[b].append(out_np[b, :, : len_np[b]])
+            out_np = from_device_chunked(out[: hi - r0, ..., :mx])
+            for r in range(r0, hi):
+                for b in range(self.B):
+                    if len_np[r, b] > 0:
+                        outs[b].append(out_np[r - r0, b, :, : len_np[r, b]])
         if device_out:
             lens = (
-                np.stack(dev_lens)
-                if dev_lens
+                len_np
+                if n_batches
                 else np.zeros((0, self.B), dtype=np.int32)
             )
             return dev_outs, lens
