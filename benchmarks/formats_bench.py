@@ -176,7 +176,7 @@ def bench_opus(passes):
     from soundkit_tpu.codecs.opus import OggOpusDemuxer
     from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
 
-    B = 64
+    B = 256
     data = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
     dmx = OggOpusDemuxer()
     pkts = dmx.push(data)

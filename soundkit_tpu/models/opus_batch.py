@@ -377,9 +377,19 @@ class BatchedCeltDecoder:
                     valid[i, b] = True
         # device stage: R rounds per jitted scan call (fixed R keeps
         # exactly one compiled program; the tunnel charges a fixed
-        # dispatch+sync cost per call), chunked d2h (stalls past
-        # ~1-2 MB per fetch)
-        from soundkit_tpu.utils.wire import from_device_chunked
+        # dispatch+sync cost per call), chunked transfers both ways
+        # (h2d collapses past ~5 MB, d2h stalls past ~1-2 MB)
+        from soundkit_tpu.utils.wire import (
+            WIRE_CHUNK_BYTES,
+            from_device_chunked,
+            to_device_chunked,
+        )
+
+        def h2d(a):
+            flat = np.ascontiguousarray(a).reshape(-1)
+            return to_device_chunked(
+                flat, chunk_bytes=WIRE_CHUNK_BYTES // a.itemsize
+            ).reshape(a.shape)
 
         step = _celt_multi_step()
         out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
@@ -390,7 +400,7 @@ class BatchedCeltDecoder:
         )
         for r0 in range(0, n_pad, R):
             pcm, ola, hist, emph = step(
-                jnp.asarray(freq[r0:r0 + R]),
+                h2d(freq[r0:r0 + R]),
                 jnp.asarray(sflag[r0:r0 + R]),
                 jnp.asarray(comb[r0:r0 + R]),
                 jnp.asarray(valid[r0:r0 + R]),
