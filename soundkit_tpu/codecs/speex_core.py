@@ -342,10 +342,14 @@ class SpeexNbDecoder:
 
             # adaptive codebook
             if sm.forced_pitch:
+                # forced_pitch_unquant @0x370: gain = fminf(coef, 0.99),
+                # then a plain one-tap recursion that DOES read freshly
+                # synthesized in-subframe samples (writes exc in place)
                 pitch = ol_pitch
+                gmin = min(ol_pitch_coef, 0.99)
                 for i in range(SUBFRAME):
-                    exc[off + i] = ol_pitch_coef * exc[off + i - pitch]
-                pitch_gain_sum = ol_pitch_coef
+                    exc[off + i] = gmin * exc[off + i - pitch]
+                pitch_gain_sum = gmin
             else:
                 if sm.pitch_bits:
                     pitch = MIN_PITCH + br.read(sm.pitch_bits)
@@ -355,12 +359,24 @@ class SpeexNbDecoder:
                 gidx = br.read(gb)
                 cdbk = t["gain_cdbk_nb"] if sm.gain_cdbk == "nb" else t["gain_cdbk_lbr"]
                 g = 0.015625 * cdbk[gidx, :3].astype(np.float64) + 0.5
-                for i in range(SUBFRAME):
-                    exc[off + i] = (
-                        g[0] * exc[off + i - pitch + 1]
-                        + g[1] * exc[off + i - pitch]
-                        + g[2] * exc[off + i - pitch - 1]
-                    )
+                # pitch_unquant_3tap @0x1ae0: NOT the textbook recursion.
+                # The oracle zeroes the subframe, then per tap pp in
+                # {pitch-1, pitch, pitch+1} adds g*exc[i-pp] while that
+                # index is still history (i < pp) and g*exc[i-pp-pitch]
+                # (one extra period back) for pp <= i < pp+pitch; samples
+                # past two periods get no contribution.  It never reads
+                # freshly synthesized in-subframe values.
+                acc = np.zeros(SUBFRAME, dtype=np.float64)
+                for k in range(3):
+                    pp = pitch - 1 + k
+                    t1 = min(SUBFRAME, pp)
+                    t2 = min(SUBFRAME, pp + pitch)
+                    acc[:t1] += g[k] * exc[off - pp : off - pp + t1]
+                    if t2 > t1:
+                        acc[t1:t2] += g[k] * exc[
+                            off + t1 - pp - pitch : off + t2 - pp - pitch
+                        ]
+                exc[off : off + SUBFRAME] = acc
                 # gain_3tap_to_1tap (object code 0x3e4d): middle tap
                 # absolute, outer taps at half weight when negative
                 def _f(v):
@@ -373,13 +389,35 @@ class SpeexNbDecoder:
             seg = exc[off : off + SUBFRAME]
             np.clip(seg, -32000.0, 32000.0, out=seg)
             seg[np.abs(seg) < 1e-8] = 0.0
+            # enhancer pitch selection (object code 0x3e9e-0x5575):
+            # three acceptance clauses — (A) stronger gain and not a
+            # near-multiple of the current best; (B) >=0.6x best gain
+            # and the current best is a near-multiple of the candidate
+            # (candidate is the fundamental); (C) 0.67x gain still
+            # beats best and the candidate IS a near-multiple of best.
+            bp = best_pitch
+            accept = False
             if pitch_gain_sum > best_pitch_gain and (
-                abs(2 * best_pitch - pitch) > 2
-                and abs(3 * best_pitch - pitch) > 3
-                and abs(4 * best_pitch - pitch) > 4
+                abs(2 * bp - pitch) > 2
+                and abs(3 * bp - pitch) > 3
+                and abs(4 * bp - pitch) > 4
             ):
-                # reject period-doubled candidates (object code 0x3eb6)
-                best_pitch, best_pitch_gain = pitch, pitch_gain_sum
+                accept = True
+            elif pitch_gain_sum > 0.6 * best_pitch_gain and (
+                abs(bp - 2 * pitch) <= 2
+                or abs(bp - 3 * pitch) <= 3
+                or abs(bp - 4 * pitch) <= 4
+            ):
+                accept = True
+            elif 0.67 * pitch_gain_sum > best_pitch_gain and (
+                abs(2 * bp - pitch) <= 2
+                or abs(3 * bp - pitch) <= 3
+                or abs(4 * bp - pitch) <= 4
+            ):
+                accept = True
+            if accept:
+                best_pitch = pitch
+                best_pitch_gain = max(best_pitch_gain, pitch_gain_sum)
 
             # innovation gain
             if sm.have_subframe_gain == 3:

@@ -237,10 +237,13 @@ def test_speex_nb_own_decode_vs_oracle():
     avcodec oracle, SAMPLE-ALIGNED (the decoder now implements the
     oracle's one-subframe output delay, the multicomb enhancer, DF2T
     synthesis and the delay-shifted LSP interpolation — round-3 work,
-    semantics recovered from the speexdec object code).  The residual
-    vs the oracle is the enhancer's f32 candidate-selection noise;
-    direct (unit-gain, zero-offset) SNR must clear 17 dB where round 2
-    only reached 14 dB best-fit at a 40-sample offset."""
+    semantics recovered from the speexdec object code).  Round-3
+    differential debugging against the extracted speexdec.o closed the
+    two real semantic gaps — pitch_unquant_3tap's two-segment history
+    reads (never the in-subframe recursion) and the three-clause
+    enhancer pitch selection (0.6x submultiple / 0.67x multiple
+    acceptance) — lifting the corpus SNR from 18.3 to ~77 dB; the
+    remaining residual is f32-vs-f64 arithmetic noise."""
     from soundkit_tpu.codecs.avdec import AvDecoder
     from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
     from soundkit_tpu.demux.ogg import OggPacketizer
@@ -265,14 +268,14 @@ def test_speex_nb_own_decode_vs_oracle():
     a, b = mine[:m], ref[:m]
     err = a - b
     snr = 10 * np.log10(np.dot(b, b) / max(np.dot(err, err), 1e-18))
-    assert snr > 17.0, f"speex NB decode SNR {snr:.1f} dB vs enhanced oracle"
+    assert snr > 70.0, f"speex NB decode SNR {snr:.1f} dB vs enhanced oracle"
     # per-frame median is materially higher than the worst transitions
     per = []
     for f in range(m // 160):
         sl = slice(f * 160, (f + 1) * 160)
         e = a[sl] - b[sl]
         per.append(10 * np.log10(np.dot(b[sl], b[sl]) / max(np.dot(e, e), 1e-18)))
-    assert float(np.median(per)) > 20.0
+    assert float(np.median(per)) > 90.0
 
 
 def test_speex_stream_decoder_uses_own_core():
@@ -334,9 +337,9 @@ def test_speex_wideband_owned():
     e = ref[:m].astype(np.float64) - out[:m].astype(np.float64)
     snr = 10 * np.log10(np.mean(ref[:m].astype(np.float64) ** 2)
                         / (np.mean(e ** 2) + 1e-300))
-    # bounded by the NB core's enhancer-selection noise (~23 dB), same
-    # as the NB conformance bar
-    assert snr > 20.0
+    # the NB low band now conforms at ~77 dB (round-3 pitch fixes);
+    # the residual is the owned SB high-band layer's f32 noise
+    assert snr > 40.0
     # the high band itself conforms much closer
     from numpy.fft import rfft
 
@@ -344,7 +347,7 @@ def test_speex_wideband_owned():
     R = np.abs(rfft(ref[:16000].astype(np.float64))) ** 2
     half = len(R) // 2
     hi = 10 * np.log10(R[half:].sum() / (E[half:].sum() + 1e-30))
-    assert hi > 22.0
+    assert hi > 24.0
 
 
 @pytest.mark.slow
@@ -374,4 +377,4 @@ def test_speex_ultrawideband_owned():
     e = ref[:m].astype(np.float64) - ours[:m].astype(np.float64)
     snr = 10 * np.log10(np.mean(ref[:m].astype(np.float64) ** 2)
                         / (np.mean(e ** 2) + 1e-300))
-    assert snr > 20.0  # bounded by the NB core, like WB
+    assert snr > 45.0  # NB core conforms at ~77 dB after round-3 fixes
