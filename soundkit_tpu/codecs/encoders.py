@@ -227,24 +227,55 @@ class Mp3Encoder:
 
 
 class OpusEncoder:
-    """Opus packets (libopus); use with the raw-Opus framing or Ogg."""
+    """Opus packet encoder.
 
-    def __init__(self, sample_rate: int = 48000, channels: int = 2, bit_rate: int = 64000):
-        self._enc = AvEncoder("libopus", sample_rate, channels, bit_rate)
-        self.frame_size = self._enc.frame_size
+    The default backend at 48 kHz is the OWNED RFC 6716 CELT-mode
+    encoder (``opus_celt_enc.py``) — encode-math parity with the
+    reference's pure-Rust path (soundkit-opus/src/lib.rs:96-293,
+    Cargo.toml:11-14).  Packets are CELT fullband CBR and decode on
+    any conformant decoder with zero codec delay (pre_skip=0).  Other
+    sample rates, and ``backend="libopus"``, use the libopus shim
+    (pre_skip=312, the shim's reported lookahead).
+    """
+
+    def __init__(self, sample_rate: int = 48000, channels: int = 2,
+                 bit_rate: int = 64000, backend: str = "owned"):
+        self.sample_rate = sample_rate
         self.channels = channels
+        if backend == "owned" and sample_rate == 48000 and channels in (1, 2):
+            from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
+
+            self._own: Optional[object] = OpusCeltEncoder(
+                channels=channels, bit_rate=bit_rate
+            )
+            self._enc = None
+            self.frame_size = self._own.frame_size
+            self.pre_skip = 0
+            self.backend = "owned"
+        else:
+            self._own = None
+            self._enc = AvEncoder("libopus", sample_rate, channels, bit_rate)
+            self.frame_size = self._enc.frame_size
+            self.pre_skip = 312
+            self.backend = "libopus"
 
     def encode_i16_packets(self, samples: np.ndarray) -> List[bytes]:
+        if self._own is not None:
+            pcm = np.asarray(samples, dtype=np.float64)
+            pcm = pcm.reshape(-1, self.channels) / 32768.0
+            return self._own.push(pcm)
         return self._enc.push_i16(samples)
 
     def flush_packets(self) -> List[bytes]:
+        if self._own is not None:
+            return self._own.flush()
         return self._enc.flush()
 
     def encode_to_soundkit_stream(self, samples: np.ndarray) -> bytes:
         """soundkit raw-Opus framing: OpusHead + u16-LE length-prefixed."""
         head = struct.pack(
-            "<8sBBHIhB", b"OpusHead", 1, self.channels, 312,
-            self._enc.sample_rate, 0, 0,
+            "<8sBBHIhB", b"OpusHead", 1, self.channels, self.pre_skip,
+            self.sample_rate, 0, 0,
         )
         pkts = self.encode_i16_packets(samples) + self.flush_packets()
         body = b"".join(struct.pack("<H", len(p)) + p for p in pkts)

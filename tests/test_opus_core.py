@@ -159,7 +159,7 @@ def test_mode_transitions_vs_oracle():
                 x = x + 0.08 * np.sin(2 * np.pi * f * ts + rng.uniform(0, 6))
             sig[seg] = x + 0.05 * rng.normal(size=sr)
     pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16).reshape(-1, 1)
-    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=24000)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=24000, backend="libopus")
     pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
     head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
     av = AvDecoder("opus", extradata=head)
@@ -196,7 +196,7 @@ def test_stereo_silk_vs_oracle():
     left = base + 0.02 * rng.normal(size=n)
     right = 0.8 * base + 0.05 * np.sin(2 * np.pi * 350 * t) + 0.02 * rng.normal(size=n)
     pcm = (np.clip(np.stack([left, right], 1), -1, 1) * 32767).astype(np.int16)
-    enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=12000)
+    enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=12000, backend="libopus")
     pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
     head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 2, 0, 48000, 0, 0)
     av = AvDecoder("opus", extradata=head)
@@ -230,7 +230,7 @@ def test_hybrid_vs_oracle():
     sig *= 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * 3 * t))
     sig += 0.02 * rng.normal(size=n)
     pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16).reshape(-1, 1)
-    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=32000)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=32000, backend="libopus")
     pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
     head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
     av = AvDecoder("opus", extradata=head)
@@ -272,7 +272,7 @@ def test_stereo_celt_vs_oracle():
     right += 0.01 * rng.normal(size=n)
     pcm = (np.clip(np.stack([left, right], 1), -1, 1) * 32767).astype(np.int16)
     for br in (48000, 96000):
-        enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=br)
+        enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=br, backend="libopus")
         pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
         head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 2, 0, 48000, 0, 0)
         av = AvDecoder("opus", extradata=head)
@@ -305,7 +305,7 @@ def test_transient_click_train_vs_oracle():
         sig[t : t + 8] = rng.uniform(-0.9, 0.9, 8)
     sig += 0.02 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)
     pcm = (sig * 32767).astype(np.int16).reshape(-1, 1)
-    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=96000)
+    enc = OpusEncoder(sample_rate=48000, channels=1, bit_rate=96000, backend="libopus")
     pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
     head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
     av = AvDecoder("opus", extradata=head)
