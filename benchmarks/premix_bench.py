@@ -6,11 +6,12 @@ every track through Opus encode/decode backends and report per-track
 and aggregate encode/decode wall time, bitrate, and quality
 (SNR/RMSE/MAE, the crate's QualityMetrics).
 
-Backends compared (the crate compares its soundkit wrapper against
-pure-Rust and C libopus; this environment has one libopus, so the
-comparison axes here are the framework's two decode paths):
-  sk  - OpusEncoder -> soundkit raw-Opus framing -> OpusStreamDecoder
-  bat - OpusEncoder packets -> BatchedOpusDecoder (serving model)
+Backends compared (the crate's axis is soundkit wrapper vs pure-Rust
+libopus-rs vs C libopus; the analog here is the owned encode path vs
+the C shim vs the batched serving decoder):
+  own - owned CELT encoder -> raw-Opus framing -> OpusStreamDecoder
+  lop - libopus shim encoder -> same decode path
+  bat - libopus packets -> BatchedOpusDecoder (serving model)
 
 Usage:
   python benchmarks/premix_bench.py [--dir PATH] [--bitrate BPS]
@@ -131,12 +132,13 @@ def _align(ref: np.ndarray, test: np.ndarray, max_off: int = 4096) -> np.ndarray
     return test[off:]
 
 
-def run_soundkit_backend(pcm: np.ndarray, frame: int, bitrate: int) -> Result:
+def run_soundkit_backend(pcm: np.ndarray, frame: int, bitrate: int,
+                         enc_backend: str = "owned") -> Result:
     from soundkit_tpu.codecs.encoders import OpusEncoder
     from soundkit_tpu.codecs.opus import OpusStreamDecoder
 
     t0 = time.perf_counter()
-    enc = OpusEncoder(TARGET_RATE, 1, bitrate)
+    enc = OpusEncoder(TARGET_RATE, 1, bitrate, backend=enc_backend)
     stream = enc.encode_to_soundkit_stream(pcm)
     t1 = time.perf_counter()
     dec = OpusStreamDecoder()
@@ -153,7 +155,7 @@ def run_batched_backend(pcm: np.ndarray, frame: int, bitrate: int) -> Result:
     from soundkit_tpu.models.opus_batch import BatchedOpusDecoder
 
     t0 = time.perf_counter()
-    enc = OpusEncoder(TARGET_RATE, 1, bitrate)
+    enc = OpusEncoder(TARGET_RATE, 1, bitrate, backend="libopus")
     pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
     wire = b"".join(struct.pack("<H", len(p)) + p for p in pkts)
     t1 = time.perf_counter()
@@ -183,10 +185,10 @@ def main(argv=None) -> int:
         print(f"No matching tracks found for {args.query} under {roots}.")
         return 0
     print(f"Found {len(tracks)} candidate tracks")
-    hdr = (f"{'Track':<58} {'dur':>6} {'sk_enc':>7} {'sk_dec':>7} {'sk_kbps':>8} "
-           f"{'sk_snr':>7} {'sk_rmse':>8} {'sk_mae':>8} | {'bat_dec':>7} {'bat_snr':>7}")
+    hdr = (f"{'Track':<58} {'dur':>6} {'own_enc':>7} {'own_snr':>7} {'own_kbps':>8} "
+           f"{'lop_enc':>7} {'lop_snr':>7} {'lop_kbps':>8} | {'bat_dec':>7} {'bat_snr':>7}")
     print(hdr)
-    agg_sk, agg_bat = Aggregate(), Aggregate()
+    agg_own, agg_lop, agg_bat = Aggregate(), Aggregate(), Aggregate()
     for path in tracks:
         try:
             pcm = decode_for_benchmark(path)
@@ -197,15 +199,22 @@ def main(argv=None) -> int:
             print(f"{str(path):<60} decode-failed: empty")
             continue
         dur = len(pcm) / TARGET_RATE
-        sk = run_soundkit_backend(pcm, frame, args.bitrate)
+        # three encode backends, the crate's soundkit / libopus-rs / C
+        # axis: owned CELT encode, libopus shim encode, and the libopus
+        # packets through the batched serving decoder
+        own = run_soundkit_backend(pcm, frame, args.bitrate, "owned")
+        lop = run_soundkit_backend(pcm, frame, args.bitrate, "libopus")
         bat = run_batched_backend(pcm, frame, args.bitrate)
-        kbps = sk.encoded_bytes * 8 / dur / 1000
-        print(f"{path.name:<58} {dur:>6.2f} {sk.enc_s*1e3:>6.1f}m {sk.dec_s*1e3:>6.1f}m "
-              f"{kbps:>8.1f} {sk.metrics.snr_db:>7.2f} {sk.metrics.rmse:>8.1f} "
-              f"{sk.metrics.mae:>8.1f} | {bat.dec_s*1e3:>6.1f}m {bat.metrics.snr_db:>7.2f}")
-        agg_sk.add(sk, dur)
+        okbps = own.encoded_bytes * 8 / dur / 1000
+        lkbps = lop.encoded_bytes * 8 / dur / 1000
+        print(f"{path.name:<58} {dur:>6.2f} {own.enc_s*1e3:>6.1f}m {own.metrics.snr_db:>7.2f} "
+              f"{okbps:>8.1f} {lop.enc_s*1e3:>6.1f}m {lop.metrics.snr_db:>7.2f} "
+              f"{lkbps:>8.1f} | {bat.dec_s*1e3:>6.1f}m {bat.metrics.snr_db:>7.2f}")
+        agg_own.add(own, dur)
+        agg_lop.add(lop, dur)
         agg_bat.add(bat, dur)
-    for name, agg in (("soundkit", agg_sk), ("batched", agg_bat)):
+    for name, agg in (("owned-enc", agg_own), ("libopus-enc", agg_lop),
+                      ("batched", agg_bat)):
         if agg.tracks:
             print(f"[{name}] tracks={agg.tracks} audio={agg.audio_s:.1f}s "
                   f"enc_x={agg.audio_s/max(agg.enc_s,1e-9):.1f} "

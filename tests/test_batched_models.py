@@ -117,7 +117,7 @@ def test_batched_opus_decoder():
     t = np.arange(48000) / 48000.0
     pcm = (np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 660 * t)], 1)
            .reshape(-1) * 12000).astype(np.int16)
-    enc = OpusEncoder(48000, 2, 96000)
+    enc = OpusEncoder(48000, 2, 96000, backend="libopus")
     stream = enc.encode_to_soundkit_stream(pcm)
     ref = OpusStreamDecoder().decode_f32(stream)
 

@@ -78,7 +78,7 @@ def test_native_parse_matches_python_stereo():
     band_end = t["celt_band_end"].astype(int)
     taps = t["celt_postfilter_taps"].astype(np.float64)
     for br in (48000, 96000):
-        enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=br)
+        enc = OpusEncoder(sample_rate=48000, channels=2, bit_rate=br, backend="libopus")
         pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
         py = CeltDecoder(2)
         nat = NativeCeltParser(2)
