@@ -360,8 +360,6 @@ class FlacFrameEncoder:
         C, n = x.shape
         if C != self.channels:
             raise ValueError(f"expected {self.channels} channels, got {C}")
-        if not 16 <= n <= 65535:
-            raise ValueError("block size out of range")
 
         # stereo decorrelation search (independent vs L/S, R/S, M/S)
         assignment = C - 1
@@ -386,6 +384,15 @@ class FlacFrameEncoder:
             elif bestc == cost_ms:
                 assignment, chans = 10, [(mid, self.bits), (side, self.bits + 1)]
 
+        plans = [_plan_subframe(ch, bits, self.profile) for ch, bits in chans]
+        return self.write_frame(n, assignment, plans)
+
+    def write_frame(self, n: int, assignment: int, plans) -> bytes:
+        """Assemble one frame from precomputed subframe plans (used
+        both by encode_frame and by the batched device-analysis path,
+        models/flac_encode_batch.py)."""
+        if not 16 <= n <= 65535:
+            raise ValueError("block size out of range")
         w = BitWriter()
         w.write(0b11111111111110, 14)
         w.write(0, 1)  # reserved
@@ -411,8 +418,8 @@ class FlacFrameEncoder:
             w.write(self.sample_rate, 16)
         w.write(_crc8(w.bytes()), 8)
 
-        for ch, bits in chans:
-            _write_subframe(w, _plan_subframe(ch, bits, self.profile), n)
+        for plan in plans:
+            _write_subframe(w, plan, n)
         w.align()
         body = w.bytes()
         self._frame_no += 1

@@ -1,0 +1,190 @@
+"""Batched FLAC stream encoder: device analysis, host entropy pack.
+
+The encode-direction sibling of the batched decode models: B lanes of
+PCM move through ONE jitted analysis step per 4096-sample block
+(ops/flac_enc_batch.flac_analyze_device — stereo mode search, fixed/
+LPC-8 selection, exact integer residuals), and the host performs only
+the Rice partition search + bit packing per lane via the owned frame
+writer (codecs/flac_encode.py).  Each lane yields an independent,
+fully standard .flac stream (STREAMINFO + MD5), bit-exact through the
+framework's own decoder and the libavcodec oracle.
+
+No reference analog exists (frame_codec.rs:42-278 encodes one stream
+at a time on one core); this is the TPU-native shape of the same
+capability: lanes are data-parallel, the analysis is a pure map with
+no sequential scan, so it shards over the stream-batch mesh axis like
+every other batched model.
+
+Ragged lanes: a lane with less than a full block pending simply sits
+out the step (its `lane_valid` is masked off) and catches up when fed;
+`finish(lane)` flushes the partial tail through the host planner.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+
+from soundkit_tpu.codecs.flac_encode import (
+    BitWriter,
+    FlacFrameEncoder,
+    _SubframePlan,
+)
+from soundkit_tpu.ops.flac_enc_batch import LPC_PRECISION, flac_analyze_x64
+
+# candidate stack order inside the device op
+_SLOT_SOURCES = {1: (0, 1), 8: (0, 2), 9: (2, 1), 10: (3, 2), 0: (0, 0)}
+
+
+class _Lane:
+    def __init__(self, channels: int, bits: int):
+        self.buf = np.zeros((channels, 0), np.int64)
+        self.frames: List[bytes] = []
+        self.md5 = hashlib.md5()
+        self.total = 0
+        self.min_fs: Optional[int] = None
+        self.max_fs = 0
+        self.finished = False
+
+
+class BatchedFlacEncoder:
+    """B-lane lockstep FLAC encoder (16/24-bit, mono/stereo)."""
+
+    def __init__(self, n_lanes: int, sample_rate: int, channels: int,
+                 bits_per_sample: int = 16, block_size: int = 4096):
+        if channels not in (1, 2):
+            raise ValueError("batched encoder: 1 or 2 channels")
+        self.B = n_lanes
+        self.channels = channels
+        self.bits = bits_per_sample
+        self.block_size = block_size
+        self.sample_rate = sample_rate
+        self._enc = [
+            FlacFrameEncoder(sample_rate, channels, bits_per_sample)
+            for _ in range(n_lanes)
+        ]
+        self._lanes = [_Lane(channels, bits_per_sample) for _ in range(n_lanes)]
+
+    def push(self, lane: int, samples: np.ndarray) -> None:
+        """[C, n] (or [n] for mono) ints at the declared bit depth."""
+        x = np.atleast_2d(np.asarray(samples, np.int64))
+        st = self._lanes[lane]
+        st.buf = np.concatenate([st.buf, x], axis=1)
+
+    def _md5_update(self, st: _Lane, block: np.ndarray) -> None:
+        inter = block.T.reshape(-1)
+        if self.bits == 16:
+            st.md5.update(inter.astype("<i2").tobytes())
+        else:
+            b = inter.astype("<i4").tobytes()
+            arr = np.frombuffer(b, np.uint8).reshape(-1, 4)[:, :3]
+            st.md5.update(arr.tobytes())
+
+    def _record(self, st: _Lane, frame: bytes, n: int,
+                block: np.ndarray) -> None:
+        self._md5_update(st, block)
+        st.total += n
+        st.min_fs = len(frame) if st.min_fs is None else min(st.min_fs, len(frame))
+        st.max_fs = max(st.max_fs, len(frame))
+        st.frames.append(frame)
+
+    def encode_step(self) -> int:
+        """One lockstep round: every lane holding a full block encodes
+        it through the shared device analysis.  Returns the number of
+        lanes that produced a frame this step."""
+        N = self.block_size
+        active = [i for i, st in enumerate(self._lanes)
+                  if st.buf.shape[1] >= N]
+        if not active:
+            return 0
+        x = np.zeros((self.B, 2, N), np.int64)
+        for i in active:
+            blk = self._lanes[i].buf[:, :N]
+            x[i, : self.channels] = blk
+        assign, kind, order, shift, qlp, res = flac_analyze_x64(
+            x, N, self.bits
+        )
+        for i in active:
+            st = self._lanes[i]
+            block = st.buf[:, :N]
+            st.buf = st.buf[:, N:]
+            frame = self._write_from_plan(
+                self._enc[i], block, int(assign[i]), kind[i], order[i],
+                shift[i], qlp[i], res[i],
+            )
+            self._record(st, frame, N, block)
+        return len(active)
+
+    def _write_from_plan(self, enc: FlacFrameEncoder, block: np.ndarray,
+                         assign: int, kind, order, shift, qlp,
+                         res) -> bytes:
+        C, n = block.shape
+        if C == 1:
+            assignment = 0
+            chan_bits = (self.bits,)
+            sources = (block[0].astype(np.int64),)
+        else:
+            L, R = block[0], block[1]
+            cand = (L, R, L - R, (L + R) >> 1)
+            s0, s1 = _SLOT_SOURCES[assign]
+            sources = (cand[s0], cand[s1])
+            assignment = assign
+            chan_bits = (
+                self.bits + (1 if assign == 9 else 0),
+                self.bits + (1 if assign in (8, 10) else 0),
+            )
+        plans = []
+        for slot, (src, bits) in enumerate(zip(sources, chan_bits)):
+            o = int(order[slot])
+            r = res[slot, o:n].astype(np.int64)
+            if src[0] == src[-1] and np.all(src == src[0]):
+                plans.append(_SubframePlan("constant", 0, None, bits,
+                                           src[:1], 0))
+                continue
+            if kind[slot] == 1:
+                plans.append(_SubframePlan(
+                    "lpc", o, r, bits, src[:o], 0,
+                    qlp=qlp[slot, :o].astype(np.int64),
+                    shift=int(shift[slot]), precision=LPC_PRECISION,
+                ))
+            else:
+                plans.append(_SubframePlan("fixed", o, r, bits, src[:o], 0))
+        return enc.write_frame(n, assignment, plans)
+
+    def finish(self, lane: int) -> bytes:
+        """Flush the lane's tail through the host planner and return
+        its complete .flac stream."""
+        st = self._lanes[lane]
+        # drain any full blocks still pending for this lane only
+        while st.buf.shape[1] >= self.block_size:
+            self.encode_step()
+        if st.buf.shape[1] >= 16:
+            block = st.buf
+            st.buf = st.buf[:, :0]
+            frame = self._enc[lane].encode_frame(block)
+            self._record(st, frame, block.shape[1], block)
+        elif st.buf.shape[1] > 0:
+            pad = 16 - st.buf.shape[1]
+            block = np.concatenate(
+                [st.buf, np.repeat(st.buf[:, -1:], pad, axis=1)], axis=1
+            )
+            st.buf = st.buf[:, :0]
+            frame = self._enc[lane].encode_frame(block)
+            self._record(st, frame, block.shape[1], block)
+        st.finished = True
+
+        info = BitWriter()
+        info.write(self.block_size, 16)
+        info.write(self.block_size, 16)
+        info.write(st.min_fs or 0, 24)
+        info.write(st.max_fs, 24)
+        info.write(self.sample_rate, 20)
+        info.write(self.channels - 1, 3)
+        info.write(self.bits - 1, 5)
+        info.write(st.total, 36)
+        for b in st.md5.digest():
+            info.write(b, 8)
+        si = info.bytes()
+        header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+        return header + b"".join(st.frames)
