@@ -145,6 +145,36 @@ def bench_flac(passes):
     return st
 
 
+def bench_flac_encode(passes):
+    """Encode direction: batched device analysis + host Rice pack."""
+    from soundkit_tpu.core.wav import parse_wav
+    from soundkit_tpu.models.flac_encode_batch import BatchedFlacEncoder
+
+    B = 64
+    wav = parse_wav((TESTDATA / "wav_stereo" / f"{CLIP}.wav").read_bytes())
+    pcm = (np.frombuffer(wav.data, "<i2")
+           .reshape(-1, wav.channel_count).T.astype(np.int64))
+    rate = wav.sampling_rate
+
+    def one_pass():
+        m = BatchedFlacEncoder(B, rate, 2, 16)
+        t0 = time.perf_counter()
+        for b in range(B):
+            m.push(b, pcm)
+        while m.encode_step():
+            pass
+        sizes = [len(m.finish(b)) for b in range(B)]
+        el = time.perf_counter() - t0
+        assert all(s > 1000 for s in sizes)
+        return _xrt(B * pcm.shape[1] / rate, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["direction"] = "encode"
+    return st
+
+
 def bench_vorbis(passes):
     from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
 
@@ -276,6 +306,7 @@ def main():
         "aac_lc": lambda: bench_aac(args.passes),
         "mp3": lambda: bench_mp3(args.passes),
         "flac": lambda: bench_flac(args.passes),
+        "flac_encode": lambda: bench_flac_encode(args.passes),
         "vorbis": lambda: bench_vorbis(args.passes),
         "opus": lambda: bench_opus(args.passes),
         "g711_mulaw": lambda: bench_telephony(
