@@ -133,7 +133,7 @@ def bench_flac(passes):
         for b in range(B):
             model.push(b, data)
         n = model.ready_frames
-        samples, metas = model.decode_batches(n)
+        samples, metas = model.decode_batches(n, device_out=True)
         el = time.perf_counter() - t0
         total = sum(int(metas[f][0][0]) for f in range(n))
         return _xrt(B * total / 16000.0, el)
@@ -220,7 +220,7 @@ def bench_opus(passes):
         for b in range(B):
             for p in pkts:
                 model.push_packet(b, p)
-        out, lens = model.decode_ready()
+        out, lens = model.decode_ready(device_out=True)
         el = time.perf_counter() - t0
         return _xrt(B * out.shape[0] * 0.02, el)
 
@@ -317,12 +317,16 @@ def main():
         "fleet_mixed": lambda: bench_fleet(args.passes),
     }
     only = [f for f in args.formats.split(",") if f]
-    results = {
+    results = {}
+    if only and Path(args.json).exists():
+        # partial run: merge into the committed results
+        results = json.loads(Path(args.json).read_text())
+    results.update({
         "unit": "aggregate_x_realtime",
         "backend": str(jax.devices()[0]),
         "note": "median AND best across passes; shared axon tunnel "
                 "varies widely run to run (CLAUDE.md)",
-    }
+    })
     for name, fn in benches.items():
         if only and name not in only:
             continue

@@ -60,7 +60,8 @@ class BatchedFlacDecoder:
         self._streams[b] = FlacPartsStream(self.stride)
         self._pending[b] = []
 
-    def decode_ready(self, max_frames: Optional[int] = None):
+    def decode_ready(self, max_frames: Optional[int] = None,
+                     device_out: bool = False):
         """Decode lockstep frame batches (bounded by the least-ready
         lane; use :meth:`decode_batches` for ragged fleets).
 
@@ -70,45 +71,52 @@ class BatchedFlacDecoder:
         n = self.ready_frames
         if max_frames is not None:
             n = min(n, max_frames)
-        return self.decode_batches(n)
+        return self.decode_batches(n, device_out=device_out)
 
-    def decode_batches(self, n: int):
+    def decode_batches(self, n: int, device_out: bool = False):
         """Decode exactly ``n`` lockstep batches; lanes with nothing
-        pending decode as invalid (silent, meta row zero)."""
-        outs, metas = [], []
-        for _ in range(n):
-            resw = np.zeros((self.B, 2, self.stride), dtype=np.int32)
-            coef = np.zeros((self.B, 2, 32), dtype=np.int32)
-            order = np.zeros((self.B, 2), dtype=np.int32)
-            shift = np.zeros((self.B, 2), dtype=np.int32)
-            wasted = np.zeros((self.B, 2), dtype=np.int32)
-            assign = np.zeros(self.B, dtype=np.int32)
-            bs = np.zeros(self.B, dtype=np.int32)
-            valid = np.zeros(self.B, dtype=bool)
+        pending decode as invalid (silent, meta row zero).
+
+        FLAC frames carry no device state, so every round folds into
+        the lane axis of ONE jitted call ([n*B, 2, stride] wire).  The
+        round count is padded to the next power of two so the number
+        of compiled programs stays logarithmic in serving batch size.
+        With ``device_out=True`` the samples stay on device (no d2h).
+        """
+        if n == 0:
+            return np.zeros((0, self.B, 2, self.stride), np.int32), []
+        n_pad = 1 << (n - 1).bit_length()
+        L = n_pad * self.B
+        resw = np.zeros((L, 2, self.stride), dtype=np.int32)
+        coef = np.zeros((L, 2, 32), dtype=np.int32)
+        order = np.zeros((L, 2), dtype=np.int32)
+        shift = np.zeros((L, 2), dtype=np.int32)
+        wasted = np.zeros((L, 2), dtype=np.int32)
+        assign = np.zeros(L, dtype=np.int32)
+        bs = np.zeros(L, dtype=np.int32)
+        valid = np.zeros(L, dtype=bool)
+        metas = []
+        for i in range(n):
             meta_all = np.zeros((self.B, 12), dtype=np.int32)
             for b in range(self.B):
                 if not self._pending[b]:
                     continue
+                j = i * self.B + b
                 meta, rw, cf = self._pending[b].pop(0)
                 meta_all[b] = meta
-                resw[b], coef[b] = rw, cf
-                bs[b] = meta[0]
-                assign[b] = meta[2]
-                order[b] = meta[4::3][:2]
-                shift[b] = meta[5::3][:2]
-                wasted[b] = meta[6::3][:2]
-                valid[b] = True
-            outs.append(
-                flac_lpc.flac_frame_device_x64(
-                    resw, coef, order, shift, wasted, assign, bs, valid
-                )
-            )
+                resw[j], coef[j] = rw, cf
+                bs[j] = meta[0]
+                assign[j] = meta[2]
+                order[j] = meta[4::3][:2]
+                shift[j] = meta[5::3][:2]
+                wasted[j] = meta[6::3][:2]
+                valid[j] = True
             metas.append(meta_all)
-        if not outs:
-            return np.zeros((0, self.B, 2, self.stride), np.int32), []
-        # fetch each round's [B, 2, stride] i32 in sub-cliff chunks:
-        # a whole-batch fetch (2.4 MB at B=64) sits in the tunnel's
-        # d2h stall zone and was the dominant cost of this model
-        from soundkit_tpu.utils.wire import from_device_chunked
-
-        return np.stack([from_device_chunked(o) for o in outs]), metas
+        out = flac_lpc.flac_frames_device_batch(
+            resw, coef, order, shift, wasted, assign, bs, valid,
+            device_out=device_out,
+        )
+        out = out.reshape(n_pad, self.B, 2, self.stride)[:n]
+        if not device_out:
+            out = np.ascontiguousarray(out)
+        return out, metas

@@ -146,13 +146,20 @@ ROUNDS_PER_CALL = 8
 def _celt_multi_step():
     """jit of ROUNDS_PER_CALL masked synthesis rounds as one scan:
     inputs [R, B, ...], carried (ola, hist, emph), output
-    pcm [R, B, C, 960]."""
+    pcm [R, B, C, 960].
+
+    The freq wire may arrive trimmed to the coded band end (all bins
+    above ``celt_freq_bands[end] * 8`` are structurally zero — 320 of
+    960 for a WB stream) and is zero-padded back to the frame size on
+    device; the jit specializes per wire width, and widths take only
+    the handful of values the TOC bandwidths allow, so at most four
+    programs ever compile."""
     import jax
     from jax import lax
 
     import jax.numpy as jnp
 
-    from soundkit_tpu.ops.celt_batch import celt_synth_step
+    from soundkit_tpu.ops.celt_batch import N as FRAME_N, celt_synth_step
 
     def body(carry, xs):
         ola, hist, emph = carry
@@ -168,6 +175,11 @@ def _celt_multi_step():
         return (o2, h2, e2), pcm
 
     def multi(freq, short_flag, comb_params, valid, ola, hist, emph):
+        w = freq.shape[-1]
+        if w < FRAME_N:
+            freq = jnp.pad(
+                freq, ((0, 0), (0, 0), (0, 0), (0, FRAME_N - w))
+            )
         (ola, hist, emph), pcm = lax.scan(
             body, (ola, hist, emph),
             (freq, short_flag, comb_params, valid),
@@ -320,14 +332,24 @@ class BatchedCeltDecoder:
         )
         return freq, int(bool(lp["shortBlocks"])), cp
 
-    def decode_ready(self, max_packets: Optional[int] = None):
+    def decode_ready(self, max_packets: Optional[int] = None,
+                     device_out: bool = False):
         """Decode lockstep packet batches on the device.
 
         Returns (pcm [packets, B, C, 960] f32, lengths [packets, B]
-        i32).  Valid samples sit at the start of each slot; a lane's
-        first slots are short by its head's preskip.  Lanes with no
-        queued packet in a round emit silence (length 0) and keep
-        their synthesis state frozen.
+        i32).  Lanes with no queued packet in a round emit silence
+        (length 0) and keep their synthesis state frozen; a lane's
+        first slots are short by its head's preskip.
+
+        ``device_out=False`` (default): pcm is a host array with the
+        valid samples at the START of each slot.
+
+        ``device_out=True``: pcm stays a device array — no d2h fetch
+        happens, the serving pattern for downstream device stages (the
+        fetch is ~65% of wall time on the tunnel, CLAUDE.md).  Valid
+        samples then sit at the END of each slot (``slot[...,
+        FRAME-length:]``) because the preskip trim is not applied on
+        device; length-960 slots are identical under both conventions.
         """
         import jax.numpy as jnp
 
@@ -342,6 +364,7 @@ class BatchedCeltDecoder:
         sflag = np.zeros((n_pad, self.B), np.int32)
         comb = np.zeros((n_pad, self.B, 16), np.float32)
         valid = np.zeros((n_pad, self.B), bool)
+        end_max = 0
         for i in range(n):
             if self._native is not None:
                 frames = [b""] * self.B
@@ -367,18 +390,48 @@ class BatchedCeltDecoder:
                 freq[i] = f64
                 comb[i] = c64
                 sflag[i] = sf
+                if np.any(valid[i]):
+                    end_max = max(end_max, int(ends[valid[i]].max()))
             else:
                 for b in range(self.B):
                     if not self._packets[b]:
                         continue
                     pkt = self._packets[b].pop(0)
+                    _, end_b, _ = self._frame_of(pkt)
                     freq[i, b], sflag[i, b], comb[i, b] = \
                         self._parse_lane(b, pkt)
                     valid[i, b] = True
+                    end_max = max(end_max, end_b)
+        # fold the OpusHead output gain into the spectra: the whole
+        # synthesis chain (IMDCT/overlap/comb/de-emphasis) is linear,
+        # and the carried state scales consistently lane-wise
+        for b in range(self.B):
+            if self._gain[b] != 1.0:
+                freq[:, b] *= np.float32(self._gain[b])
+        # per-slot valid lengths depend only on packet presence and
+        # the remaining preskip — independent of the pcm itself
+        lengths = np.zeros((n, self.B), dtype=np.int32)
+        for b in range(self.B):
+            skip = self._skip[b]
+            for i in range(n):
+                if not valid[i, b]:
+                    continue
+                k = min(skip, self.FRAME)
+                skip -= k
+                lengths[i, b] = self.FRAME - k
+            self._skip[b] = skip
+        # trim the wire to the coded band end: bins above
+        # celt_freq_bands[end]*8 are structurally zero (a WB stream
+        # sends 320 of 960 bins — 3x less h2d)
+        from soundkit_tpu.codecs.opus_celt import tables as _celt_tables
+
+        fb = _celt_tables()["celt_freq_bands"].astype(np.int64)
+        W = int(fb[end_max]) * 8 if end_max else self.FRAME
         # device stage: R rounds per jitted scan call (fixed R keeps
-        # exactly one compiled program; the tunnel charges a fixed
-        # dispatch+sync cost per call), chunked transfers both ways
-        # (h2d collapses past ~5 MB, d2h stalls past ~1-2 MB)
+        # the compiled-program count bounded; the tunnel charges a
+        # fixed dispatch+sync cost per call), chunked h2d (collapses
+        # past ~5 MB), and NO per-call sync — every round is
+        # dispatched async and a single block happens at the end
         from soundkit_tpu.utils.wire import (
             WIRE_CHUNK_BYTES,
             from_device_chunked,
@@ -392,37 +445,41 @@ class BatchedCeltDecoder:
             ).reshape(a.shape)
 
         step = _celt_multi_step()
-        out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
-        lengths = np.zeros((n, self.B), dtype=np.int32)
         ola, hist, emph = (
             jnp.asarray(self._ola), jnp.asarray(self._hist),
             jnp.asarray(self._emph),
         )
+        chunks = []
         for r0 in range(0, n_pad, R):
             pcm, ola, hist, emph = step(
-                h2d(freq[r0:r0 + R]),
+                h2d(freq[r0:r0 + R, :, :, :W]),
                 jnp.asarray(sflag[r0:r0 + R]),
                 jnp.asarray(comb[r0:r0 + R]),
                 jnp.asarray(valid[r0:r0 + R]),
                 ola, hist, emph,
             )
-            host = from_device_chunked(pcm)
-            for i in range(r0, min(r0 + R, n)):
-                for b in range(self.B):
-                    if not valid[i, b]:
-                        continue
-                    lane = host[i - r0, b]
-                    if self._gain[b] != 1.0:
-                        lane = lane * np.float32(self._gain[b])
-                    k = min(self._skip[b], self.FRAME)
-                    if k:
-                        self._skip[b] -= k
-                        lane = lane[:, k:]
-                    out[i, b, :, : lane.shape[1]] = lane
-                    lengths[i, b] = lane.shape[1]
+            chunks.append(pcm)
         # np.array copies: zero-copy views of jax buffers are read-only
         # and reset_lane writes rows in place
         self._ola, self._hist, self._emph = (
             np.array(ola), np.array(hist), np.array(emph),
         )
+        if device_out:
+            if chunks:
+                pcm_all = jnp.concatenate(chunks, axis=0)[:n]
+            else:
+                pcm_all = jnp.zeros(
+                    (0, self.B, self.C, self.FRAME), jnp.float32
+                )
+            pcm_all.block_until_ready()
+            return pcm_all, lengths
+        out = np.zeros((n, self.B, self.C, self.FRAME), dtype=np.float32)
+        for ci, r0 in enumerate(range(0, n_pad, R)):
+            host = from_device_chunked(chunks[ci])
+            for i in range(r0, min(r0 + R, n)):
+                for b in range(self.B):
+                    if not valid[i, b]:
+                        continue
+                    k = self.FRAME - lengths[i, b]
+                    out[i, b, :, : self.FRAME - k] = host[i - r0, b][:, k:]
         return out, lengths

@@ -103,3 +103,66 @@ def flac_frame_device_x64(resw, coef, order, shift, wasted, chan_assign,
             np.asarray(block_size, np.int64), np.asarray(lane_valid, bool),
         )
         return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_i32():
+    """jit of the frame kernel over an int32 wire: the widening to
+    int64 happens ON DEVICE, halving the h2d bytes of the residual
+    wire (the dominant transfer of the FLAC path)."""
+    import jax
+    import jax.numpy as jnp
+
+    def kern(resw, coef, order, shift, wasted, chan_assign,
+             block_size, lane_valid):
+        c = lambda a: a.astype(jnp.int64)  # noqa: E731
+        return flac_frame_device(
+            c(resw), c(coef), c(order), c(shift), c(wasted),
+            c(chan_assign), c(block_size), lane_valid,
+        )
+
+    return jax.jit(kern)
+
+
+def flac_frames_device_batch(resw, coef, order, shift, wasted,
+                             chan_assign, block_size, lane_valid,
+                             device_out: bool = False):
+    """Serving entry: MANY frames in ONE device call.
+
+    FLAC frames are independent (no carried device state), so lockstep
+    rounds fold straight into the lane axis: the caller collapses
+    [rounds, B] to one leading dim of ``rounds*B`` lanes.  int32 wire
+    h2d in sub-cliff chunks, int64 math on device, and either a
+    chunked d2h fetch (host np.int32 out) or ``device_out=True`` (the
+    samples stay device-resident for downstream stages; no d2h).
+
+    The previous per-round path paid a synchronous unchunked ~2.4 MB
+    fetch per round — the dominant cost of the whole model on the
+    tunnel (CLAUDE.md d2h notes).
+    """
+    import jax
+
+    from soundkit_tpu.utils.wire import (
+        WIRE_CHUNK_BYTES,
+        from_device_chunked,
+        to_device_chunked,
+    )
+
+    def h2d(a, dt):
+        a = np.ascontiguousarray(np.asarray(a, dt))
+        flat = a.reshape(-1)
+        return to_device_chunked(
+            flat, chunk_bytes=WIRE_CHUNK_BYTES // a.itemsize
+        ).reshape(a.shape)
+
+    with jax.enable_x64():
+        out = _jitted_i32()(
+            h2d(resw, np.int32), h2d(coef, np.int32),
+            h2d(order, np.int32), h2d(shift, np.int32),
+            h2d(wasted, np.int32), h2d(chan_assign, np.int32),
+            h2d(block_size, np.int32), np.asarray(lane_valid, bool),
+        )
+    if device_out:
+        out.block_until_ready()
+        return out
+    return from_device_chunked(out)

@@ -197,6 +197,42 @@ def test_batched_celt_device_decoder(testdata):
     assert snr > 90, f"resumed lane: {snr:.1f} dB"
 
 
+def test_batched_celt_device_out(testdata):
+    """device_out=True keeps pcm on device (no d2h in the hot path)
+    and must equal the host path sample for sample — valid samples sit
+    at the END of each slot under the device convention."""
+    import struct as _struct
+
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer
+    from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
+
+    data = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)[:24]
+    head = dmx.head
+    wire = head.raw[:19] + b"".join(
+        _struct.pack("<H", len(p)) + p for p in pkts
+    )
+    B = 2
+    m_host = BatchedCeltDecoder(B, channels=head.channels)
+    m_dev = BatchedCeltDecoder(B, channels=head.channels)
+    for m in (m_host, m_dev):
+        m.push(0, wire)
+        m.push(1, wire)
+    out_h, len_h = m_host.decode_ready()
+    out_d, len_d = m_dev.decode_ready(device_out=True)
+    assert np.array_equal(len_h, len_d)
+    out_d = np.asarray(out_d)
+    assert out_d.shape == out_h.shape
+    F = m_host.FRAME
+    for i in range(out_h.shape[0]):
+        for b in range(B):
+            k = len_h[i, b]
+            np.testing.assert_array_equal(
+                out_h[i, b, :, :k], out_d[i, b, :, F - k:]
+            )
+
+
 def test_celt_synth_sharded_8dev(testdata):
     """celt_synth_step is sharding-invariant over the streams axis of
     the 8-device mesh (the serving scale-out path)."""
