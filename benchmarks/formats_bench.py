@@ -161,8 +161,7 @@ def bench_flac_encode(passes):
         t0 = time.perf_counter()
         for b in range(B):
             m.push(b, pcm)
-        while m.encode_step():
-            pass
+        m.encode_pending()
         sizes = [len(m.finish(b)) for b in range(B)]
         el = time.perf_counter() - t0
         assert all(s > 1000 for s in sizes)

@@ -122,14 +122,14 @@ class BatchedAacLcDecoder:
                 pcm, self._saved, self._prev_shape = self._step_v4(
                     jnp.asarray(buf4), self._prev_shape, self._saved, max_steps
                 )
-                outs.append(pcm if device_out else np.asarray(pcm))
+                outs.append(pcm)
                 continue
             buf3 = self._try_v3(aus)
             if buf3 is not None:
                 pcm, self._saved, self._prev_shape = self._step_v3(
                     buf3, self._prev_shape, self._saved
                 )
-                outs.append(pcm if device_out else np.asarray(pcm))
+                outs.append(pcm)
                 continue
             buf = self._try_packed(aus)
             if buf is not None:
@@ -149,11 +149,19 @@ class BatchedAacLcDecoder:
                     jnp.asarray(fb.shape[:, :C]), self._prev_shape,
                     jnp.asarray(fb.chan_valid[:, :C]), self._saved,
                 )
-            outs.append(pcm if device_out else np.asarray(pcm))
+            outs.append(pcm)
         if not outs:
             empty = np.zeros((0, self.B, self.C, 1024), dtype=np.float32)
             return jnp.asarray(empty) if device_out else empty
-        return jnp.stack(outs) if device_out else np.stack(outs)
+        # accumulate device handles (rounds dispatch async, no per-
+        # round sync) and fetch ONCE in sub-cliff chunks on the host
+        # path: a per-round np.asarray cost a ~20 ms round-trip each
+        stacked = jnp.stack(outs)
+        if device_out:
+            return stacked
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        return from_device_chunked(stacked)
 
     def _lane_parsers(self, aus):
         """Ensure a native parser exists per sr_index present; returns

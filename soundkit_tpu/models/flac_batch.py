@@ -114,9 +114,7 @@ class BatchedFlacDecoder:
             metas.append(meta_all)
         out = flac_lpc.flac_frames_device_batch(
             resw, coef, order, shift, wasted, assign, bs, valid,
-            device_out=device_out,
+            device_out=device_out, n_keep=n * self.B,
         )
-        out = out.reshape(n_pad, self.B, 2, self.stride)[:n]
-        if not device_out:
-            out = np.ascontiguousarray(out)
+        out = out.reshape(n, self.B, 2, self.stride)
         return out, metas

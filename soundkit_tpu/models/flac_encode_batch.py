@@ -116,6 +116,43 @@ class BatchedFlacEncoder:
             self._record(st, frame, N, block)
         return len(active)
 
+    def encode_pending(self) -> int:
+        """Drain every full block of every lane through ONE device
+        call (blocks are analysis-independent, so lanes AND rounds
+        fold into the leading dim — the serving entry; `encode_step`
+        remains the one-round lockstep form).  Returns the number of
+        frames produced.
+
+        The entry count pads to the next power of two so the number
+        of compiled programs stays logarithmic in queue depth.
+        """
+        from soundkit_tpu.ops.flac_enc_batch import flac_analyze_batch
+
+        N = self.block_size
+        jobs = []  # (lane, block_view) in per-lane FIFO order
+        for i, st in enumerate(self._lanes):
+            nb = st.buf.shape[1] // N
+            for k in range(nb):
+                jobs.append((i, st.buf[:, k * N : (k + 1) * N]))
+            if nb:
+                st.buf = st.buf[:, nb * N :]
+        if not jobs:
+            return 0
+        L = 1 << (len(jobs) - 1).bit_length()
+        x = np.zeros((L, 2, N), np.int32)
+        for j, (_, blk) in enumerate(jobs):
+            x[j, : self.channels] = blk
+        assign, kind, order, shift, qlp, res = flac_analyze_batch(
+            x, N, self.bits
+        )
+        for j, (i, blk) in enumerate(jobs):
+            frame = self._write_from_plan(
+                self._enc[i], blk, int(assign[j]),
+                kind[j], order[j], shift[j], qlp[j], res[j],
+            )
+            self._record(self._lanes[i], frame, N, blk)
+        return len(jobs)
+
     def _write_from_plan(self, enc: FlacFrameEncoder, block: np.ndarray,
                          assign: int, kind, order, shift, qlp,
                          res) -> bytes:

@@ -208,4 +208,8 @@ class BatchedMp3Decoder:
             empty = np.zeros((0, self.B, self.C, 576), dtype=np.float32)
             return jnp.asarray(empty) if device_out else empty
         stacked = jnp.stack(outs)
-        return stacked if device_out else np.asarray(stacked)
+        if device_out:
+            return stacked
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        return from_device_chunked(stacked)

@@ -187,6 +187,7 @@ class BatchedVorbisDecoder:
 
         outs = [[] for _ in range(self.B)]
         dev_outs: List = []
+        host_chunks: List = []  # (r0, hi, device out) — fetched ONCE below
         for r0 in range(0, n_pad, R):
             out, self._state = self._step(
                 jnp.asarray(spec[r0:r0 + R]),
@@ -206,7 +207,12 @@ class BatchedVorbisDecoder:
             mx = int(len_np[r0:hi].max()) if hi > r0 else 0
             if mx == 0:
                 continue
-            out_np = from_device_chunked(out[: hi - r0, ..., :mx])
+            # device-side trim only; every round dispatches async and
+            # ONE chunked fetch happens after the loop (a per-chunk
+            # fetch serialized host latency between dispatches)
+            host_chunks.append((r0, hi, out[: hi - r0, ..., :mx]))
+        for r0, hi, dev in host_chunks:
+            out_np = from_device_chunked(dev)
             for r in range(r0, hi):
                 for b in range(self.B):
                     if len_np[r, b] > 0:

@@ -217,3 +217,52 @@ def flac_analyze_x64(x, n_valid, bits):
             jnp.asarray(np.asarray(x, np.int64)), jnp.asarray(int(n_valid))
         )
         return tuple(np.asarray(o) for o in out)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_i32(bits):
+    """jit over an int32 sample wire: widening to int64 happens ON
+    DEVICE (samples are <= 25 bits incl. the side channel), halving
+    the h2d bytes of the PCM wire."""
+    import jax
+    import jax.numpy as jnp
+
+    def kern(x, n_valid):
+        return flac_analyze_device(x.astype(jnp.int64), n_valid, bits)
+
+    return jax.jit(kern)
+
+
+def flac_analyze_batch(x, n_valid, bits):
+    """Serving entry: MANY independent blocks in ONE device call.
+
+    FLAC blocks carry no cross-block analysis state, so the caller
+    folds every pending (lane, round) block into the leading dim of
+    ``x`` [L, 2, N] int32.  h2d ships the int32 wire in sub-cliff
+    chunks, the analysis runs as one jitted map, and the residual
+    plane comes back int32 in chunked d2h fetches — the per-round
+    path paid one synchronous ~4 MB h2d + ~4 MB d2h per block round,
+    squarely in the tunnel's stall zones (CLAUDE.md).
+
+    Returns the same tuple as :func:`flac_analyze_x64`.
+    """
+    import jax
+
+    from soundkit_tpu.utils.wire import (
+        WIRE_CHUNK_BYTES,
+        from_device_chunked,
+        to_device_chunked,
+    )
+
+    x = np.ascontiguousarray(np.asarray(x, np.int32))
+    wire = to_device_chunked(
+        x.reshape(-1), chunk_bytes=WIRE_CHUNK_BYTES // 4
+    ).reshape(x.shape)
+    with jax.enable_x64():
+        assign, kind, order, shift, qlp, res = _jitted_i32(bits)(
+            wire, np.int64(n_valid)
+        )
+    return (
+        np.asarray(assign), np.asarray(kind), np.asarray(order),
+        np.asarray(shift), np.asarray(qlp), from_device_chunked(res),
+    )

@@ -126,7 +126,8 @@ def _jitted_i32():
 
 def flac_frames_device_batch(resw, coef, order, shift, wasted,
                              chan_assign, block_size, lane_valid,
-                             device_out: bool = False):
+                             device_out: bool = False,
+                             n_keep: int | None = None):
     """Serving entry: MANY frames in ONE device call.
 
     FLAC frames are independent (no carried device state), so lockstep
@@ -162,6 +163,8 @@ def flac_frames_device_batch(resw, coef, order, shift, wasted,
             h2d(wasted, np.int32), h2d(chan_assign, np.int32),
             h2d(block_size, np.int32), np.asarray(lane_valid, bool),
         )
+    if n_keep is not None and n_keep < out.shape[0]:
+        out = out[:n_keep]  # device-side slice: never fetch the pad
     if device_out:
         out.block_until_ready()
         return out

@@ -168,3 +168,22 @@ def test_flac_analyze_sharding_invariance(stereo_pcm):
         sharded = fn(shard(x), jnp.asarray(N))
         for p, s in zip(plain, sharded):
             np.testing.assert_array_equal(np.asarray(p), np.asarray(s))
+
+
+def test_encode_pending_equals_stepwise(stereo_pcm):
+    """The folded single-call drain (encode_pending) must emit byte-
+    identical streams to the one-round-per-call lockstep form."""
+    pcm, rate = stereo_pcm
+    variants = [pcm, pcm[:, : pcm.shape[1] // 3]]
+    m_step = BatchedFlacEncoder(2, rate, 2, 16)
+    m_fold = BatchedFlacEncoder(2, rate, 2, 16)
+    for m in (m_step, m_fold):
+        for i, v in enumerate(variants):
+            m.push(i, v)
+    while m_step.encode_step():
+        pass
+    n = m_fold.encode_pending()
+    assert n > 0
+    assert m_fold.encode_pending() == 0  # drained
+    for i in range(2):
+        assert m_step.finish(i) == m_fold.finish(i), f"lane {i}"
