@@ -44,6 +44,25 @@ _RATE_CODES = {
     24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
 }
 _BITS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+_KIND_CODE = {"constant": 0, "verbatim": 1, "fixed": 2, "lpc": 3}
+
+
+def _native_lib():
+    """Native bit-packer handle, or None when the host library cannot
+    build (the pure-Python writer then serves every call)."""
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from soundkit_tpu.native.loader import load
+
+            _NATIVE = load()
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
 
 
 class BitWriter:
@@ -390,7 +409,61 @@ class FlacFrameEncoder:
     def write_frame(self, n: int, assignment: int, plans) -> bytes:
         """Assemble one frame from precomputed subframe plans (used
         both by encode_frame and by the batched device-analysis path,
-        models/flac_encode_batch.py)."""
+        models/flac_encode_batch.py).
+
+        Routes through the native bit-packer
+        (native/src/flac_pack.cpp skt_flac_pack_frame1, byte-identical
+        to :meth:`write_frame_py`) when the host library is available;
+        the pure-Python writer remains the fallback and the
+        equivalence oracle (tests/test_flac_encode_native.py).
+        """
+        lib = _native_lib()
+        if lib is None:
+            return self.write_frame_py(n, assignment, plans)
+        if not 16 <= n <= 65535:
+            raise ValueError("block size out of range")
+        ns = len(plans)
+        kind = np.zeros(ns, np.int32)
+        order = np.zeros(ns, np.int32)
+        slot_bits = np.zeros(ns, np.int32)
+        shift = np.zeros(ns, np.int32)
+        warm = np.zeros((ns, n), np.int64)
+        res = np.zeros((ns, n), np.int64)
+        qlp = np.zeros((ns, 32), np.int32)
+        precisions = set()
+        for i, p in enumerate(plans):
+            kind[i] = _KIND_CODE[p.kind]
+            order[i] = p.order
+            slot_bits[i] = p.bits
+            if p.kind == "constant":
+                warm[i, 0] = p.warmup[0]
+            elif p.kind == "verbatim":
+                warm[i, :n] = p.warmup
+            else:
+                o = p.order
+                warm[i, :o] = p.warmup
+                res[i, : n - o] = p.res
+                if p.kind == "lpc":
+                    shift[i] = p.shift
+                    qlp[i, :o] = p.qlp
+                    precisions.add(p.precision)
+        if len(precisions) > 1:  # mixed precisions: generic path only
+            return self.write_frame_py(n, assignment, plans)
+        precision = precisions.pop() if precisions else 14
+        cap = 256 + ns * n * 6
+        out = np.zeros(cap, np.uint8)
+        ln = lib.skt_flac_pack_frame1(
+            n, self.sample_rate, self.bits, precision, self._frame_no,
+            assignment, ns, kind, order, slot_bits, shift,
+            warm.reshape(-1), res.reshape(-1), qlp.reshape(-1), out, cap,
+        )
+        if ln < 0:
+            return self.write_frame_py(n, assignment, plans)
+        self._frame_no += 1
+        return bytes(out[:ln])
+
+    def write_frame_py(self, n: int, assignment: int, plans) -> bytes:
+        """Pure-Python frame assembly (fallback + native oracle)."""
         if not 16 <= n <= 65535:
             raise ValueError("block size out of range")
         w = BitWriter()

@@ -66,6 +66,17 @@ class BatchedFlacEncoder:
         ]
         self._lanes = [_Lane(channels, bits_per_sample) for _ in range(n_lanes)]
 
+    @staticmethod
+    def _native_lib():
+        """Host-library handle or None (shared gate for the packer and
+        the fetch_res decision)."""
+        try:
+            from soundkit_tpu.native.loader import load
+
+            return load()
+        except Exception:
+            return None
+
     def push(self, lane: int, samples: np.ndarray) -> None:
         """[C, n] (or [n] for mono) ints at the declared bit depth."""
         x = np.atleast_2d(np.asarray(samples, np.int64))
@@ -105,15 +116,16 @@ class BatchedFlacEncoder:
         assign, kind, order, shift, qlp, res = flac_analyze_x64(
             x, N, self.bits
         )
+        blocks = [self._lanes[i].buf[:, :N] for i in active]
         for i in active:
-            st = self._lanes[i]
-            block = st.buf[:, :N]
-            st.buf = st.buf[:, N:]
-            frame = self._write_from_plan(
-                self._enc[i], block, int(assign[i]), kind[i], order[i],
-                shift[i], qlp[i], res[i],
-            )
-            self._record(st, frame, N, block)
+            self._lanes[i].buf = self._lanes[i].buf[:, N:]
+        frames = self._pack_frames(
+            active, blocks, x[active].astype(np.int32), assign[active],
+            kind[active], order[active], shift[active], qlp[active],
+            res[active].astype(np.int32),
+        )
+        for i, blk, frame in zip(active, blocks, frames):
+            self._record(self._lanes[i], frame, N, blk)
         return len(active)
 
     def encode_pending(self) -> int:
@@ -142,16 +154,70 @@ class BatchedFlacEncoder:
         x = np.zeros((L, 2, N), np.int32)
         for j, (_, blk) in enumerate(jobs):
             x[j, : self.channels] = blk
+        lib = self._native_lib()
         assign, kind, order, shift, qlp, res = flac_analyze_batch(
-            x, N, self.bits
+            x, N, self.bits, fetch_res=lib is None
         )
-        for j, (i, blk) in enumerate(jobs):
-            frame = self._write_from_plan(
-                self._enc[i], blk, int(assign[j]),
-                kind[j], order[j], shift[j], qlp[j], res[j],
-            )
+        F = len(jobs)
+        frames = self._pack_frames(
+            [i for i, _ in jobs], [b for _, b in jobs], x[:F],
+            assign[:F], kind[:F], order[:F], shift[:F], qlp[:F],
+            res[:F] if res is not None else None,
+        )
+        for (i, blk), frame in zip(jobs, frames):
             self._record(self._lanes[i], frame, N, blk)
         return len(jobs)
+
+    def _pack_frames(self, lanes, blocks, blocks_i32, assign, kind,
+                     order, shift, qlp, res) -> List[bytes]:
+        """Pack F analyzed blocks into frames via the native bit-packer
+        (native/src/flac_pack.cpp skt_flac_pack_frames) in one call;
+        falls back to the per-frame Python writer when the host library
+        is unavailable.  ``blocks_i32``/``res`` are [F, 2, N] int32
+        (res rows aligned at [order:]); frame numbers advance per lane
+        in job order (jobs are per-lane FIFO)."""
+        F = len(lanes)
+        N = blocks_i32.shape[-1]
+        fno = np.zeros(F, np.int64)
+        counts: dict = {}
+        for j, i in enumerate(lanes):
+            c = counts.get(i, self._enc[i]._frame_no)
+            fno[j] = c
+            counts[i] = c + 1
+        lib = self._native_lib()
+        if lib is None:
+            return [
+                self._write_from_plan(
+                    self._enc[i], blk, int(assign[j]), kind[j], order[j],
+                    shift[j], qlp[j], res[j],
+                )
+                for j, (i, blk) in enumerate(zip(lanes, blocks))
+            ]
+        if res is None:
+            res_ptr = None  # packer recomputes residuals from plans
+        else:
+            res_c = np.ascontiguousarray(res, np.int32)
+            res_ptr = res_c.ctypes.data
+        cap = 256 + N * 12
+        out = np.zeros(F * cap, np.uint8)
+        out_len = np.zeros(F, np.int64)
+        rc = lib.skt_flac_pack_frames(
+            F, N, self.channels, self.sample_rate, self.bits,
+            LPC_PRECISION, fno,
+            np.ascontiguousarray(assign, np.int32),
+            np.ascontiguousarray(kind, np.int32),
+            np.ascontiguousarray(order, np.int32),
+            np.ascontiguousarray(shift, np.int32),
+            np.ascontiguousarray(qlp, np.int32), qlp.shape[-1],
+            res_ptr,
+            np.ascontiguousarray(blocks_i32, np.int32),
+            out, cap, out_len,
+        )
+        if rc != 0:
+            raise RuntimeError(f"flac_pack overflow at frame {-rc - 1}")
+        for i, c in counts.items():
+            self._enc[i]._frame_no = c
+        return [bytes(out[f * cap : f * cap + out_len[f]]) for f in range(F)]
 
     def _write_from_plan(self, enc: FlacFrameEncoder, block: np.ndarray,
                          assign: int, kind, order, shift, qlp,

@@ -95,6 +95,7 @@ def load() -> ctypes.CDLL:
     lib.skt_av_pull_f32.restype = ctypes.c_long
     lib.skt_av_err.argtypes = [ctypes.c_void_p]
     lib.skt_av_err.restype = ctypes.c_char_p
+    _bind_flac_pack(lib)
     _bind_encoders(lib)
     _bind_aac(lib)
     _bind_aac_batch(lib)
@@ -146,6 +147,26 @@ def _bind_gsm(lib: ctypes.CDLL) -> None:
         ndpointer(np.int16, flags="C_CONTIGUOUS"),
     ]
     lib.skt_gsm_reset.argtypes = [ctypes.c_void_p]
+
+
+def _bind_flac_pack(lib: ctypes.CDLL) -> None:
+    from numpy.ctypeslib import ndpointer
+
+    i32 = ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64 = ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8 = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.skt_flac_pack_frames.restype = ctypes.c_long
+    lib.skt_flac_pack_frames.argtypes = [
+        ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i64, i32, i32, i32, i32, i32,
+        ctypes.c_int, ctypes.c_void_p, i32, u8, ctypes.c_long, i64,
+    ]
+    lib.skt_flac_pack_frame1.restype = ctypes.c_long
+    lib.skt_flac_pack_frame1.argtypes = [
+        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int, i32, i32, i32,
+        i32, i64, i64, i32, u8, ctypes.c_long,
+    ]
 
 
 def _bind_encoders(lib: ctypes.CDLL) -> None:

@@ -220,20 +220,25 @@ def flac_analyze_x64(x, n_valid, bits):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_i32(bits):
+def _jitted_i32(bits, with_res=True):
     """jit over an int32 sample wire: widening to int64 happens ON
     DEVICE (samples are <= 25 bits incl. the side channel), halving
-    the h2d bytes of the PCM wire."""
+    the h2d bytes of the PCM wire.  ``with_res=False`` drops the
+    [L, 2, N] residual plane from the outputs — XLA then dead-codes
+    its materialization and only the ~50 B/frame plan rows cross the
+    d2h tunnel (the native packer recomputes residuals exactly,
+    native/src/flac_pack.cpp)."""
     import jax
     import jax.numpy as jnp
 
     def kern(x, n_valid):
-        return flac_analyze_device(x.astype(jnp.int64), n_valid, bits)
+        out = flac_analyze_device(x.astype(jnp.int64), n_valid, bits)
+        return out if with_res else out[:-1]
 
     return jax.jit(kern)
 
 
-def flac_analyze_batch(x, n_valid, bits):
+def flac_analyze_batch(x, n_valid, bits, fetch_res=True):
     """Serving entry: MANY independent blocks in ONE device call.
 
     FLAC blocks carry no cross-block analysis state, so the caller
@@ -244,7 +249,10 @@ def flac_analyze_batch(x, n_valid, bits):
     path paid one synchronous ~4 MB h2d + ~4 MB d2h per block round,
     squarely in the tunnel's stall zones (CLAUDE.md).
 
-    Returns the same tuple as :func:`flac_analyze_x64`.
+    Returns the same tuple as :func:`flac_analyze_x64`; with
+    ``fetch_res=False`` the residual plane is neither materialized on
+    device nor fetched, and the final element is ``None`` (the native
+    packer recomputes residuals host-side from the plans).
     """
     import jax
 
@@ -259,10 +267,14 @@ def flac_analyze_batch(x, n_valid, bits):
         x.reshape(-1), chunk_bytes=WIRE_CHUNK_BYTES // 4
     ).reshape(x.shape)
     with jax.enable_x64():
-        assign, kind, order, shift, qlp, res = _jitted_i32(bits)(
-            wire, np.int64(n_valid)
-        )
+        out = _jitted_i32(bits, fetch_res)(wire, np.int64(n_valid))
+    if fetch_res:
+        assign, kind, order, shift, qlp, res = out
+        res = from_device_chunked(res)
+    else:
+        assign, kind, order, shift, qlp = out
+        res = None
     return (
         np.asarray(assign), np.asarray(kind), np.asarray(order),
-        np.asarray(shift), np.asarray(qlp), from_device_chunked(res),
+        np.asarray(shift), np.asarray(qlp), res,
     )
