@@ -268,7 +268,10 @@ def bench_fleet(passes):
     flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
 
     def one_pass():
-        fleet = StreamFleet(capacity_per_group=8)
+        # i16 serving mode = the reference pipeline's default output
+        # depth (decode_i16); quantization runs on device so the d2h
+        # wire is half the bytes of the f32 planes
+        fleet = StreamFleet(capacity_per_group=8, out_bits=16)
         t0 = time.perf_counter()
         for i in range(8):
             fleet.push(f"a{i}", aac)

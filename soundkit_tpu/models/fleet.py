@@ -96,11 +96,11 @@ class _BatchedGroup:
             return None
         return self._model.lane_sample_rate(lane)
 
-    def decode(self, n: int):
+    def decode(self, n: int, device_out: bool = False):
         m = self._ensure()
-        if self.kind == "flac":
-            return m.decode_batches(n)  # (samples, metas)
-        return m.decode_batches(n)
+        if self.kind == "vorbis":
+            return m.decode_batches(n)  # ragged host lists
+        return m.decode_batches(n, device_out=device_out)
 
 
 class StreamFleet:
@@ -118,7 +118,20 @@ class StreamFleet:
 
     BATCH_SAMPLES = {"aac": 1024, "mp3": 576}
 
-    def __init__(self, capacity_per_group: int = 16, channels: int = 2):
+    def __init__(self, capacity_per_group: int = 16, channels: int = 2,
+                 out_bits: int = 32):
+        """``out_bits=16`` is the serving-mode analog of the
+        reference's default i16 output (DecodeOptions
+        output_bits_per_sample / decode_i16, soundkit-decoder
+        lib.rs:88-92): PCM quantizes to int16 ON DEVICE (*32767
+        out-scale, audio_pipeline.rs:14-35) so the d2h wire is half
+        the bytes — the fetch is the fleet's throughput ceiling on the
+        tunnel (~13 MB/s d2h).  FLAC 16-bit lanes are bit-exact in
+        this mode (their samples are i16-valued integers already).
+        ``out_bits=32`` returns f32 planes (the default)."""
+        if out_bits not in (16, 32):
+            raise ValueError("out_bits must be 16 or 32")
+        self.out_bits = out_bits
         self.channels = channels
         self._groups: Dict[str, _BatchedGroup] = {
             k: _BatchedGroup(k, capacity_per_group, channels)
@@ -234,13 +247,42 @@ class StreamFleet:
 
     # -- decode -----------------------------------------------------------
 
+    def _fetch(self, dev) -> np.ndarray:
+        """Fetch a staged device array; in i16 mode the quantization
+        runs on device first so half the bytes cross the tunnel."""
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        if self.out_bits == 16:
+            import jax.numpy as jnp
+
+            f32q, i32q = _i16_quantizers()
+            dev = f32q(dev) if dev.dtype == jnp.float32 else i32q(dev)
+        return from_device_chunked(dev)
+
+    def _host_out(self, pcm: np.ndarray) -> np.ndarray:
+        """Match the device-side i16 quantization for host-produced
+        planes (vorbis ragged output, fallback decoders)."""
+        if self.out_bits == 16:
+            return np.clip(
+                np.round(pcm * 32767.0), -32768, 32767
+            ).astype(np.int16)
+        return pcm
+
     def collect(self) -> Dict[str, np.ndarray]:
-        """Decode every group and return newly produced PCM per stream."""
+        """Decode every group and return newly produced PCM per stream.
+
+        Two-phase: every group's device program dispatches first
+        (async), then the outputs are fetched — the fetch is the
+        bottleneck on the d2h tunnel, so no group's compute waits
+        behind another group's transfer.  With ``out_bits=16`` the
+        quantization to int16 happens on device before the fetch
+        (half the wire bytes)."""
         out: Dict[str, np.ndarray] = {}
         for sid in self._retired:
             self._rates.pop(sid, None)
         self._retired = []
 
+        staged = []  # (kind, active, ready_before, n, dev, metas)
         for kind, group in self._groups.items():
             active = {
                 sid: ln for sid, ln in self._lanes.items() if ln.group == kind
@@ -260,11 +302,21 @@ class StreamFleet:
                 for sid, ln in active.items():
                     pcm = per_lane[ln.index]
                     if pcm.shape[-1]:
-                        out[sid] = pcm.astype(np.float32)
+                        out[sid] = self._host_out(pcm.astype(np.float32))
                         ln.produced += 1
                 continue
             if kind == "flac":
-                samples, metas = group.decode(n)
+                samples, metas = group.decode(n, device_out=True)
+                staged.append((kind, active, ready_before, n, samples, metas))
+            else:
+                pcm = group.decode(n, device_out=True)  # [n, B, C, S] f32
+                if getattr(pcm, "shape", (0,))[0] == 0:
+                    continue
+                staged.append((kind, active, ready_before, n, pcm, None))
+
+        for kind, active, ready_before, n, dev, metas in staged:
+            if kind == "flac":
+                samples = self._fetch(dev)  # [n, B, 2, stride] int
                 for sid, ln in active.items():
                     k = min(ready_before[sid], n)
                     if k == 0:
@@ -273,17 +325,15 @@ class StreamFleet:
                     for f in range(k):
                         meta = metas[f][ln.index]
                         ch = max(int(meta[1]), 1)
-                        parts.append(
-                            samples[f, ln.index, :ch, : meta[0]].astype(np.float32)
-                            / 32768.0
-                        )
+                        sl = samples[f, ln.index, :ch, : meta[0]]
+                        if self.out_bits == 16:
+                            parts.append(sl)  # already exact int16
+                        else:
+                            parts.append(sl.astype(np.float32) / 32768.0)
                     out[sid] = np.concatenate(parts, axis=1)
                     ln.produced += k
             else:
-                pcm = group.decode(n)  # [n, B, C, S] f32
-                if getattr(pcm, "shape", (0,))[0] == 0:
-                    continue
-                pcm = np.asarray(pcm)
+                pcm = self._fetch(dev)
                 for sid, ln in active.items():
                     k = min(ready_before[sid], n)
                     if k == 0:
@@ -301,7 +351,7 @@ class StreamFleet:
                 padded = [
                     np.pad(p, ((0, maxc - p.shape[0]), (0, 0))) for p in parts
                 ]
-                out[sid] = np.concatenate(padded, axis=1)
+                out[sid] = self._host_out(np.concatenate(padded, axis=1))
                 self._pending_out[sid] = []
 
         # recycle lanes of ended, fully drained streams — and drop all
@@ -327,6 +377,28 @@ class StreamFleet:
             elif sid not in self._detect:
                 del self._ended[sid]
         return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _i16_quantizers():
+    """Jitted device-side i16 quantizers: f32 in [-1, 1] via the
+    reference's *32767 out-scale (audio_pipeline.rs:14-35), and int32
+    FLAC samples via saturating cast (exact for 16-bit streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jax.jit(
+        lambda x: jnp.clip(
+            jnp.round(x * 32767.0), -32768, 32767
+        ).astype(jnp.int16)
+    )
+    i32 = jax.jit(
+        lambda x: jnp.clip(x, -32768, 32767).astype(jnp.int16)
+    )
+    return f32, i32
 
 
 def _to_f32_channels(audio) -> List[np.ndarray]:

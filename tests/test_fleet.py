@@ -278,3 +278,34 @@ def test_vorbis_batched_device_out_skips_fetch():
         ]
         got = np.concatenate(parts, axis=-1)
         np.testing.assert_allclose(got, host[b], atol=1e-6)
+
+
+def test_fleet_i16_serving_mode(media):
+    """out_bits=16: device-side quantization must match the host
+    formula on lossy lanes (within float rounding) and be EXACT for
+    16-bit FLAC lanes (raw decoded integers, no quantization)."""
+    f32 = StreamFleet(capacity_per_group=2, channels=2)
+    i16 = StreamFleet(capacity_per_group=2, channels=2, out_bits=16)
+    for fleet in (f32, i16):
+        fleet.push("a", media["aac"])
+        fleet.push("f", media["flac"])
+        fleet.push("w", media["wav"])  # host fallback quantization
+        for sid in ("a", "f", "w"):
+            fleet.end_stream(sid)
+    got32 = f32.collect()
+    got16 = i16.collect()
+    assert got16["a"].dtype == np.int16
+    assert got16["f"].dtype == np.int16
+    assert got16["w"].dtype == np.int16
+    # lossy lane: same *32767 round within 1 LSB of float reround
+    q = np.clip(np.round(got32["a"] * 32767.0), -32768, 32767)
+    assert np.abs(got16["a"].astype(np.int64) - q.astype(np.int64)).max() <= 1
+    # FLAC 16-bit lane: bit-exact vs the host decoder's raw samples
+    from soundkit_tpu.codecs.flac import FlacDecoder
+
+    fd = FlacDecoder()
+    ad = fd.add(media["flac"])
+    ref = np.frombuffer(ad.data, "<i2").reshape(-1, ad.channel_count).T
+    got = got16["f"][:, : ref.shape[1]]
+    np.testing.assert_array_equal(got, ref[:, : got.shape[1]])
+    assert got.shape[1] >= ref.shape[1] - 4608  # at most one tail frame short
