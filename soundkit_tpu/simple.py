@@ -23,6 +23,11 @@ exceptions, 8 KiB/64 KiB detection window:
   raw Opus packets.
 - ``AudioContentCipher`` (WasmAudioContentCipher, lib.rs:262): ACE1
   envelope seal/open.
+- ``AudioContentKeyUnwrapper`` (WasmAudioContentKeyUnwrapper,
+  lib.rs:106): content-key envelope open/seal under an ECDH/HKDF
+  wrapping key.
+- ``OpusDecoder`` (WasmOpusDecoder, lib.rs:271): raw Opus packets ->
+  interleaved i16, per-packet (dec_frame / dec_frame_reuse contract).
 """
 from __future__ import annotations
 
@@ -378,3 +383,107 @@ class SoundKitFrameDecoder:
     def flush(self) -> List[SoundKitFrame]:
         self._stream.finish()
         return []
+
+
+class AudioContentKeyUnwrapper:
+    """WasmAudioContentKeyUnwrapper mirror (lib.rs:106-163): opens and
+    seals the endpoint-specific envelope that transports a 32-byte
+    audio content key under a P-256 ECDH + HKDF-SHA256 wrapping key
+    (the wrapping-key derivation happens outside this surface; the
+    caller supplies the canonical key-exchange context as AAD)."""
+
+    NONCE_LEN = 12
+    KEY_LEN = 32
+    SEALED_LEN = 48  # 32-byte key + 16-byte Poly1305 tag
+
+    def __init__(self, key: bytes):
+        key = bytes(key)
+        if len(key) != self.KEY_LEN or not any(key):
+            raise ValueError("invalid audio content wrapping key")
+        self._cipher = ChaCha20Poly1305PacketCipher(key)
+
+    def open(self, nonce: bytes, ciphertext: bytes,
+             authenticated_data: bytes = b"") -> bytes:
+        nonce, ciphertext = bytes(nonce), bytes(ciphertext)
+        if len(nonce) != self.NONCE_LEN or len(ciphertext) != self.SEALED_LEN:
+            raise ValueError("invalid audio content key envelope")
+        plaintext = self._cipher.decrypt_nonce_prefixed(
+            nonce + ciphertext, bytes(authenticated_data)
+        )
+        if len(plaintext) != self.KEY_LEN or not any(plaintext):
+            raise ValueError("invalid audio content key")
+        return plaintext
+
+    def seal(self, nonce: bytes, plaintext: bytes,
+             authenticated_data: bytes = b"") -> bytes:
+        nonce, plaintext = bytes(nonce), bytes(plaintext)
+        if (len(nonce) != self.NONCE_LEN or len(plaintext) != self.KEY_LEN
+                or not any(plaintext)):
+            raise ValueError("invalid audio content key")
+        packet = self._cipher.encrypt_nonce_prefixed(
+            nonce, plaintext, bytes(authenticated_data)
+        )
+        return packet[self.NONCE_LEN:]  # ciphertext only, as the reference
+
+
+@dataclass
+class OpusDecodeResult:
+    """WasmOpusDecodeResult mirror (lib.rs:279): a decoded packet's
+    interleaved i16 buffer plus the samples-per-channel count."""
+
+    output: np.ndarray  # interleaved int16, frame_size * channels long
+    decoded_size: int
+
+    def pcm(self) -> np.ndarray:
+        """The valid interleaved samples."""
+        return self.output[: self.decoded_size * _result_channels(self)]
+
+
+def _result_channels(res: "OpusDecodeResult") -> int:
+    n = res.decoded_size
+    return res.output.size // n if n else 1
+
+
+class OpusDecoder:
+    """WasmOpusDecoder mirror (lib.rs:271,872-932): per-packet raw
+    Opus decode to interleaved i16 at 48 kHz through the framework's
+    OWN RFC 6716 decoder (codecs/opus_core.py), with the reference's
+    reusable-output contract: ``dec_frame`` returns a result snapshot,
+    ``dec_frame_reuse`` decodes into ``self.output`` and returns the
+    samples-per-channel count."""
+
+    def __init__(self, channels: int, sample_rate: int = 48000,
+                 frame_size: int = 960):
+        if sample_rate != 48000:
+            raise ValueError(
+                "soundkit currently supports 48 kHz Opus decode"
+            )
+        from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
+
+        self.channels = channels
+        self._dec = _Own(channels)
+        out_len = max(frame_size * channels, max(channels, 1))
+        self.output = np.zeros(out_len, np.int16)
+        self.decoded_size = 0
+
+    def dec_frame(self, packet: bytes) -> OpusDecodeResult:
+        self.dec_frame_reuse(packet)
+        return OpusDecodeResult(self.output.copy(), self.decoded_size)
+
+    def dec_frame_reuse(self, packet: bytes) -> int:
+        pcm = np.asarray(self._dec.decode_packet(bytes(packet)),
+                         np.float32).reshape(-1)
+        # libopus decode_i16 conversion: round(x * 32768), saturated
+        i16 = np.clip(
+            np.rint(pcm.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+        n = i16.size
+        if n > self.output.size:
+            self.output = np.zeros(n, np.int16)
+        self.output[:n] = i16
+        self.output[n:] = 0
+        self.decoded_size = n // max(self.channels, 1)
+        return self.decoded_size
+
+    def destroy(self) -> None:
+        """Reference-API parity no-op (wasm frees its linear memory)."""

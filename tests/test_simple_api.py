@@ -194,3 +194,56 @@ def test_audio_content_cipher_surface():
         c.open(7, env, b"wrong aad")
     with pytest.raises(Exception):
         AudioContentCipher(bytes(32))  # zero key rejected
+
+
+def test_audio_content_key_unwrapper_surface():
+    """AudioContentKeyUnwrapper (lib.rs:106-163 analog): 48-byte
+    envelope seal/open round-trip; size and zero-key validation."""
+    from soundkit_tpu.simple import AudioContentKeyUnwrapper
+
+    wrap_key = bytes(range(1, 33))
+    u = AudioContentKeyUnwrapper(wrap_key)
+    nonce = bytes(range(12))
+    content_key = bytes(range(100, 132))
+    sealed = u.seal(nonce, content_key, b"kex context")
+    assert len(sealed) == 48
+    assert u.open(nonce, sealed, b"kex context") == content_key
+    with pytest.raises(Exception):
+        u.open(nonce, sealed, b"other context")  # AAD mismatch
+    with pytest.raises(ValueError):
+        u.open(nonce[:8], sealed, b"kex context")  # bad nonce len
+    with pytest.raises(ValueError):
+        u.seal(nonce, bytes(32), b"")  # zero content key
+    with pytest.raises(ValueError):
+        AudioContentKeyUnwrapper(bytes(32))  # zero wrapping key
+
+
+def test_opus_decoder_surface(testdata):
+    """OpusDecoder (WasmOpusDecoder analog): per-packet decode of the
+    ogg-opus fixture's packets, dec_frame vs dec_frame_reuse parity,
+    output non-silent."""
+    from soundkit_tpu.simple import OpusDecoder
+
+    ogg = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    box = OpusDeboxer()
+    pkts = box.push(ogg) + box.flush()
+    channels = box.opus_head[9]
+    d1 = OpusDecoder(channels)
+    d2 = OpusDecoder(channels)
+    total = 0
+    energy = 0.0
+    for pkt in pkts[:40]:
+        res = d1.dec_frame(pkt)
+        n = d2.dec_frame_reuse(pkt)
+        assert res.decoded_size == n > 0
+        np.testing.assert_array_equal(
+            res.output[: n * channels], d2.output[: n * channels]
+        )
+        total += n
+        energy += float(
+            np.abs(res.output[: n * channels].astype(np.int64)).sum()
+        )
+    assert total >= 40 * 480  # >= 10 ms frames at 48 kHz
+    assert energy > 0
+    with pytest.raises(ValueError):
+        OpusDecoder(channels, sample_rate=44100)
