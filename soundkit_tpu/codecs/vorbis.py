@@ -20,6 +20,7 @@ import numpy as np
 
 from soundkit_tpu.codecs.vorbis_core import (
     VorbisSetup,
+    cached_setup,
     VorbisStreamSynth,
     VorbisUnsupported,
 )
@@ -72,7 +73,7 @@ class VorbisPacketDecoder:
         self.sample_rate = struct.unpack_from("<I", headers[0], 12)[0]
         self._av = None
         try:
-            self._setup = VorbisSetup(headers[0], headers[2])
+            self._setup = cached_setup(bytes(headers[0]), bytes(headers[2]))
             self._synth = VorbisStreamSynth(self._setup)
         except VorbisUnsupported:
             from soundkit_tpu.codecs.avdec import AvDecoder
@@ -108,7 +109,7 @@ class VorbisDecoder:
 
     def _init_decoder(self) -> None:
         try:
-            self._setup = VorbisSetup(self._headers[0], self._headers[2])
+            self._setup = cached_setup(bytes(self._headers[0]), bytes(self._headers[2]))
             self._synth = VorbisStreamSynth(self._setup)
         except VorbisUnsupported:
             from soundkit_tpu.codecs.avdec import AvDecoder

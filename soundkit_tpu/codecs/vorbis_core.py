@@ -821,6 +821,18 @@ def apply_window(pcm: np.ndarray, n: int, n0: int, prev_flag: int,
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def cached_setup(ident: bytes, setup: bytes) -> VorbisSetup:
+    """Shared VorbisSetup keyed by the exact header bytes.
+
+    A setup parse builds every codebook's canonical Huffman map
+    (~0.5 ms each, dozens per stream) and is immutable afterwards —
+    decode_packet_spectrum writes no setup state — so lanes of a
+    batched model (and any streams sharing encoder settings) reuse one
+    instance instead of re-parsing identical headers per lane."""
+    return VorbisSetup(ident, setup)
+
+
 class VorbisStreamSynth:
     """Carries lapped state across packets; returns finished PCM."""
 

@@ -18,7 +18,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from soundkit_tpu.codecs.vorbis_core import VorbisSetup
+from soundkit_tpu.codecs.vorbis_core import VorbisSetup, cached_setup
 from soundkit_tpu.demux.ogg import OggPacketizer
 from soundkit_tpu.ops import vorbis_batch as vb
 
@@ -56,7 +56,7 @@ class BatchedVorbisDecoder:
             if lane.setup is None:
                 lane.headers.append(packet)
                 if len(lane.headers) == 3:
-                    lane.setup = VorbisSetup(lane.headers[0], lane.headers[2])
+                    lane.setup = cached_setup(bytes(lane.headers[0]), bytes(lane.headers[2]))
                     topo = (
                         lane.setup.blocksize0,
                         lane.setup.blocksize1,
