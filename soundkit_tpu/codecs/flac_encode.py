@@ -160,13 +160,18 @@ def _rice_cost(res: np.ndarray, k: int) -> int:
 
 
 def _best_rice_k(res: np.ndarray, max_k: int = 30) -> Tuple[int, int]:
-    """(k, bits).  Start from the mean-based estimate and refine."""
+    """(k, bits).  Start from the mean-based estimate and refine.
+
+    The candidate window is clamped so it stays non-empty when the
+    folded mean exceeds 2^32 (k0 > max_k + 2): k = max_k must be
+    evaluated there, or k = 0 wins by default and the unary coding
+    explodes (native/src/flac_pack.cpp mirrors this exactly)."""
     r = res.astype(np.int64)
     u = ((r << 1) ^ (r >> 63)).astype(np.uint64)
     mean = float(u.mean()) if len(u) else 0.0
     k0 = max(int(mean).bit_length() - 1, 0) if mean >= 1 else 0
     best = (0, _rice_cost(res, 0))
-    for k in range(max(k0 - 2, 0), min(k0 + 3, max_k) + 1):
+    for k in range(min(max(k0 - 2, 0), max_k), min(k0 + 3, max_k) + 1):
         c = _rice_cost(res, k)
         if c < best[1]:
             best = (k, c)

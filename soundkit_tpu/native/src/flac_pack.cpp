@@ -168,6 +168,10 @@ static inline void best_rice_k(const RiceScratch& s, long stride, long a,
   int best_k = 0;
   int lo = k0 - 2 > 0 ? k0 - 2 : 0;
   int hi = k0 + 3 < 30 ? k0 + 3 : 30;
+  // huge means (hostile residuals) push k0 past the 30 cap; keep the
+  // window non-empty so k=30 is evaluated and k=0 can't win by
+  // default with an astronomically long unary run
+  if (lo > hi) lo = hi;
   for (int k = lo; k <= hi; k++) {
     uint64_t sk = (k < s.krows) ? s.pref[(size_t)k * stride + b] -
                                       s.pref[(size_t)k * stride + a]
@@ -262,10 +266,15 @@ static void write_residual(BitWriter& w, const T* res, long n,
     for (long i = off; i < off + cnt; i++) {
       uint64_t u = s.u[i];
       uint64_t q = u >> k;
-      while (q >= 32) { w.write(0, 32); q -= 32; }
+      while (q >= 32) {
+        if (w.overflow) return;  // 64-bit residuals can imply unary
+        w.write(0, 32);          // runs far past any frame cap; stop
+        q -= 32;                 // writing the moment the cap is hit
+      }
       w.write(1, (int)q + 1);  // q zeros then the unary terminator
       if (k) w.write(u & ((1ull << k) - 1), k);
     }
+    if (w.overflow) return;
     off += cnt;
   }
 }
@@ -426,10 +435,21 @@ long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
         for (long i = 1; i < N; i++)
           if (sv[i] != sv[0]) { is_const = false; break; }
       }
+      // clamp plan fields to the wire contract: hostile/garbled plans
+      // must not read outside the qlp row or the block
       int o = order[f * 2 + slot];
+      int omax = qstride < 32 ? qstride : 32;
+      if (o < 0) o = 0;
+      if (o > omax) o = omax;
+      if ((long)o >= N) o = (int)(N > 0 ? N - 1 : 0);
       int k = is_const ? K_CONSTANT
-                       : (kind[f * 2 + slot] == 1 ? K_LPC : K_FIXED);
+                       : (kind[f * 2 + slot] == 1 && o >= 1 ? K_LPC
+                                                            : K_FIXED);
+      if (k == K_FIXED && o > 4) o = 4;
+      if (k == K_LPC && o > 32) o = 32;
       int sh = shift[f * 2 + slot];
+      if (sh < 0) sh = 0;
+      if (sh > 31) sh = 31;
       const int32_t* q = qlp + (size_t)(f * 2 + slot) * qstride;
       if (res) {
         write_subframe(w, k, o, slot_bits[slot], sv,
@@ -478,11 +498,26 @@ long skt_flac_pack_frame1(long n, int sample_rate, int bits, int precision,
   BitWriter w(out, cap);
   frame_header(w, n, sample_rate, bits, assignment, (uint64_t)frame_no);
   RiceScratch scratch;
+  if (precision < 1) precision = 1;
+  if (precision > 32) precision = 32;
   for (int slot = 0; slot < nslots; slot++) {
-    write_subframe(w, kind[slot], order[slot], slot_bits[slot],
-                   warmup + (size_t)slot * n, res + (size_t)slot * n, n,
-                   precision, shiftv[slot], qlp + (size_t)slot * 32,
-                   scratch);
+    int k = kind[slot];
+    if (k < 0 || k > 3) k = K_VERBATIM;
+    int o = order[slot];
+    if (o < 0) o = 0;
+    if (o > 32) o = 32;
+    if ((long)o >= n) o = (int)(n > 0 ? n - 1 : 0);
+    if (k == K_LPC && o < 1) k = K_FIXED;
+    if (k == K_FIXED && o > 4) o = 4;
+    int sh = shiftv[slot];
+    if (sh < 0) sh = 0;
+    if (sh > 31) sh = 31;
+    int sb = slot_bits[slot];
+    if (sb < 1) sb = 1;
+    if (sb > 33) sb = 33;
+    write_subframe(w, k, o, sb, warmup + (size_t)slot * n,
+                   res + (size_t)slot * n, n, precision, sh,
+                   qlp + (size_t)slot * 32, scratch);
   }
   return finish_frame(w);
 }

@@ -183,8 +183,62 @@ def fuzz_alac(data):
         pos += n
     lib.skt_alac_free(h)
 
+lib.skt_flac_pack_frames.restype = ctypes.c_long
+lib.skt_flac_pack_frames.argtypes = [
+    ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    i32p, i32p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_void_p, i32p,
+    u8p, ctypes.c_long, ndpointer(np.int64, flags="C_CONTIGUOUS")]
+lib.skt_flac_pack_frame1.restype = ctypes.c_long
+lib.skt_flac_pack_frame1.argtypes = [
+    ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_longlong, ctypes.c_int, ctypes.c_int, i32p, i32p, i32p,
+    i32p, ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ndpointer(np.int64, flags="C_CONTIGUOUS"), i32p, u8p, ctypes.c_long]
+
+def fuzz_flac_pack(_data):
+    # hostile PLANS over random PCM: garbled kind/order/shift/assign
+    # values from a corrupted device wire must never read OOB
+    npr = np.random.default_rng(rng.randrange(1 << 30))
+    F = rng.randrange(1, 5)
+    N = rng.choice([64, 256, 1024, 4096])
+    ch = rng.randrange(1, 3)
+    lim = 1 << 23
+    block = npr.integers(-lim, lim, (F, 2, N)).astype(np.int32)
+    assign = npr.integers(-3, 40, F).astype(np.int32)
+    kind = npr.integers(-2, 4, F * 2).astype(np.int32)
+    order = npr.integers(-5, 70, F * 2).astype(np.int32)
+    shift = npr.integers(-9, 70, F * 2).astype(np.int32)
+    qlp = npr.integers(-(1 << 14), 1 << 14, F * 2 * 8).astype(np.int32)
+    res = npr.integers(-(1 << 28), 1 << 28, F * 2 * N).astype(np.int32)
+    fno = npr.integers(0, 1 << 40, F).astype(np.int64)
+    cap = 256 + N * 12
+    out = np.zeros(F * cap, np.uint8)
+    out_len = np.zeros(F, np.int64)
+    use_res = rng.random() < 0.5
+    lib.skt_flac_pack_frames(
+        F, N, ch, rng.choice([8000, 44100, 47999]), rng.choice([16, 24]),
+        14, fno, assign, kind, order, shift, qlp, 8,
+        res.ctypes.data if use_res else None, block.reshape(-1),
+        out, cap, out_len)
+    # single-frame generic entry with equally hostile plans
+    n1 = int(rng.choice([16, 1000, 4096]))
+    warm = npr.integers(-lim, lim, 2 * n1).astype(np.int64)
+    res1 = npr.integers(-(1 << 28), 1 << 28, 2 * n1).astype(np.int64)
+    qlp1 = npr.integers(-(1 << 14), 1 << 14, 2 * 32).astype(np.int32)
+    kind1 = npr.integers(-2, 6, 2).astype(np.int32)
+    order1 = npr.integers(-5, 70, 2).astype(np.int32)
+    sb1 = npr.integers(-4, 40, 2).astype(np.int32)
+    sh1 = npr.integers(-9, 70, 2).astype(np.int32)
+    out1 = np.zeros(256 + 2 * n1 * 6, np.uint8)
+    lib.skt_flac_pack_frame1(
+        n1, 44100, 16, rng.randrange(-3, 40), rng.randrange(1 << 40),
+        rng.randrange(16), 2, kind1, order1, sb1, sh1, warm, res1, qlp1,
+        out1, len(out1))
+
 fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac,
-       "gsm": fuzz_gsm, "alac": fuzz_alac}
+       "gsm": fuzz_gsm, "alac": fuzz_alac, "flac_pack": fuzz_flac_pack}
+corpora["flac_pack"] = b"\x00" * 64  # plans are generated, not mutated
 for it in range(iters):
     kind = rng.choice(list(fns))
     fns[kind](mutate(corpora[kind]))
