@@ -31,11 +31,64 @@ traffic, see utils/wire.py).
 """
 import json
 import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 
+def wait_for_device(max_wait_s: float) -> bool:
+    """Block until the TPU answers a trivial op, or the budget runs out.
+
+    The shared axon tunnel can wedge entirely for 10+ minutes (even
+    jnp.ones((8,)) hangs — CLAUDE.md tunnel notes); without this gate
+    the bench would hang inside warmup with no diagnostics.  Probes run
+    on daemon threads so a stuck transfer never blocks the retry loop.
+    """
+    import threading
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    ok = [False]
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+
+            (jnp.ones((8,)) * 2).block_until_ready()
+            ok[0] = True
+        except Exception as e:  # backend init failure: report + retry
+            print(f"bench: device probe error: {e!r}", file=sys.stderr)
+
+    while time.time() < deadline:
+        attempt += 1
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(90)
+        if ok[0]:
+            if attempt > 1:
+                print(f"bench: device healthy after {attempt} probes",
+                      file=sys.stderr)
+            return True
+        print(f"bench: device unresponsive (probe {attempt}); waiting",
+              file=sys.stderr)
+        time.sleep(30)
+        if ok[0]:  # a late probe may have landed during the sleep
+            return True
+    return False
+
+
 def main() -> None:
+    if not wait_for_device(float(os.environ.get("SKT_BENCH_WAIT_S", 3600))):
+        print(json.dumps({
+            "metric": "aggregate_x_realtime_aac_lc_e2e_1024_distinct_streams",
+            "value": 0,
+            "unit": "x_realtime_per_chip_at_48k",
+            "vs_baseline": 0.0,
+            "error": "tpu unreachable: tunnel wedged for the whole "
+                     "wait budget (SKT_BENCH_WAIT_S)",
+        }))
+        return
+
     import jax
 
     from soundkit_tpu.codecs.aac_lc import AdtsStream
