@@ -31,7 +31,7 @@ from soundkit_tpu.codecs.flac_encode import (
     FlacFrameEncoder,
     _SubframePlan,
 )
-from soundkit_tpu.ops.flac_enc_batch import LPC_PRECISION, flac_analyze_x64
+from soundkit_tpu.ops.flac_enc_batch import LPC_PRECISION
 
 # candidate stack order inside the device op
 _SLOT_SOURCES = {1: (0, 1), 8: (0, 2), 9: (2, 1), 10: (3, 2), 0: (0, 0)}
@@ -105,41 +105,19 @@ class BatchedFlacEncoder:
         it through the shared device analysis.  Returns the number of
         lanes that produced a frame this step."""
         N = self.block_size
-        active = [i for i, st in enumerate(self._lanes)
-                  if st.buf.shape[1] >= N]
-        if not active:
-            return 0
-        x = np.zeros((self.B, 2, N), np.int64)
-        for i in active:
-            blk = self._lanes[i].buf[:, :N]
-            x[i, : self.channels] = blk
-        assign, kind, order, shift, qlp, res = flac_analyze_x64(
-            x, N, self.bits
-        )
-        blocks = [self._lanes[i].buf[:, :N] for i in active]
-        for i in active:
-            self._lanes[i].buf = self._lanes[i].buf[:, N:]
-        frames = self._pack_frames(
-            active, blocks, x[active].astype(np.int32), assign[active],
-            kind[active], order[active], shift[active], qlp[active],
-            res[active].astype(np.int32),
-        )
-        for i, blk, frame in zip(active, blocks, frames):
-            self._record(self._lanes[i], frame, N, blk)
-        return len(active)
+        jobs = []
+        for i, st in enumerate(self._lanes):
+            if st.buf.shape[1] >= N:
+                jobs.append((i, st.buf[:, :N]))
+                st.buf = st.buf[:, N:]
+        return self._encode_jobs(jobs)
 
     def encode_pending(self) -> int:
         """Drain every full block of every lane through ONE device
         call (blocks are analysis-independent, so lanes AND rounds
         fold into the leading dim — the serving entry; `encode_step`
         remains the one-round lockstep form).  Returns the number of
-        frames produced.
-
-        The entry count pads to the next power of two so the number
-        of compiled programs stays logarithmic in queue depth.
-        """
-        from soundkit_tpu.ops.flac_enc_batch import flac_analyze_batch
-
+        frames produced."""
         N = self.block_size
         jobs = []  # (lane, block_view) in per-lane FIFO order
         for i, st in enumerate(self._lanes):
@@ -148,8 +126,19 @@ class BatchedFlacEncoder:
                 jobs.append((i, st.buf[:, k * N : (k + 1) * N]))
             if nb:
                 st.buf = st.buf[:, nb * N :]
+        return self._encode_jobs(jobs)
+
+    def _encode_jobs(self, jobs) -> int:
+        """Analyze + pack a job list in one device call + one native
+        pack call.  The entry count pads to the next power of two so
+        the number of compiled programs stays logarithmic in queue
+        depth; with the native packer available the residual plane is
+        neither materialized on device nor fetched."""
+        from soundkit_tpu.ops.flac_enc_batch import flac_analyze_batch
+
         if not jobs:
             return 0
+        N = self.block_size
         L = 1 << (len(jobs) - 1).bit_length()
         x = np.zeros((L, 2, N), np.int32)
         for j, (_, blk) in enumerate(jobs):
