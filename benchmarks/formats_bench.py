@@ -177,7 +177,9 @@ def bench_flac_encode(passes):
 def bench_vorbis(passes):
     from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
 
-    B = 16
+    # B=64 became viable once setup headers parse once per topology
+    # (codecs/vorbis_core.cached_setup) instead of once per lane
+    B = 64
     data = (TESTDATA / "vorbis" / f"{CLIP}.ogg").read_bytes()
     model = BatchedVorbisDecoder(B)
 
