@@ -134,6 +134,7 @@ def bench_flac(passes):
             model.push(b, data)
         n = model.ready_frames
         samples, metas = model.decode_batches(n, device_out=True)
+        samples.block_until_ready()  # the op itself no longer blocks
         el = time.perf_counter() - t0
         total = sum(int(metas[f][0][0]) for f in range(n))
         return _xrt(B * total / 16000.0, el)

@@ -166,6 +166,8 @@ def flac_frames_device_batch(resw, coef, order, shift, wasted,
     if n_keep is not None and n_keep < out.shape[0]:
         out = out[:n_keep]  # device-side slice: never fetch the pad
     if device_out:
-        out.block_until_ready()
+        # returned WITHOUT blocking: callers staging several codec
+        # groups (fleet collect) must be able to dispatch them all
+        # before anything waits; benches block explicitly
         return out
     return from_device_chunked(out)
