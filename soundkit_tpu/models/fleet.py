@@ -248,15 +248,11 @@ class StreamFleet:
     # -- decode -----------------------------------------------------------
 
     def _fetch(self, dev) -> np.ndarray:
-        """Fetch a staged device array; in i16 mode the quantization
-        runs on device first so half the bytes cross the tunnel."""
+        """Fetch a staged device array (already quantized at staging
+        time in i16 mode, so half the bytes cross the tunnel and the
+        quantize programs of all groups overlapped the first fetch)."""
         from soundkit_tpu.utils.wire import from_device_chunked
 
-        if self.out_bits == 16:
-            import jax.numpy as jnp
-
-            f32q, i32q = _i16_quantizers()
-            dev = f32q(dev) if dev.dtype == jnp.float32 else i32q(dev)
         return from_device_chunked(dev)
 
     def _host_out(self, pcm: np.ndarray) -> np.ndarray:
@@ -307,11 +303,26 @@ class StreamFleet:
                 continue
             if kind == "flac":
                 samples, metas = group.decode(n, device_out=True)
+                if self.out_bits == 16:
+                    # per-(frame, lane) downshift: >16-bit lanes scale
+                    # like the reference's s24->i16 (arithmetic >> 8),
+                    # not clip; quantize dispatches HERE (phase 1) so
+                    # it overlaps other groups' transfers
+                    import jax.numpy as jnp
+
+                    shf = np.zeros((n, samples.shape[1]), np.int32)
+                    for f in range(n):
+                        shf[f] = np.maximum(metas[f][:, 3] - 16, 0)
+                    samples = _i16_quantizers()[1](
+                        samples, jnp.asarray(shf)
+                    )
                 staged.append((kind, active, ready_before, n, samples, metas))
             else:
                 pcm = group.decode(n, device_out=True)  # [n, B, C, S] f32
                 if getattr(pcm, "shape", (0,))[0] == 0:
                     continue
+                if self.out_bits == 16:
+                    pcm = _i16_quantizers()[0](pcm)
                 staged.append((kind, active, ready_before, n, pcm, None))
 
         for kind, active, ready_before, n, dev, metas in staged:
@@ -386,7 +397,9 @@ import functools
 def _i16_quantizers():
     """Jitted device-side i16 quantizers: f32 in [-1, 1] via the
     reference's *32767 out-scale (audio_pipeline.rs:14-35), and int32
-    FLAC samples via saturating cast (exact for 16-bit streams)."""
+    FLAC samples with a per-(frame, lane) arithmetic downshift —
+    exact for 16-bit streams (shift 0), s24le_to_i16-style >> 8 for
+    24-bit lanes (audio_bytes.rs:66)."""
     import jax
     import jax.numpy as jnp
 
@@ -396,7 +409,9 @@ def _i16_quantizers():
         ).astype(jnp.int16)
     )
     i32 = jax.jit(
-        lambda x: jnp.clip(x, -32768, 32767).astype(jnp.int16)
+        lambda x, shift: jnp.clip(
+            x >> shift[:, :, None, None], -32768, 32767
+        ).astype(jnp.int16)
     )
     return f32, i32
 

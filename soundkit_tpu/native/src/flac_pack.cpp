@@ -396,6 +396,8 @@ long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
                           const int32_t* qlp, int qstride,
                           const int32_t* res, const int32_t* block,
                           uint8_t* out, long cap, int64_t* out_len) {
+  if (precision < 1) precision = 1;
+  if (precision > 15) precision = 15;  // 4-bit wire field (15 = escape)
   std::vector<int32_t> src(2 * N);
   std::vector<int64_t> rsc(N);  // recomputed residual scratch
   RiceScratch scratch;
@@ -499,7 +501,7 @@ long skt_flac_pack_frame1(long n, int sample_rate, int bits, int precision,
   frame_header(w, n, sample_rate, bits, assignment, (uint64_t)frame_no);
   RiceScratch scratch;
   if (precision < 1) precision = 1;
-  if (precision > 32) precision = 32;
+  if (precision > 15) precision = 15;  // 4-bit wire field (15 = escape)
   for (int slot = 0; slot < nslots; slot++) {
     int k = kind[slot];
     if (k < 0 || k > 3) k = K_VERBATIM;

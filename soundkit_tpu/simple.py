@@ -433,15 +433,11 @@ class OpusDecodeResult:
 
     output: np.ndarray  # interleaved int16, frame_size * channels long
     decoded_size: int
+    channels: int
 
     def pcm(self) -> np.ndarray:
         """The valid interleaved samples."""
-        return self.output[: self.decoded_size * _result_channels(self)]
-
-
-def _result_channels(res: "OpusDecodeResult") -> int:
-    n = res.decoded_size
-    return res.output.size // n if n else 1
+        return self.output[: self.decoded_size * self.channels]
 
 
 class OpusDecoder:
@@ -468,7 +464,8 @@ class OpusDecoder:
 
     def dec_frame(self, packet: bytes) -> OpusDecodeResult:
         self.dec_frame_reuse(packet)
-        return OpusDecodeResult(self.output.copy(), self.decoded_size)
+        return OpusDecodeResult(self.output.copy(), self.decoded_size,
+                                self.channels)
 
     def dec_frame_reuse(self, packet: bytes) -> int:
         pcm = np.asarray(self._dec.decode_packet(bytes(packet)),

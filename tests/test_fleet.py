@@ -309,3 +309,34 @@ def test_fleet_i16_serving_mode(media):
     got = got16["f"][:, : ref.shape[1]]
     np.testing.assert_array_equal(got, ref[:, : got.shape[1]])
     assert got.shape[1] >= ref.shape[1] - 4608  # at most one tail frame short
+
+
+def test_fleet_i16_downshifts_24bit_flac():
+    """A 24-bit FLAC lane in out_bits=16 mode must scale like the
+    reference's s24->i16 (arithmetic >> 8), not saturate."""
+    from soundkit_tpu.codecs.flac_encode import FlacStreamEncoder
+
+    rng = np.random.default_rng(3)
+    n = 3 * 4096
+    t = np.arange(n)
+    pcm24 = np.stack([
+        (6_000_000 * np.sin(0.003 * t)).astype(np.int64)
+        + rng.integers(-999, 999, n),
+        (4_000_000 * np.sin(0.004 * t + 1)).astype(np.int64),
+    ])
+    enc = FlacStreamEncoder(48000, 2, 24)
+    enc.add(pcm24)
+    stream = enc.finish()
+
+    fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    fleet.push("s", stream)
+    fleet.end_stream("s")
+    out = fleet.collect()["s"]
+    assert out.dtype == np.int16
+    ref = np.clip(pcm24 >> 8, -32768, 32767).astype(np.int16)
+    got = out[:, : ref.shape[1]]
+    np.testing.assert_array_equal(got, ref[:, : got.shape[1]])
+    assert got.shape[1] >= n - 4096
+    # sanity: the signal actually exceeds 16-bit range, so the old
+    # clip-only path would have saturated
+    assert np.abs(pcm24).max() > (1 << 20)
