@@ -176,6 +176,7 @@ def main(argv=None) -> int:
     ap.add_argument("--bitrate", type=int, default=128_000)
     ap.add_argument("--frame-ms", type=int, default=20)
     ap.add_argument("--query", nargs="*", default=[])
+    ap.add_argument("--json", default="", help="write aggregates to PATH")
     args = ap.parse_args(argv)
 
     roots = [Path(d) for d in args.dir] or [Path("/root/reference/testdata")]
@@ -213,6 +214,7 @@ def main(argv=None) -> int:
         agg_own.add(own, dur)
         agg_lop.add(lop, dur)
         agg_bat.add(bat, dur)
+    summary = {}
     for name, agg in (("owned-enc", agg_own), ("libopus-enc", agg_lop),
                       ("batched", agg_bat)):
         if agg.tracks:
@@ -220,6 +222,31 @@ def main(argv=None) -> int:
                   f"enc_x={agg.audio_s/max(agg.enc_s,1e-9):.1f} "
                   f"dec_x={agg.audio_s/max(agg.dec_s,1e-9):.1f} "
                   f"mean_snr={np.mean(agg.snrs):.2f}dB")
+            summary[name] = {
+                "tracks": agg.tracks,
+                "audio_s": round(agg.audio_s, 2),
+                "enc_x_realtime": round(agg.audio_s / max(agg.enc_s, 1e-9), 2),
+                "dec_x_realtime": round(agg.audio_s / max(agg.dec_s, 1e-9), 2),
+                "mean_snr_db": round(float(np.mean(agg.snrs)), 2),
+            }
+    if args.json and summary:
+        import json
+
+        from soundkit_tpu.utils.backend import jax_cpu_ready
+
+        summary["config"] = {
+            "bitrate": args.bitrate, "frame_ms": args.frame_ms,
+            # owned/libopus single-stream DECODE rides the native-CELT
+            # + host-jitted-synthesis fast path (~40x) only when the
+            # jax CPU backend initializes; with the axon tunnel wedged
+            # it falls back to the pure-Python spec decoder (~3x)
+            "jax_cpu_available": jax_cpu_ready(),
+            "note": "owned CELT encode vs libopus shim vs batched "
+                    "serving decode over the reference testdata corpus "
+                    "(lori-asha-premix-bench BENCHMARK.md analog)",
+        }
+        Path(args.json).write_text(json.dumps(summary, indent=1) + "\n")
+        print("wrote", args.json)
     return 0
 
 

@@ -52,6 +52,10 @@ def _lib():
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.skt_celt_enc_frame.restype = ctypes.c_long
+    lib.skt_celt_enc_frame.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
 
     t = tables()
 
@@ -91,6 +95,7 @@ def _lib():
     push_i("model_alloc_trim", t["celt_model_alloc_trim"])
     push_i("model_energy_small", t["celt_model_energy_small"])
     push_f("postfilter_taps", t["celt_postfilter_taps"])
+    push_f("window", t["celt_window"])  # encoder forward MDCT
     if lib.skt_celt_tables_done() != 0:
         raise CeltNativeError("celt table finalize failed")
     return lib
@@ -182,3 +187,39 @@ class NativeCeltBatch:
             sflag.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return freq, comb, sflag, ok
+
+
+class NativeCeltEncoder:
+    """One stream's CELT encode state (mirrors CeltEncoder
+    encode_frame via native/src/celt_parse.cpp skt_celt_enc_frame)."""
+
+    def __init__(self, channels: int):
+        self._lib = _lib()
+        self.channels = channels
+        self._h = self._lib.skt_celt_new(channels)
+        if not self._h:
+            raise CeltNativeError("skt_celt_new failed")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_celt_free(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.skt_celt_reset(self._h)
+
+    def encode_frame(self, freq: np.ndarray, frame_size: int,
+                     nbytes: int) -> bytes:
+        """``freq``: [C, frame_size] forward-MDCT spectra (the caller
+        runs the dense MDCT matmul through BLAS, batched over frames)
+        -> the nbytes CBR range-coded payload (no TOC)."""
+        freq = np.ascontiguousarray(freq, dtype=np.float64)
+        out = np.zeros(nbytes, dtype=np.uint8)
+        r = self._lib.skt_celt_enc_frame(
+            self._h,
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frame_size, nbytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if r != nbytes:
+            raise CeltNativeError(f"celt encode failed ({r})")
+        return out.tobytes()

@@ -53,14 +53,96 @@ class OpusHead:
         )
 
 
+class _NativeCeltStream:
+    """Single-stream CELT fast path: C++ range-decode/PVQ parse
+    (native/src/celt_parse.cpp, ~160x the Python stage) + the same
+    synthesis math as the batched model (ops/celt_batch.py) jitted on
+    the HOST CPU backend — per-packet dispatch to the TPU tunnel is
+    slower than realtime (CLAUDE.md), so the single-stream path never
+    touches the device.  Raises OpusUnsupported on anything it cannot
+    serve (non-CELT mode, non-20 ms frames, PLC); the caller then
+    replays history through the Python decoder."""
+
+    def __init__(self, channels: int):
+        from soundkit_tpu.codecs.celt_native import NativeCeltParser
+        from soundkit_tpu.codecs.opus_celt import tables
+        from soundkit_tpu.ops.celt_batch import HIST
+        from soundkit_tpu.utils.backend import jax_cpu_ready
+
+        if not jax_cpu_ready():
+            raise RuntimeError("jax CPU backend unavailable in time")
+        self.C = channels
+        self._parser = NativeCeltParser(channels)
+        self._band_end = tables()["celt_band_end"].astype(int)
+        self._ola = np.zeros((1, channels, 120), np.float32)
+        self._hist = np.zeros((1, channels, HIST), np.float32)
+        self._emph = np.zeros((1, channels), np.float32)
+        # prove the host-jitted synthesis actually runs in THIS
+        # process (with the pinned TPU plugin down, jax init can fail
+        # entirely) — any error here sends the stream to the jax-free
+        # Python decoder instead of crashing mid-decode
+        _host_celt_synth()(
+            np.zeros((1, channels, 960), np.float32),
+            np.zeros(1, np.int32), np.zeros((1, 16), np.float32),
+            self._ola, self._hist, self._emph,
+        )
+
+    def decode_packet(self, data: bytes) -> np.ndarray:
+        """One packet -> [n, channels] f32 at 48 kHz."""
+        from soundkit_tpu.codecs.opus_core import (
+            OpusUnsupported,
+            parse_packet,
+        )
+
+        if not data:
+            raise OpusUnsupported("PLC on the native CELT fast path")
+        toc, frames = parse_packet(data)
+        if toc.mode != "celt" or toc.frame_duration != 20:
+            raise OpusUnsupported("fast path serves 20 ms CELT only")
+        coded = 2 if toc.stereo else 1
+        if coded > self.C:
+            raise OpusUnsupported("stereo packet in a mono stream")
+        end = int(self._band_end[toc.bandwidth])
+        synth = _host_celt_synth()
+        outs = []
+        for f in frames:
+            freq, comb, sflag = self._parser.parse(f, end, coded)
+            freq = np.asarray(freq, np.float32)
+            if coded < self.C:
+                freq = np.repeat(freq, self.C, axis=0)
+            pcm, self._ola, self._hist, self._emph = synth(
+                freq[None], np.asarray([sflag], np.int32),
+                comb.astype(np.float32)[None],
+                self._ola, self._hist, self._emph,
+            )
+            outs.append(np.asarray(pcm)[0].T)  # [960, C]
+        return np.concatenate(outs, axis=0)
+
+
+def _host_celt_synth():
+    global _HOST_CELT_SYNTH
+    if _HOST_CELT_SYNTH is None:
+        from soundkit_tpu.ops.celt_batch import celt_synth_step
+        from soundkit_tpu.utils.backend import host_jit
+
+        _HOST_CELT_SYNTH = host_jit(celt_synth_step)
+    return _HOST_CELT_SYNTH
+
+
+_HOST_CELT_SYNTH = None
+
+
 class _OpusCore:
     """Shared packet decode with OpusHead config.
 
     Mono and stereo mapping-family-0 streams decode through the owned
-    RFC 6716 decoder (opus_core.py: CELT mono/stereo, SILK mono);
-    packets it cannot yet own (hybrid, stereo SILK) switch the stream
-    to the libavcodec delegate with a full packet replay so output is
-    identical to an av-only decode."""
+    RFC 6716 decoder — CELT-only streams ride the native fast path
+    (_NativeCeltStream) until a packet it cannot serve appears, at
+    which point the FULL history replays through the Python decoder
+    (opus_core.py: CELT mono/stereo, SILK, hybrid) so state at the
+    transition is exactly what an all-Python decode would hold;
+    packets neither owns (multistream mappings) switch the stream to
+    the libavcodec delegate with the same gapless-replay pattern."""
 
     def __init__(self, head: OpusHead):
         self.head = head
@@ -68,6 +150,7 @@ class _OpusCore:
         self.channels = head.channels
         self._av: Optional[AvDecoder] = None
         self._own = None
+        self._fast = None  # None = not yet built, False = disabled
         if head.channels in (1, 2) and head.mapping_family == 0:
             from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
 
@@ -87,6 +170,7 @@ class _OpusCore:
         """Replay history into avcodec, dropping the samples the owned
         path already emitted, so the caller's stream stays gapless."""
         self._own = None
+        self._fast = False
         self._av = AvDecoder("opus", extradata=self.head.raw)
         parts = [self._av.push(p) for p in self._history]
         self._history = []
@@ -97,24 +181,88 @@ class _OpusCore:
         drop = self._emitted * self.channels
         return out[drop:] if drop else out
 
+    def _post(self, pcm) -> np.ndarray:
+        """Gain + pre-skip + emitted accounting for one packet."""
+        out = np.asarray(pcm, dtype=np.float32).reshape(-1)
+        if self._gain != 1.0:
+            out = out * np.float32(self._gain)
+        if self._skip:
+            k = min(self._skip, out.shape[0] // self.channels)
+            out = out[k * self.channels :]
+            self._skip -= k
+        self._emitted += out.shape[0] // self.channels
+        return out
+
+    def _try_fast(self, packet: bytes) -> Optional[np.ndarray]:
+        """Native CELT decode, or None when the stream must move to
+        the Python path (fast path disabled from then on)."""
+        from soundkit_tpu.codecs.opus_core import OpusUnsupported
+
+        if self._fast is None:
+            try:
+                self._fast = _NativeCeltStream(self.channels)
+            except Exception:
+                self._fast = False
+                return None
+        if self._fast is False:
+            return None
+        try:
+            return self._fast.decode_packet(packet)
+        except Exception:
+            # OpusUnsupported (non-CELT packet) or any runtime failure
+            # of the native/jax stack: the Python replay rebuilds exact
+            # state either way
+            self._fast = False
+            return None
+
+    def _replay_own(self) -> np.ndarray:
+        """Rebuild the Python decoder's state from the full packet
+        history (the fast path fed none of it) and return only the
+        samples not yet emitted."""
+        from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
+
+        own = _Own(self.channels)
+        skip = self.head.pre_skip
+        chunks = []
+        for p in self._history:
+            out = np.asarray(own.decode_packet(p), np.float32).reshape(-1)
+            if self._gain != 1.0:
+                out = out * np.float32(self._gain)
+            if skip:
+                k = min(skip, out.shape[0] // self.channels)
+                out = out[k * self.channels :]
+                skip -= k
+            chunks.append(out)
+        flat = (
+            np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        )
+        self._own = own
+        self._skip = skip
+        drop = self._emitted * self.channels
+        new = flat[drop:] if drop else flat
+        self._emitted += new.shape[0] // self.channels
+        return new
+
     def decode_packet_f32(self, packet: bytes) -> np.ndarray:
         if self._own is not None:
             from soundkit_tpu.codecs.opus_core import OpusUnsupported
 
             self._history.append(packet)
+            if self._fast is not False:
+                pcm = self._try_fast(packet)
+                if pcm is not None:
+                    return self._post(pcm)
+                # first unservable packet: move state to the Python
+                # decoder by replaying the whole history through it
+                try:
+                    return self._replay_own()
+                except OpusUnsupported:
+                    return self._fallback()
             try:
                 pcm = self._own.decode_packet(packet)
             except OpusUnsupported:
                 return self._fallback()
-            out = np.asarray(pcm, dtype=np.float32).reshape(-1)
-            if self._gain != 1.0:
-                out = out * np.float32(self._gain)
-            if self._skip:
-                k = min(self._skip, out.shape[0] // self.channels)
-                out = out[k * self.channels :]
-                self._skip -= k
-            self._emitted += out.shape[0] // self.channels
-            return out
+            return self._post(pcm)
         return self._av.push(packet)
 
     def flush_f32(self) -> np.ndarray:

@@ -49,6 +49,7 @@ struct Tables {
   int64_t bit_interleave[16], bit_deinterleave[16];
   std::vector<int64_t> spread_cdf, tapset_cdf, trim_cdf, esmall_cdf;
   double pf_taps[3][3];
+  std::vector<double> window;  // celt_window (encoder MDCT; optional)
   bool ready = false;
 
   bool finalize() {
@@ -130,6 +131,8 @@ struct Tables {
     for (int i = 0; i < 3; i++)
       for (int j = 0; j < 3; j++)
         pf_taps[i][j] = (*pt)[i * 3 + j];
+    auto* wd = getf("window");
+    if (wd) window = *wd;  // optional: only the encoder needs it
     ready = true;
     return true;
   }
@@ -309,6 +312,245 @@ int laplace_decode(RC& rc, int fs, int decay) {
   uint32_t fh = fl + fs < 32768 ? fl + fs : 32768;
   rc.update((uint32_t)fl, fh, 32768);
   return val;
+}
+
+// ------------------------------------------------------ range encoder
+// Port of opus_enc_rc.py RangeEncoder: carry-propagating, entropy
+// bytes from the front of a fixed buffer, raw bits LSB-first from the
+// end (the layout RC reads).  Exact mirror of the Python encoder,
+// which is round-trip-validated against the owned decoder.
+struct RE {
+  static constexpr uint32_t CODE_TOP = 1u << 31;
+  static constexpr uint32_t CODE_BOT = CODE_TOP >> 8;
+  static constexpr int CODE_SHIFT = 23;
+
+  std::vector<uint8_t> buf;
+  int64_t size, offs, end_offs;
+  uint32_t val, rng;
+  int rem;        // pending carry byte (-1 = none yet)
+  int64_t ext;    // run of 0xFF bytes awaiting carry
+  uint64_t end_window;
+  int nend_bits, nbits_total;
+  bool error;
+
+  void init(int64_t sz) {
+    size = sz;
+    buf.assign(sz, 0);
+    offs = end_offs = 0;
+    val = 0;
+    rng = CODE_TOP;
+    rem = -1;
+    ext = 0;
+    end_window = 0;
+    nend_bits = 0;
+    nbits_total = 32 + 1;
+    error = false;
+  }
+  void write_byte(int b) {
+    if (offs + end_offs >= size) { error = true; return; }
+    buf[offs++] = (uint8_t)(b & 0xFF);
+  }
+  void write_byte_at_end(int b) {
+    if (offs + end_offs >= size) { error = true; return; }
+    end_offs++;
+    buf[size - end_offs] = (uint8_t)(b & 0xFF);
+  }
+  void carry_out(int c) {
+    if (c != 0xFF) {
+      int carry = c >> 8;
+      if (rem >= 0) write_byte(rem + carry);
+      if (ext > 0) {
+        int sym = (0xFF + carry) & 0xFF;
+        for (int64_t i = 0; i < ext; i++) write_byte(sym);
+        ext = 0;
+      }
+      rem = c & 0xFF;
+    } else {
+      ext++;
+    }
+  }
+  void normalize() {
+    while (rng <= CODE_BOT) {
+      carry_out((int)(val >> CODE_SHIFT));
+      val = (val << 8) & (CODE_TOP - 1);
+      rng <<= 8;
+      nbits_total += 8;
+    }
+  }
+  void encode(uint32_t fl, uint32_t fh, uint32_t ft) {
+    uint32_t r = rng / ft;
+    if (fl > 0) {
+      val += rng - r * (ft - fl);
+      rng = r * (fh - fl);
+    } else {
+      rng -= r * (ft - fh);
+    }
+    normalize();
+  }
+  void encode_bin(uint32_t fl, uint32_t fh, int ftb) {
+    uint32_t r = rng >> ftb;
+    if (fl > 0) {
+      val += rng - r * ((1u << ftb) - fl);
+      rng = r * (fh - fl);
+    } else {
+      rng -= r * ((1u << ftb) - fh);
+    }
+    normalize();
+  }
+  void enc_bit_logp(int bit, int logp) {
+    uint32_t r = rng;
+    uint32_t s = r >> logp;
+    r -= s;
+    if (bit) {
+      val += r;
+      rng = s;
+    } else {
+      rng = r;
+    }
+    normalize();
+  }
+  void enc_cdf(int sym, const std::vector<int64_t>& cdf) {
+    uint32_t total = (uint32_t)cdf[0];
+    uint32_t fl = sym >= 1 ? (uint32_t)cdf[sym] : 0;
+    uint32_t fh = (uint32_t)cdf[sym + 1];
+    encode(fl, fh, total);
+  }
+  void enc_uint(uint64_t t_, uint64_t ft) {
+    if (ft <= 1) return;
+    int ftb = ilog64(ft - 1);
+    if (ftb > 8) {
+      ftb -= 8;
+      uint32_t ft1 = (uint32_t)(((ft - 1) >> ftb) + 1);
+      uint32_t fs = (uint32_t)(t_ >> ftb);
+      encode(fs, fs + 1, ft1);
+      rawbits((uint32_t)(t_ & ((1ull << ftb) - 1)), ftb);
+    } else {
+      encode((uint32_t)t_, (uint32_t)t_ + 1, (uint32_t)ft);
+    }
+  }
+  void enc_uint_tri(uint32_t itheta, uint32_t qn) {
+    uint32_t half = qn >> 1;
+    uint32_t ft = (half + 1) * (half + 1);
+    uint32_t fs, fl;
+    if (itheta <= half) {
+      fs = itheta + 1;
+      fl = itheta * (itheta + 1) >> 1;
+    } else {
+      fs = qn + 1 - itheta;
+      fl = ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1);
+    }
+    encode(fl, fl + fs, ft);
+  }
+  void enc_uint_step(uint32_t k, uint32_t k0) {
+    const uint32_t p0 = 3;
+    uint32_t total = (k0 + 1) * p0 + k0;
+    uint32_t fl, fh;
+    if (k <= k0) {
+      fl = p0 * k;
+      fh = p0 * (k + 1);
+    } else {
+      fl = (k - 1 - k0) + (k0 + 1) * p0;
+      fh = (k - k0) + (k0 + 1) * p0;
+    }
+    encode(fl, fh, total);
+  }
+  void rawbits(uint32_t value, int bits) {
+    if (nend_bits + bits > 32) {
+      while (nend_bits >= 8) {
+        write_byte_at_end((int)(end_window & 0xFF));
+        end_window >>= 8;
+        nend_bits -= 8;
+      }
+    }
+    end_window |= (uint64_t)(value & ((1ull << bits) - 1)) << nend_bits;
+    nend_bits += bits;
+    nbits_total += bits;
+  }
+  int tell() const { return nbits_total - ilog32(rng); }
+  int tell_frac() const {
+    static const uint32_t corr[8] = {35733, 38967, 42495, 46340,
+                                     50535, 55109, 60097, 65535};
+    int nbits = nbits_total << 3;
+    int l = ilog32(rng);
+    uint32_t r = rng >> (l - 16);
+    int b = (int)(r >> 12) - 8;
+    b += r > corr[b] ? 1 : 0;
+    l = (l << 3) + b;
+    return nbits - l;
+  }
+  int64_t total_bits() const { return size * 8; }
+  // returns 0 on success (buf holds the full CBR packet)
+  int finalize() {
+    int l = 32 - ilog32(rng);
+    uint32_t msk = (CODE_TOP - 1) >> l;
+    uint32_t end = (val + msk) & ~msk;
+    if ((end | msk) >= val + rng) {
+      l += 1;
+      msk >>= 1;
+      end = (val + msk) & ~msk;
+    }
+    while (l > 0) {
+      carry_out((int)(end >> CODE_SHIFT));
+      end = (end << 8) & (CODE_TOP - 1);
+      l -= 8;
+    }
+    if (rem >= 0 || ext > 0) carry_out(0);
+    uint64_t window = end_window;
+    int used = nend_bits;
+    while (used >= 8) {
+      write_byte_at_end((int)(window & 0xFF));
+      window >>= 8;
+      used -= 8;
+    }
+    if (!error && used > 0) {
+      if (end_offs >= size) {
+        error = true;
+      } else {
+        if (offs + end_offs >= size && -l < used) {
+          window &= (1ull << -l) - 1;
+          error = true;
+        }
+        buf[size - end_offs - 1] |= (uint8_t)(window & 0xFF);
+      }
+    }
+    return error ? -1 : 0;
+  }
+};
+
+// Laplace encoder (opus_enc_rc.py laplace_interval/laplace_encode)
+int laplace_encode(RE& rc, int val, int fs0, int decay) {
+  constexpr int MINP = 1, NMIN = 16;
+  int fl = 0, fs = fs0, coded = 0;
+  if (val != 0) {
+    bool neg = val < 0;
+    int m = neg ? -val : val;
+    fl = fs0;
+    int64_t ft0 = 32768 - MINP * (2 * NMIN) - fs0;
+    fs = (int)((ft0 * (16384 - decay)) >> 15) + MINP;
+    int mag = 1;
+    while (fs > MINP && mag < m) {
+      int nfs = fs * 2;
+      int nfl = fl + nfs;
+      nfs = ((nfs - 2 * MINP) * decay) >> 15;
+      nfs += MINP;
+      if (nfl + 2 * nfs > 32768) break;
+      fs = nfs;
+      fl = nfl;
+      mag += 1;
+    }
+    if (fs <= MINP && mag < m) {
+      int di = m - mag;
+      int max_di = (32768 - fl - 2 * fs) / (2 * MINP);
+      if (di > max_di) di = max_di;
+      fl += 2 * di * MINP;
+      mag += di;
+    }
+    if (!neg) fl += fs;
+    coded = neg ? -mag : mag;
+  }
+  uint32_t fh = (uint32_t)(fl + fs) < 32768u ? (uint32_t)(fl + fs) : 32768u;
+  rc.encode_bin((uint32_t)fl, fh, 15);
+  return coded;
 }
 
 // ----------------------------------------------------------- helpers
@@ -575,6 +817,29 @@ struct Ctx {
   int band, tf_change, B0, intensity;
 };
 
+// Allocation in-band coder: the decoder reads the three decisions
+// (band skip, intensity, dual stereo) from RC; the encoder scripts
+// them (keep all bands / full intensity offset / dual off — the
+// opus_celt_enc.py _AllocCoder policy) and writes them through RE, so
+// one allocation implementation drives both directions bit-exactly.
+struct AllocCoder {
+  RC* dec = nullptr;
+  RE* enc = nullptr;
+  bool saw_uint = false;
+  int bit_logp(int logp) {
+    if (dec) return dec->dec_bit_logp(logp);
+    int v = saw_uint ? 0 : 1;  // skip loop: stop; dual-stereo: off
+    enc->enc_bit_logp(v, logp);
+    return v;
+  }
+  uint64_t uint_(uint64_t ft) {
+    if (dec) return dec->dec_uint(ft);
+    saw_uint = true;
+    enc->enc_uint(ft - 1, ft);
+    return ft - 1;
+  }
+};
+
 struct Parser {
   Celt* st;
   const Tables& t;
@@ -681,7 +946,7 @@ struct Parser {
                           const int64_t* thresh, const int64_t* cap,
                           int64_t total, int64_t skip_rsv,
                           int64_t intensity_rsv, int64_t dual_stereo_rsv,
-                          RC& rc, int LM, int C,
+                          AllocCoder& io, int LM, int C,
                           int64_t* bits, int64_t* ebits,
                           int64_t* fine_priority, int* codedBands_out,
                           int64_t* balance_out, int* intensity_out,
@@ -743,7 +1008,7 @@ struct Parser {
       int64_t th = thresh[j] > alloc_floor + (1 << BITRES)
           ? thresh[j] : alloc_floor + (1 << BITRES);
       if (band_bits >= th) {
-        if (rc.dec_bit_logp(1)) break;
+        if (io.bit_logp(1)) break;
         psum += 1 << BITRES;
         band_bits -= 1 << BITRES;
       }
@@ -762,12 +1027,12 @@ struct Parser {
 
     int intensity = 0;
     if (intensity_rsv > 0)
-      intensity = start + (int)rc.dec_uint(codedBands + 1 - start);
+      intensity = start + (int)io.uint_(codedBands + 1 - start);
     if (intensity <= start) {
       total += dual_stereo_rsv;
       dual_stereo_rsv = 0;
     }
-    int dual_stereo = dual_stereo_rsv > 0 ? rc.dec_bit_logp(1) : 0;
+    int dual_stereo = dual_stereo_rsv > 0 ? io.bit_logp(1) : 0;
 
     int64_t left = total - psum;
     int64_t span = eBands[codedBands] - eBands[start];
@@ -842,7 +1107,7 @@ struct Parser {
   // opus_celt.py _compute_allocation
   void compute_allocation(int start, int end, const int64_t* offsets,
                           const int64_t* cap, int alloc_trim,
-                          int64_t total, RC& rc, int LM, int C,
+                          int64_t total, AllocCoder& io, int LM, int C,
                           int64_t* bits, int64_t* ebits,
                           int64_t* fine_priority, int* codedBands_out,
                           int64_t* balance_out, int* intensity_out,
@@ -922,7 +1187,7 @@ struct Parser {
     }
     interp_bits2pulses(start, end, skip_start, bits1, bits2, thresh, cap,
                        total, skip_rsv, intensity_rsv, dual_stereo_rsv,
-                       rc, LM, C, bits, ebits, fine_priority,
+                       io, LM, C, bits, ebits, fine_priority,
                        codedBands_out, balance_out, intensity_out,
                        dual_stereo_out);
   }
@@ -1518,6 +1783,808 @@ struct Parser {
     }
   }
 
+  // ================= encode direction (opus_celt_enc.py port) =======
+  // Encoder context: same fields as Ctx plus the band energies the
+  // intensity projection needs, over the encode-side coder.
+  struct CtxE {
+    RE* rc;
+    int spread;
+    uint32_t seed;
+    int64_t remaining_bits;
+    int band, tf_change, B0, intensity;
+    const double* bandE;  // [2 * NB_BANDS]
+  };
+
+  void coarse_energy_enc(RE& rc, int start, int end, bool intra, int LM,
+                         const double* band_log_e, int C) {
+    const int64_t* prob = t.e_prob[LM][intra ? 1 : 0];
+    double coef, beta;
+    if (intra) {
+      coef = 0.0;
+      beta = 1.0 - 4915.0 / 32768.0;
+    } else {
+      coef = t.alpha[LM];
+      beta = t.beta[LM];
+    }
+    int64_t budget = rc.total_bits();
+    double prev[2] = {0.0, 0.0};
+    for (int i = start; i < end; i++)
+      for (int c = 0; c < C; c++) {
+        double x = band_log_e[c * NB_BANDS + i];
+        double oe = st->oldE[c][i] > -9.0 ? st->oldE[c][i] : -9.0;
+        double f = x - coef * oe - prev[c];
+        int qi = (int)std::floor(0.5 + f);
+        int tell = rc.tell();
+        if (budget - tell >= 15) {
+          int pi = 2 * (i < 20 ? i : 20);
+          qi = laplace_encode(rc, qi, (int)prob[pi] << 7,
+                              (int)prob[pi + 1] << 6);
+        } else if (budget - tell >= 2) {
+          qi = qi < -1 ? -1 : (qi > 1 ? 1 : qi);
+          int sym = (2 * qi) ^ -(qi < 0 ? 1 : 0);
+          rc.enc_cdf(sym, t.esmall_cdf);
+        } else if (budget - tell >= 1) {
+          qi = qi > 0 ? 0 : (qi < -1 ? -1 : qi);
+          rc.enc_bit_logp(-qi, 1);
+        } else {
+          qi = -1;
+        }
+        double q = (double)qi;
+        st->oldE[c][i] = coef * oe + prev[c] + q;
+        prev[c] = prev[c] + beta * q;
+      }
+  }
+
+  void fine_energy_enc(RE& rc, int start, int end,
+                       const int64_t* fine_quant,
+                       const double* band_log_e, int C) {
+    for (int i = start; i < end; i++) {
+      if (fine_quant[i] <= 0) continue;
+      int frac = 1 << fine_quant[i];
+      for (int c = 0; c < C; c++) {
+        double err = band_log_e[c * NB_BANDS + i] - st->oldE[c][i];
+        int q2 = (int)std::floor((err + 0.5) * frac);
+        q2 = q2 < 0 ? 0 : (q2 > frac - 1 ? frac - 1 : q2);
+        rc.rawbits((uint32_t)q2, (int)fine_quant[i]);
+        st->oldE[c][i] += (q2 + 0.5) / frac - 0.5;
+      }
+    }
+  }
+
+  void finalize_energy_enc(RE& rc, int start, int end,
+                           const int64_t* fine_quant,
+                           const int64_t* fine_priority,
+                           int64_t bits_left, const double* band_log_e,
+                           int C) {
+    for (int prio = 0; prio < 2; prio++) {
+      int i = start;
+      while (i < end && bits_left >= C) {
+        if (fine_quant[i] >= MAX_FINE_BITS || fine_priority[i] != prio) {
+          i++;
+          continue;
+        }
+        for (int c = 0; c < C; c++) {
+          double err = band_log_e[c * NB_BANDS + i] - st->oldE[c][i];
+          int q2 = err > 0 ? 1 : 0;
+          rc.rawbits((uint32_t)q2, 1);
+          st->oldE[c][i] += (q2 - 0.5) / (double)(1 << (fine_quant[i] + 1));
+        }
+        bits_left -= C;
+        i++;
+      }
+    }
+  }
+
+  // codeword index of a pulse vector: exact inverse of pvq.cwrsi
+  uint64_t icwrs(int n, const int64_t* y) const {
+    int j = n - 1;
+    uint64_t i = y[j] < 0 ? 1 : 0;
+    int64_t k = y[j] < 0 ? -y[j] : y[j];
+    while (j > 0) {
+      j--;
+      i += pvq.U(n - j, (int)k);
+      k += y[j] < 0 ? -y[j] : y[j];
+      if (y[j] < 0) i += pvq.U(n - j, (int)k + 1);
+    }
+    return i;
+  }
+
+  // nearest PVQ codepoint: projection + greedy pulse fill maximizing
+  // correlation^2 / energy (opus_celt_enc.py _pvq_search)
+  static void pvq_search(const double* x, int N, int K, int64_t* iy) {
+    double ax[512];
+    int sign[512];
+    double s = 0.0;
+    for (int j = 0; j < N; j++) {
+      sign[j] = x[j] < 0 ? -1 : 1;
+      ax[j] = x[j] < 0 ? -x[j] : x[j];
+      s += ax[j];
+    }
+    for (int j = 0; j < N; j++) iy[j] = 0;
+    int left = K;
+    if (s > 1e-12 && K > (N >> 1)) {
+      double f = (double)K / s;
+      for (int j = 0; j < N; j++) {
+        iy[j] = (int64_t)std::floor(ax[j] * f);
+        left -= (int)iy[j];
+      }
+    }
+    double xy = 0.0, yy = 0.0;
+    for (int j = 0; j < N; j++) {
+      xy += ax[j] * (double)iy[j];
+      yy += (double)iy[j] * (double)iy[j];
+    }
+    for (int p = 0; p < left; p++) {
+      int best = 0;
+      double bestv = -1.0;
+      for (int j = 0; j < N; j++) {
+        double num = xy + ax[j];
+        num *= num;
+        double v = num / (yy + 2.0 * (double)iy[j] + 1.0);
+        if (v > bestv) {
+          bestv = v;
+          best = j;
+        }
+      }
+      iy[best] += 1;
+      xy += ax[best];
+      yy += 2.0 * (double)iy[best] - 1.0;
+    }
+    for (int j = 0; j < N; j++) iy[j] *= sign[j];
+  }
+
+  int alg_quant(double* X, int N, int K, int spread, int B, RE& rc,
+                double gain) {
+    if (N > 512) { fail = true; return 1; }
+    exp_rotation(X, N, 1, B, K, spread);
+    int64_t iy[512];
+    pvq_search(X, N, K, iy);
+    rc.enc_uint(icwrs(N, iy), pvq.V(N, K));
+    double Ryy = 0.0;
+    for (int j = 0; j < N; j++) Ryy += (double)iy[j] * (double)iy[j];
+    double g = gain / std::sqrt(Ryy);
+    for (int j = 0; j < N; j++) X[j] = iy[j] * g;
+    exp_rotation(X, N, -1, B, K, spread);
+    return extract_collapse_mask(iy, N, B);
+  }
+
+  static int itheta_full(const double* X, const double* Y, int N,
+                         bool stereo) {
+    double emid = 0.0, eside = 0.0;
+    if (stereo) {
+      for (int j = 0; j < N; j++) {
+        double m = 0.5 * (X[j] + Y[j]);
+        double sd = 0.5 * (X[j] - Y[j]);
+        emid += m * m;
+        eside += sd * sd;
+      }
+    } else {
+      for (int j = 0; j < N; j++) emid += X[j] * X[j];
+      for (int j = 0; j < N; j++) eside += Y[j] * Y[j];
+    }
+    return (int)std::floor(
+        0.5 + 16384.0 * (2.0 / M_PI) *
+                  std::atan2(std::sqrt(eside), std::sqrt(emid)));
+  }
+
+  static void stereo_split(double* X, double* Y, int N) {
+    double s = std::sqrt(0.5);
+    for (int j = 0; j < N; j++) {
+      double l = s * X[j];
+      double r = s * Y[j];
+      X[j] = l + r;
+      Y[j] = r - l;
+    }
+  }
+
+  static void intensity_stereo(CtxE& ctx, double* X, const double* Y,
+                               int N) {
+    int i = ctx.band;
+    double left = ctx.bandE[0 * NB_BANDS + i];
+    double right = ctx.bandE[1 * NB_BANDS + i];
+    double norm = 1e-15 + std::sqrt(1e-15 + left * left + right * right);
+    double a1 = left / norm, a2 = right / norm;
+    for (int j = 0; j < N; j++) X[j] = a1 * X[j] + a2 * Y[j];
+  }
+
+  void compute_theta_enc(CtxE& ctx, double* X, double* Y, int N,
+                         int64_t b, int B, int B0, int LM, int& fill,
+                         bool stereo, int* itheta_out, int64_t* delta_out,
+                         int* qalloc_out, int* inv_out) {
+    RE& rc = *ctx.rc;
+    int band = ctx.band;
+    int64_t pulse_cap = t.logN[band] + (int64_t)LM * (1 << BITRES);
+    int64_t offset = (pulse_cap >> 1) - ((stereo && N == 2) ? 16 : 4);
+    int qn = compute_qn(N, b, offset, pulse_cap, stereo);
+    if (stereo && band >= ctx.intensity) qn = 1;
+    int itf = Y ? itheta_full(X, Y, N, stereo) : 0;
+    int tell = rc.tell_frac();
+    int itheta = 0, inv = 0;
+    if (qn != 1) {
+      itheta = (int)(((int64_t)itf * qn + 8192) >> 14);
+      if (stereo && N > 2)
+        rc.enc_uint_step((uint32_t)itheta, (uint32_t)(qn >> 1));
+      else if (B0 > 1 || stereo)
+        rc.enc_uint((uint64_t)itheta, (uint64_t)qn + 1);
+      else
+        rc.enc_uint_tri((uint32_t)itheta, (uint32_t)qn);
+      itheta = (int)(((int64_t)itheta * 16384) / qn);
+      if (stereo) {
+        if (itheta == 0)
+          intensity_stereo(ctx, X, Y, N);
+        else
+          stereo_split(X, Y, N);
+      }
+    } else if (stereo) {
+      if (b > (2 << BITRES) && ctx.remaining_bits > (2 << BITRES)) {
+        inv = itf > 8192 ? 1 : 0;
+        if (inv)
+          for (int j = 0; j < N; j++) Y[j] = -Y[j];
+        intensity_stereo(ctx, X, Y, N);
+        rc.enc_bit_logp(inv, 2);
+      } else {
+        inv = 0;
+        intensity_stereo(ctx, X, Y, N);
+      }
+      itheta = 0;
+    }
+    int qalloc = rc.tell_frac() - tell;
+    int64_t delta;
+    if (itheta == 0) {
+      delta = -16384;
+      fill &= (1 << B) - 1;
+    } else if (itheta == 16384) {
+      delta = 16384;
+      fill &= ((1 << B) - 1) << B;
+    } else {
+      int imid = bitexact_cos(itheta);
+      int iside = bitexact_cos(16384 - itheta);
+      delta = frac_mul16((N - 1) << 7, bitexact_log2tan(iside, imid));
+    }
+    *itheta_out = itheta;
+    *delta_out = delta;
+    *qalloc_out = qalloc;
+    *inv_out = inv;
+  }
+
+  int quant_band_n1_enc(CtxE& ctx, double* X, double* Y,
+                        double* lowband_out) {
+    RE& rc = *ctx.rc;
+    double* x = X;
+    for (int rep = 0; rep < (Y ? 2 : 1); rep++) {
+      int sign = 0;
+      if (ctx.remaining_bits >= 1 << BITRES) {
+        sign = x[0] < 0 ? 1 : 0;
+        rc.rawbits((uint32_t)sign, 1);
+        ctx.remaining_bits -= 1 << BITRES;
+      }
+      x[0] = sign ? -1.0 : 1.0;
+      x = Y;
+    }
+    if (lowband_out) lowband_out[0] = X[0];
+    return 1;
+  }
+
+  int quant_partition_enc(CtxE& ctx, double* X, int N, int64_t b, int B,
+                          double* lowband, int LM, double gain, int fill) {
+    if (fail) return 0;
+    int band = ctx.band;
+    int64_t off = t.cache_index[(LM + 1) * NB_BANDS + band];
+    const int64_t* cache = t.cache_bits + off;
+    if (LM != -1 && b > cache[cache[0]] + 12 && N > 2) {
+      int B0 = B;
+      N >>= 1;
+      double* Y = X + N;
+      LM -= 1;
+      if (B == 1) fill = (fill & 1) | (fill << 1);
+      B = (B + 1) >> 1;
+      int itheta, qalloc, inv;
+      int64_t delta;
+      compute_theta_enc(ctx, X, Y, N, b, B, B0, LM, fill, false,
+                        &itheta, &delta, &qalloc, &inv);
+      double mid, side;
+      if (itheta == 0) {
+        mid = 32767 / 32768.0;
+        side = 0.0;
+      } else if (itheta == 16384) {
+        mid = 0.0;
+        side = 32767 / 32768.0;
+      } else {
+        mid = bitexact_cos(itheta) / 32768.0;
+        side = bitexact_cos(16384 - itheta) / 32768.0;
+      }
+      if (B0 > 1 && (itheta & 0x3FFF)) {
+        if (itheta > 8192) {
+          delta -= delta >> (4 - LM);
+        } else {
+          int64_t d2 = delta + ((int64_t)N << BITRES >> (5 - LM));
+          delta = d2 < 0 ? d2 : 0;
+        }
+      }
+      b -= qalloc;
+      int64_t mbits = sdiv(b - delta, 2);
+      if (mbits > b) mbits = b;
+      if (mbits < 0) mbits = 0;
+      int64_t sbits = b - mbits;
+      ctx.remaining_bits -= qalloc;
+      int64_t rebalance = ctx.remaining_bits;
+      int cm;
+      if (mbits >= sbits) {
+        cm = quant_partition_enc(ctx, X, N, mbits, B, lowband, LM,
+                                 gain * mid, fill);
+        rebalance = mbits - (rebalance - ctx.remaining_bits);
+        if (rebalance > 3 << BITRES && itheta != 0)
+          sbits += rebalance - (3 << BITRES);
+        double* next_lb = lowband ? lowband + N : nullptr;
+        cm |= quant_partition_enc(ctx, Y, N, sbits, B, next_lb, LM,
+                                  gain * side, fill >> B) << (B0 >> 1);
+      } else {
+        double* next_lb = lowband ? lowband + N : nullptr;
+        cm = quant_partition_enc(ctx, Y, N, sbits, B, next_lb, LM,
+                                 gain * side, fill >> B) << (B0 >> 1);
+        rebalance = sbits - (rebalance - ctx.remaining_bits);
+        if (rebalance > 3 << BITRES && itheta != 16384)
+          mbits += rebalance - (3 << BITRES);
+        cm |= quant_partition_enc(ctx, X, N, mbits, B, lowband, LM,
+                                  gain * mid, fill);
+      }
+      return cm;
+    }
+    // leaf: PVQ or the decoder-identical fold (reads no bits)
+    int q = bits2pulses(band, LM, b);
+    int64_t curr_bits = pulses2bits(band, LM, q);
+    ctx.remaining_bits -= curr_bits;
+    while (ctx.remaining_bits < 0 && q > 0) {
+      ctx.remaining_bits += curr_bits;
+      q--;
+      curr_bits = pulses2bits(band, LM, q);
+      ctx.remaining_bits -= curr_bits;
+    }
+    if (q != 0) {
+      int K = get_pulses(q);
+      return alg_quant(X, N, K, ctx.spread, B, *ctx.rc, gain);
+    }
+    int cm_mask = (1 << B) - 1;
+    fill &= cm_mask;
+    if (!fill) {
+      std::memset(X, 0, N * sizeof(double));
+      return 0;
+    }
+    uint32_t seed = ctx.seed;
+    int cm;
+    if (!lowband) {
+      for (int j = 0; j < N; j++) {
+        seed = lcg(seed);
+        X[j] = (double)((int32_t)seed >> 20);
+      }
+      cm = cm_mask;
+    } else {
+      for (int j = 0; j < N; j++) {
+        seed = lcg(seed);
+        double tmp = 1.0 / 256.0;
+        if (!(seed & 0x8000)) tmp = -tmp;
+        X[j] = lowband[j] + tmp;
+      }
+      cm = fill;
+    }
+    ctx.seed = seed;
+    renormalise(X, N, gain);
+    return cm;
+  }
+
+  int quant_band_enc(CtxE& ctx, double* X, int N, int64_t b, int B,
+                     double* lowband, int LM, double* lowband_out,
+                     double gain, double* lowband_scratch, int fill) {
+    if (fail) return 0;
+    int N0 = N;
+    int N_B = N / B;
+    int B0 = B;
+    int time_divide = 0;
+    int recombine = 0;
+    bool longBlocks = B0 == 1;
+    if (N == 1) return quant_band_n1_enc(ctx, X, nullptr, lowband_out);
+    int tf_change = ctx.tf_change;
+    if (tf_change > 0) recombine = tf_change;
+    if (lowband_scratch && lowband &&
+        (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
+      std::memcpy(lowband_scratch, lowband, N * sizeof(double));
+      lowband = lowband_scratch;
+    }
+    // encode side: X transforms INTO the coding domain here (the
+    // decoder-identical undo passes run after quant_partition_enc)
+    for (int k = 0; k < recombine; k++) {
+      haar1(X, N >> k, 1 << k);
+      if (lowband) haar1(lowband, N >> k, 1 << k);
+      fill = (int)(t.bit_interleave[fill & 0xF] |
+                   t.bit_interleave[fill >> 4] << 2);
+    }
+    B >>= recombine;
+    N_B <<= recombine;
+    while ((N_B & 1) == 0 && tf_change < 0) {
+      haar1(X, N_B, B);
+      if (lowband) haar1(lowband, N_B, B);
+      fill |= fill << B;
+      B <<= 1;
+      N_B >>= 1;
+      time_divide++;
+      tf_change++;
+    }
+    B0 = B;
+    int N_B0 = N_B;
+    double tmpbuf[1408];
+    if (B0 > 1) {
+      deinterleave_hadamard(X, N_B >> recombine, B0 << recombine,
+                            longBlocks, tmpbuf);
+      if (lowband)
+        deinterleave_hadamard(lowband, N_B >> recombine,
+                              B0 << recombine, longBlocks, tmpbuf);
+    }
+    ctx.B0 = B0;
+    int cm = quant_partition_enc(ctx, X, N, b, B, lowband, LM, gain, fill);
+    // resynthesis: rebuild the decoded X (identical undo passes)
+    if (B0 > 1)
+      interleave_hadamard(X, N_B >> recombine, B0 << recombine,
+                          longBlocks, tmpbuf);
+    B = B0;
+    N_B = N_B0;
+    while (time_divide > 0) {
+      B >>= 1;
+      N_B <<= 1;
+      cm |= cm >> B;
+      haar1(X, N_B, B);
+      time_divide--;
+    }
+    for (int k = 0; k < recombine; k++) {
+      cm = (int)t.bit_deinterleave[cm];
+      haar1(X, N0 >> k, 1 << k);
+    }
+    B <<= recombine;
+    if (lowband_out) {
+      double n = std::sqrt((double)N0);
+      for (int j = 0; j < N0; j++) lowband_out[j] = n * X[j];
+    }
+    cm &= (1 << B) - 1;
+    return cm;
+  }
+
+  int quant_band_stereo_enc(CtxE& ctx, double* X, double* Y, int N,
+                            int64_t b, int B, double* lowband, int LM,
+                            double* lowband_out, double* lowband_scratch,
+                            int fill) {
+    if (N == 1) return quant_band_n1_enc(ctx, X, Y, lowband_out);
+    RE& rc = *ctx.rc;
+    int orig_fill = fill;
+    int itheta, qalloc, inv;
+    int64_t delta;
+    compute_theta_enc(ctx, X, Y, N, b, B, B, LM, fill, true, &itheta,
+                      &delta, &qalloc, &inv);
+    b -= qalloc;
+    double mid, side;
+    if (itheta == 0) {
+      mid = 32767 / 32768.0;
+      side = 0.0;
+    } else if (itheta == 16384) {
+      mid = 0.0;
+      side = 32767 / 32768.0;
+    } else {
+      mid = bitexact_cos(itheta) / 32768.0;
+      side = bitexact_cos(16384 - itheta) / 32768.0;
+    }
+    int cm;
+    if (N == 2) {
+      int64_t mbits = b;
+      int64_t sbits = (itheta != 0 && itheta != 16384) ? (1 << BITRES) : 0;
+      mbits -= sbits;
+      bool c = itheta > 8192;
+      ctx.remaining_bits -= qalloc + sbits;
+      double* x2 = c ? Y : X;
+      double* y2 = c ? X : Y;
+      int sign = 0;
+      if (sbits) {
+        sign = (x2[0] * y2[1] - x2[1] * y2[0]) < 0 ? 1 : 0;
+        rc.rawbits((uint32_t)sign, 1);
+      }
+      sign = 1 - 2 * sign;
+      cm = quant_band_enc(ctx, x2, N, mbits, B, lowband, LM, lowband_out,
+                          1.0, lowband_scratch, orig_fill);
+      y2[0] = -sign * x2[1];
+      y2[1] = sign * x2[0];
+      X[0] = mid * X[0];
+      X[1] = mid * X[1];
+      Y[0] = side * Y[0];
+      Y[1] = side * Y[1];
+      double tmp = X[0];
+      X[0] = tmp - Y[0];
+      Y[0] = tmp + Y[0];
+      tmp = X[1];
+      X[1] = tmp - Y[1];
+      Y[1] = tmp + Y[1];
+    } else {
+      int64_t mbits = sdiv(b - delta, 2);
+      if (mbits > b) mbits = b;
+      if (mbits < 0) mbits = 0;
+      int64_t sbits = b - mbits;
+      ctx.remaining_bits -= qalloc;
+      int64_t rebalance = ctx.remaining_bits;
+      if (mbits >= sbits) {
+        cm = quant_band_enc(ctx, X, N, mbits, B, lowband, LM, lowband_out,
+                            1.0, lowband_scratch, fill);
+        rebalance = mbits - (rebalance - ctx.remaining_bits);
+        if (rebalance > 3 << BITRES && itheta != 0)
+          sbits += rebalance - (3 << BITRES);
+        cm |= quant_band_enc(ctx, Y, N, sbits, B, nullptr, LM, nullptr,
+                             side, nullptr, fill >> B);
+      } else {
+        cm = quant_band_enc(ctx, Y, N, sbits, B, nullptr, LM, nullptr,
+                            side, nullptr, fill >> B);
+        rebalance = sbits - (rebalance - ctx.remaining_bits);
+        if (rebalance > 3 << BITRES && itheta != 16384)
+          mbits += rebalance - (3 << BITRES);
+        cm |= quant_band_enc(ctx, X, N, mbits, B, lowband, LM, lowband_out,
+                             1.0, lowband_scratch, fill);
+      }
+      stereo_merge(X, Y, mid, N);
+    }
+    if (inv)
+      for (int j = 0; j < N; j++) Y[j] = -Y[j];
+    return cm;
+  }
+
+  void quant_all_bands_enc(RE& rc, int start, int end, double* X_,
+                           double* Y_, const double* bandE,
+                           const int64_t* pulses, bool shortBlocks,
+                           int spread, const int64_t* tf_res,
+                           int64_t total_bits, int64_t balance, int LM,
+                           int codedBands, int intensity,
+                           int dual_stereo) {
+    int C = Y_ ? 2 : 1;
+    int M = 1 << LM;
+    const int64_t* eBands = t.eBands;
+    int B = shortBlocks ? M : 1;
+    int64_t norm_offset = M * eBands[start];
+    int64_t norm_size = M * eBands[NB_BANDS - 1] - norm_offset;
+    std::vector<double> norm(norm_size, 0.0);
+    std::vector<double> norm2(C == 2 ? norm_size : 0, 0.0);
+    std::vector<double> lowband_scratch(M * 176, 0.0);
+    int64_t collapse_masks[2][NB_BANDS];
+    std::memset(collapse_masks, 0, sizeof(collapse_masks));
+    int lowband_offset = 0;
+    bool update_lowband = true;
+    CtxE ctx;
+    ctx.rc = &rc;
+    ctx.spread = spread;
+    ctx.seed = st->rng;
+    ctx.remaining_bits = 0;
+    ctx.band = 0;
+    ctx.tf_change = 0;
+    ctx.B0 = B;
+    ctx.intensity = intensity;
+    ctx.bandE = bandE;
+    for (int i = start; i < end && !fail; i++) {
+      bool last = i == end - 1;
+      int64_t effective_lowband = -1;
+      double* X = X_ + M * eBands[i];
+      double* Y = C == 2 ? Y_ + M * eBands[i] : nullptr;
+      int N = (int)(M * (eBands[i + 1] - eBands[i]));
+      int tell = rc.tell_frac();
+      if (i != start) balance -= tell;
+      int64_t remaining_bits = total_bits - tell - 1;
+      ctx.remaining_bits = remaining_bits;
+      ctx.band = i;
+      int64_t b;
+      if (i <= codedBands - 1) {
+        int64_t den = codedBands - i < 3 ? codedBands - i : 3;
+        int64_t curr_balance = sdiv(balance, den);
+        b = pulses[i] + curr_balance;
+        if (b > remaining_bits + 1) b = remaining_bits + 1;
+        if (b > 16383) b = 16383;
+        if (b < 0) b = 0;
+      } else {
+        b = 0;
+      }
+      if (M * eBands[i] - N >= M * eBands[start] &&
+          (update_lowband || lowband_offset == 0))
+        lowband_offset = i;
+      int tf_change = (int)tf_res[i];
+      ctx.tf_change = tf_change;
+      int x_cm, y_cm;
+      if (lowband_offset != 0 &&
+          (spread != SPREAD_AGGRESSIVE || B > 1 || tf_change < 0)) {
+        effective_lowband = M * eBands[lowband_offset] - norm_offset - N;
+        if (effective_lowband < 0) effective_lowband = 0;
+        int fold_start = lowband_offset;
+        do {
+          fold_start--;
+        } while (M * eBands[fold_start] > effective_lowband + norm_offset);
+        int fold_end = lowband_offset - 1;
+        do {
+          fold_end++;
+        } while (M * eBands[fold_end] < effective_lowband + norm_offset + N);
+        x_cm = y_cm = 0;
+        int fold_i = fold_start;
+        do {
+          x_cm |= (int)collapse_masks[0][fold_i];
+          y_cm |= (int)collapse_masks[C - 1][fold_i];
+          fold_i++;
+        } while (fold_i < fold_end);
+      } else {
+        x_cm = y_cm = (1 << B) - 1;
+      }
+      double* lowband =
+          effective_lowband != -1 ? norm.data() + effective_lowband
+                                  : nullptr;
+      double* lowband2 = (C == 2 && effective_lowband != -1)
+          ? norm2.data() + effective_lowband : nullptr;
+      double* lowband_out =
+          last ? nullptr : norm.data() + (M * eBands[i] - norm_offset);
+      double* lowband_out2 = (last || C == 1)
+          ? nullptr : norm2.data() + (M * eBands[i] - norm_offset);
+      if (dual_stereo && i == intensity) {
+        dual_stereo = 0;
+        int64_t upto = M * eBands[i] - norm_offset;
+        for (int64_t j = 0; j < upto; j++)
+          norm[j] = 0.5 * (norm[j] + norm2[j]);
+      }
+      if (dual_stereo) {
+        x_cm = quant_band_enc(ctx, X, N, b / 2, B, lowband, LM,
+                              lowband_out, 1.0, lowband_scratch.data(),
+                              x_cm);
+        y_cm = quant_band_enc(ctx, Y, N, b / 2, B, lowband2, LM,
+                              lowband_out2, 1.0, lowband_scratch.data(),
+                              y_cm);
+      } else {
+        if (C == 2) {
+          x_cm = quant_band_stereo_enc(ctx, X, Y, N, b, B, lowband, LM,
+                                       lowband_out,
+                                       lowband_scratch.data(),
+                                       x_cm | y_cm);
+        } else {
+          x_cm = quant_band_enc(ctx, X, N, b, B, lowband, LM, lowband_out,
+                                1.0, lowband_scratch.data(), x_cm | y_cm);
+        }
+        y_cm = x_cm;
+      }
+      collapse_masks[0][i] = x_cm;
+      collapse_masks[C - 1][i] = y_cm;
+      balance += pulses[i] + tell;
+      update_lowband = b > ((int64_t)N << BITRES);
+    }
+    st->rng = ctx.seed;
+  }
+
+  // opus_celt_enc.py CeltEncoder.encode_frame, from precomputed
+  // MDCT spectra: the forward MDCT is a dense [N, N+OVERLAP] matmul
+  // the caller runs through BLAS (numpy, batched over frames) —
+  // identical math to the Python encoder, and far faster than a
+  // scalar loop here.
+  int encode_frame(RE& rc, const double* freq_in /* C rows of N */,
+                   int frame_size, int C) {
+    int LM;
+    switch (frame_size) {
+      case 120: LM = 0; break;
+      case 240: LM = 1; break;
+      case 480: LM = 2; break;
+      case 960: LM = 3; break;
+      default: return -2;
+    }
+    int N = frame_size;
+    int M = 1 << LM;
+    const int64_t* eBands = t.eBands;
+    int start = 0, end = NB_BANDS;
+    int64_t total = rc.total_bits();
+
+    int tell = rc.tell();
+    if (tell == 1) rc.enc_bit_logp(0, 15);  // not silence
+    if (start == 0 && rc.tell() + 16 <= total)
+      rc.enc_bit_logp(0, 1);  // no comb postfilter
+    if (LM > 0 && rc.tell() + 3 <= total)
+      rc.enc_bit_logp(0, 3);  // not transient
+    bool intra = false;
+    if (rc.tell() + 3 <= total) rc.enc_bit_logp(0, 3);  // inter
+
+    // band energies + per-band normalization
+    static thread_local double freq[2][960];
+    static thread_local double Xn[2][1608];
+    std::memset(Xn, 0, sizeof(Xn));
+    for (int c = 0; c < C; c++)
+      std::memcpy(freq[c], freq_in + (size_t)c * N, N * sizeof(double));
+    double bandE[2][NB_BANDS];
+    double band_log_e[2][NB_BANDS];
+    for (int c = 0; c < 2; c++)
+      for (int i = 0; i < NB_BANDS; i++) {
+        bandE[c][i] = 0.0;
+        band_log_e[c][i] = -28.0;
+      }
+    for (int c = 0; c < C; c++)
+      for (int i = start; i < end; i++) {
+        int64_t lo = M * eBands[i], hi = M * eBands[i + 1];
+        double e2 = 0.0;
+        for (int64_t j = lo; j < hi; j++) e2 += freq[c][j] * freq[c][j];
+        double e = std::sqrt(e2);
+        bandE[c][i] = e;
+        if (e > 1e-27) {
+          double bl = std::log2(e) - t.eMeans[i];
+          band_log_e[c][i] = bl > -28.0 ? bl : -28.0;
+          for (int64_t j = lo; j < hi; j++) Xn[c][j] = freq[c][j] / e;
+        }
+      }
+
+    coarse_energy_enc(rc, start, end, intra, LM, &band_log_e[0][0], C);
+
+    // tf_res all zero; encode the per-band clear flags
+    int64_t tf_res[NB_BANDS] = {0};
+    int logp = 4;
+    int64_t budget = total;
+    tell = rc.tell();
+    int tf_changed = 0;
+    for (int i = start; i < end; i++) {
+      if (tell + logp <= budget) {
+        rc.enc_bit_logp(0, logp);
+        tell = rc.tell();
+      }
+      logp = 5;
+    }
+    int tf_select = 0;
+    if (LM > 0 && tell + 1 <= budget &&
+        t.tf_select[LM][0][0][tf_changed] !=
+            t.tf_select[LM][0][1][tf_changed])
+      rc.enc_bit_logp(0, 1);
+    for (int i = start; i < end; i++)
+      tf_res[i] = t.tf_select[LM][0][tf_select][0];
+
+    int spread = 2;  // SPREAD_NORMAL
+    if (rc.tell() + 4 <= total) rc.enc_cdf(spread, t.spread_cdf);
+
+    int64_t cap[NB_BANDS];
+    for (int i = 0; i < NB_BANDS; i++)
+      cap[i] = ((t.static_caps[LM][C - 1][i] + 64) * C *
+                (eBands[i + 1] - eBands[i]) << LM) >> 2;
+
+    // dynalloc: no boosts
+    int64_t offsets[NB_BANDS] = {0};
+    int64_t total_bits_8 = total << BITRES;
+    int tell_frac = rc.tell_frac();
+    int dynalloc_logp = 6;
+    for (int i = start; i < end; i++) {
+      if (tell_frac + (dynalloc_logp << BITRES) < total_bits_8 &&
+          0 < cap[i]) {
+        rc.enc_bit_logp(0, dynalloc_logp);
+        tell_frac = rc.tell_frac();
+      }
+    }
+
+    int alloc_trim = 5;
+    if (rc.tell_frac() + (6 << BITRES) <= total_bits_8)
+      rc.enc_cdf(alloc_trim, t.trim_cdf);
+
+    int64_t bits_8 = (total << BITRES) - rc.tell_frac() - 1;
+
+    AllocCoder io;
+    io.enc = &rc;
+    int64_t pulses[NB_BANDS], fine_quant[NB_BANDS],
+        fine_priority[NB_BANDS];
+    int codedBands, intensity, dual_stereo;
+    int64_t balance;
+    compute_allocation(start, end, offsets, cap, alloc_trim, bits_8, io,
+                       LM, C, pulses, fine_quant, fine_priority,
+                       &codedBands, &balance, &intensity, &dual_stereo);
+
+    fine_energy_enc(rc, start, end, fine_quant, &band_log_e[0][0], C);
+
+    quant_all_bands_enc(rc, start, end, Xn[0], C == 2 ? Xn[1] : nullptr,
+                        &bandE[0][0], pulses, false, spread, tf_res,
+                        total << BITRES, balance, LM, codedBands,
+                        intensity, dual_stereo);
+
+    finalize_energy_enc(rc, start, end, fine_quant, fine_priority,
+                        total - rc.tell(), &band_log_e[0][0], C);
+
+    if (fail) return -4;
+    post_frame_energy(start, end, false, C);
+    st->rng = rc.rng;
+    return 0;
+  }
+
   // opus_celt.py decode_frame with parse_only=True
   int parse_frame(const uint8_t* data, int64_t len, int frame_size,
                   int start, int end, int C, double* freq_out,
@@ -1650,8 +2717,10 @@ struct Parser {
     int64_t pulses[NB_BANDS], fine_quant[NB_BANDS], fine_priority[NB_BANDS];
     int codedBands, intensity, dual_stereo;
     int64_t balance;
-    compute_allocation(start, end, offsets, cap, alloc_trim, bits_8, rc,
-                       LM, C, pulses, fine_quant, fine_priority,
+    AllocCoder alloc_io;
+    alloc_io.dec = &rc;
+    compute_allocation(start, end, offsets, cap, alloc_trim, bits_8,
+                       alloc_io, LM, C, pulses, fine_quant, fine_priority,
                        &codedBands, &balance, &intensity, &dual_stereo);
 
     fine_energy(rc, start, end, fine_quant, C);
@@ -1775,6 +2844,25 @@ int skt_celt_parse_many(void** handles, int B, const uint8_t* buf,
     if (r != 0) rc_all = r;
   }
   return rc_all;
+}
+
+// Encode one CELT frame (opus_celt_enc.py CeltEncoder.encode_frame):
+// freq = C rows of frame_size forward-MDCT spectra (the caller runs
+// the [N, N+OVERLAP] matmul through BLAS); out receives the
+// nbytes-long CBR range-coded payload (no TOC byte).  The handle is
+// a skt_celt_new() Celt state.  Returns nbytes, or negative on error.
+long skt_celt_enc_frame(void* h, const double* freq, int frame_size,
+                        int nbytes, uint8_t* out) {
+  if (!g_tables.ready) return -1;
+  Celt* st = (Celt*)h;
+  Parser p(st);
+  RE re;
+  re.init(nbytes);
+  int r = p.encode_frame(re, freq, frame_size, st->channels);
+  if (r != 0) return r;
+  if (re.finalize() != 0) return -6;
+  std::memcpy(out, re.buf.data(), nbytes);
+  return nbytes;
 }
 
 }  // extern "C"

@@ -347,3 +347,35 @@ def test_opus_encoder_routing():
     assert shim.backend == "libopus"
     forced = OpusEncoder(48000, 2, 96000, backend="libopus")
     assert forced.backend == "libopus" and forced.pre_skip == 312
+
+
+def test_native_celt_encoder_matches_python():
+    """The C++ encoder (skt_celt_enc_frame) must emit byte-identical
+    packets to the Python CeltEncoder across signals, bitrates, and
+    both channel counts (same double-precision math end to end)."""
+    pytest.importorskip("scipy")
+    try:
+        from soundkit_tpu.codecs.celt_native import NativeCeltEncoder  # noqa: F401
+    except Exception:
+        pytest.skip("native host library unavailable")
+    from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
+
+    rng = np.random.default_rng(5)
+    n = 48000
+    t = np.arange(n)
+    for C in (1, 2):
+        for bitrate in (48000, 128000):
+            sig = (0.4 * np.sin(0.03 * t)
+                   + 0.1 * np.sin(0.31 * t)
+                   + 0.02 * rng.standard_normal(n))
+            x = np.stack([sig, 0.8 * sig], axis=1)[:, :C]
+            e_nat = OpusCeltEncoder(channels=C, bit_rate=bitrate)
+            e_py = OpusCeltEncoder(channels=C, bit_rate=bitrate,
+                                   native=False)
+            assert e_nat._native is not None, "native backend not built"
+            p_nat = e_nat.push(x) + e_nat.flush()
+            p_py = e_py.push(x) + e_py.flush()
+            assert len(p_nat) == len(p_py)
+            assert p_nat == p_py, (
+                f"C={C} {bitrate}bps: packets diverge from python"
+            )
