@@ -63,6 +63,12 @@ class _BatchedGroup:
             from soundkit_tpu.models.vorbis_batch import BatchedVorbisDecoder
 
             self._model = BatchedVorbisDecoder(self.capacity)
+        elif self.kind == "opus":
+            from soundkit_tpu.models.opus_fleet_model import (
+                BatchedOggOpusDecoder,
+            )
+
+            self._model = BatchedOggOpusDecoder(self.capacity, self.channels)
         else:
             raise ValueError(self.kind)
         return self._model
@@ -135,7 +141,7 @@ class StreamFleet:
         self.channels = channels
         self._groups: Dict[str, _BatchedGroup] = {
             k: _BatchedGroup(k, capacity_per_group, channels)
-            for k in ("aac", "mp3", "flac", "vorbis")
+            for k in ("aac", "mp3", "flac", "vorbis", "opus")
         }
         self._lanes: Dict[str, _Lane] = {}
         self._detect: Dict[str, bytearray] = {}
@@ -171,6 +177,7 @@ class StreamFleet:
         parse (Vorbis topology mismatch), free the lane and replay the
         stream's bytes into a per-stream host fallback instead of
         raising out of push (the stream decoded fine pre-batching)."""
+        from soundkit_tpu.models.opus_fleet_model import OpusLaneUnsupported
         from soundkit_tpu.models.vorbis_batch import TopologyMismatch
 
         ln = self._lanes[stream_id]
@@ -180,7 +187,7 @@ class StreamFleet:
             pre.extend(data)
         try:
             group.push(ln.index, data)
-        except TopologyMismatch:
+        except (TopologyMismatch, OpusLaneUnsupported):
             group.release(ln.index)
             del self._lanes[stream_id]
             raw = bytes(self._pretopo.pop(stream_id, data))
@@ -208,12 +215,17 @@ class StreamFleet:
             AudioType.MP3: "mp3",
             AudioType.FLAC: "flac",
             AudioType.OGG_VORBIS: "vorbis",
+            AudioType.OGG_OPUS: "opus",
         }.get(detect_audio(buf))
         if kind is not None:
             lane_idx = self._groups[kind].alloc()
             if lane_idx is not None:
                 self._lanes[stream_id] = _Lane(kind, lane_idx)
-                if kind == "vorbis":
+                if kind in ("vorbis", "opus"):
+                    # raw bytes retained while the group can still
+                    # reject the stream (vorbis: until headers parse;
+                    # opus: for the lane's lifetime — a mode switch
+                    # can appear at any packet)
                     self._pretopo[stream_id] = bytearray()
                 self._push_lane(stream_id, buf)
                 return
@@ -301,6 +313,14 @@ class StreamFleet:
                         out[sid] = self._host_out(pcm.astype(np.float32))
                         ln.produced += 1
                 continue
+            if kind == "opus":
+                pcm, lengths = group.decode(n, device_out=True)
+                if getattr(pcm, "shape", (0,))[0] == 0:
+                    continue
+                if self.out_bits == 16:
+                    pcm = _i16_quantizers()[0](pcm)
+                staged.append((kind, active, ready_before, n, pcm, lengths))
+                continue
             if kind == "flac":
                 samples, metas = group.decode(n, device_out=True)
                 if self.out_bits == 16:
@@ -326,6 +346,24 @@ class StreamFleet:
                 staged.append((kind, active, ready_before, n, pcm, None))
 
         for kind, active, ready_before, n, dev, metas in staged:
+            if kind == "opus":
+                pcm = self._fetch(dev)  # [n, B, C, 960], valid at END
+                lengths = metas
+                for sid, ln in active.items():
+                    k = min(ready_before[sid], n)
+                    if k == 0:
+                        continue
+                    parts = []
+                    for r in range(k):
+                        m = int(lengths[r][ln.index])
+                        if m > 0:
+                            parts.append(
+                                pcm[r, ln.index, :, pcm.shape[-1] - m:]
+                            )
+                    if parts:
+                        out[sid] = np.concatenate(parts, axis=1)
+                    ln.produced += k
+                continue
             if kind == "flac":
                 samples = self._fetch(dev)  # [n, B, 2, stride] int
                 for sid, ln in active.items():

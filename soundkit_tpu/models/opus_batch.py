@@ -275,6 +275,15 @@ class BatchedCeltDecoder:
         """Enqueue one already-framed Opus packet."""
         self._packets[stream_idx].append(packet)
 
+    def configure_lane(self, b: int, pre_skip: int = 0,
+                       gain_q8: int = 0) -> None:
+        """Set the OpusHead-derived lane config when packets arrive via
+        push_packet (an external demuxer owns the head, e.g. Ogg)."""
+        self._skip[b] = pre_skip
+        if gain_q8:
+            self._gain[b] = 10.0 ** (gain_q8 / (20.0 * 256.0))
+        self._head_done[b] = True
+
     def reset_lane(self, b: int) -> None:
         """Recycle one lane for a new stream (fleet pattern)."""
         if self._native is not None:

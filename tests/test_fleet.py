@@ -340,3 +340,154 @@ def test_fleet_i16_downshifts_24bit_flac():
     # sanity: the signal actually exceeds 16-bit range, so the old
     # clip-only path would have saturated
     assert np.abs(pcm24).max() > (1 << 20)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 \
+                else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(packets, serial, seq, granule, header_type=0):
+    import struct
+
+    segs = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n = len(pkt)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        body.extend(pkt)
+    hdr = struct.pack("<4sBBqIII", b"OggS", 0, header_type, granule,
+                      serial, seq, 0) + bytes([len(segs)]) + bytes(segs)
+    page = bytearray(hdr + bytes(body))
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def _make_ogg_opus_celt(seconds=1.0, seed=9):
+    """A CELT-only Ogg-Opus stream from the owned encoder."""
+    import struct
+
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+
+    rng = np.random.default_rng(seed)
+    n = int(48000 * seconds)
+    t = np.arange(n)
+    pcm = np.stack([
+        (8000 * np.sin(0.02 * t) + 300 * rng.standard_normal(n)),
+        (6000 * np.sin(0.017 * t + 1)),
+    ], axis=1).astype(np.int16)
+    enc = OpusEncoder(48000, 2, 96000, backend="owned")
+    pkts = []
+    fs = enc.frame_size
+    inter = pcm.reshape(-1)
+    step = fs * 2
+    for i in range(0, len(inter) - step + 1, step):
+        pkts += enc.encode_i16_packets(inter[i : i + step])
+    pkts += enc.flush_packets()
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 2) + b"sk" + struct.pack("<I", 0)
+    serial = 0x1234
+    pages = [_ogg_page([head], serial, 0, 0, header_type=2),
+             _ogg_page([tags], serial, 1, 0)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += 960
+        pages.append(_ogg_page([p], serial, 2 + i, g,
+                               header_type=4 if i == len(pkts) - 1 else 0))
+    return b"".join(pages), pkts
+
+
+def test_fleet_routes_ogg_opus_celt_to_batched_group():
+    """CELT Ogg-Opus streams route into the batched opus group and
+    match the single-stream host decode."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+
+    wire, pkts = _make_ogg_opus_celt()
+    assert len(pkts) > 20
+
+    ref_dec = OggOpusDecoder()
+    ref = ref_dec.decode_f32(wire).reshape(-1, 2).T
+
+    fleet = StreamFleet(capacity_per_group=2)
+    for sid in ("o1", "o2"):
+        for i in range(0, len(wire), 4093):
+            fleet.push(sid, wire[i : i + 4093])
+        fleet.end_stream(sid)
+    assert fleet._lanes["o1"].group == "opus"
+    out = fleet.collect()
+    assert set(out) >= {"o1", "o2"}
+    assert fleet.sample_rate("o1") == 48000
+    for sid in ("o1", "o2"):
+        got = out[sid]
+        m = min(got.shape[1], ref.shape[1])
+        assert m > 40000
+        err = np.abs(got[:, :m] - ref[:, :m]).max()
+        # device f32 synthesis vs host path: ~1e-4 absolute
+        assert err < 5e-3, f"{sid}: max err {err}"
+
+
+def test_fleet_ogg_opus_fixture_batched_matches_host(testdata):
+    """The ogg_opus fixture (CELT 20 ms mono) rides the batched opus
+    group — mono-coded packets in a stereo-capacity group — and
+    matches the single-stream host decode."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+
+    ogg = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    ref_dec = OggOpusDecoder()
+    flat = ref_dec.decode_f32(ogg)
+    ref = flat.reshape(-1, ref_dec.channels).T
+
+    fleet = StreamFleet(capacity_per_group=2)
+    for i in range(0, len(ogg), 4093):
+        fleet.push("f", ogg[i : i + 4093])
+    fleet.end_stream("f")
+    assert fleet._lanes["f"].group == "opus"
+    out = fleet.collect()
+    got = out["f"]
+    m = min(got.shape[1], ref.shape[1])
+    assert m > 20000
+    # group duplicates mono across its stereo lanes; compare ch 0
+    err = np.abs(got[0, :m] - ref[0, :m]).max()
+    assert err < 5e-3, f"max err {err}"
+
+
+def test_fleet_ogg_opus_silk_reroutes_to_fallback(testdata):
+    """A SILK Ogg-Opus stream (the raw-framing speech fixture,
+    re-wrapped in Ogg pages) can't ride the CELT group: it must
+    reroute to the host fallback via byte replay and still decode."""
+    from soundkit_tpu.simple import OpusDeboxer
+
+    raw = (testdata / "opus" / f"{CLIP}.opus").read_bytes()
+    box = OpusDeboxer()
+    pkts = box.push(raw) + box.flush()
+    assert pkts
+    serial = 0x77
+    pages = [_ogg_page([box.opus_head], serial, 0, 0, header_type=2),
+             _ogg_page([b"OpusTags" + bytes(8)], serial, 1, 0)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += 960
+        pages.append(_ogg_page([p], serial, 2 + i, g,
+                               header_type=4 if i == len(pkts) - 1 else 0))
+    wire = b"".join(pages)
+
+    fleet = StreamFleet(capacity_per_group=2)
+    for i in range(0, len(wire), 4093):
+        fleet.push("s", wire[i : i + 4093])
+    fleet.end_stream("s")
+    assert "s" not in fleet._lanes  # rerouted out of the lane
+    assert "s" in fleet._fallback
+    out = fleet.collect()
+    pcm = out["s"]
+    assert pcm.shape[-1] > 20000
+    assert float(np.sqrt(np.mean(pcm**2))) > 1e-4
