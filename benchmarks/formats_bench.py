@@ -294,7 +294,7 @@ def bench_fleet(passes):
 
     one_pass()
     st = _passes_stats(one_pass, passes)
-    st["streams"] = 24
+    st["streams"] = 32
     return st
 
 
