@@ -55,18 +55,33 @@ class _AllocCoder:
     each of its three in-band reads (band skip, intensity, dual
     stereo) encodes this encoder's scripted decision and returns it,
     so the shared allocation code drives both directions with one
-    bit-exact control flow."""
+    bit-exact control flow.
 
-    def __init__(self, enc: RangeEncoder):
+    ``skip_to`` scripts the band-skip loop: trailing bands above it
+    are skipped (their bits redistribute to the occupied spectrum —
+    the big win on band-limited sources, where static allocation
+    would otherwise burn CBR bits coding empty bands).  The skip
+    question for band j arrives without band context, but the loop
+    walks down from ``end - 1`` one band per answered 0, so the band
+    is inferred by counting."""
+
+    def __init__(self, enc: RangeEncoder, end: int = NB_BANDS,
+                 skip_to: int = -1):
         self._enc = enc
         self._saw_uint = False
+        self._end = end
+        self._skip_to = skip_to
+        self._skip_asked = 0
 
     def dec_bit_logp(self, logp: int) -> int:
         if not self._saw_uint:
-            # skip loop: immediately signal "stop skipping" (keep all
-            # codable bands)
-            self._enc.enc_bit_logp(1, logp)
-            return 1
+            # skip loop: keep band j when j <= skip_to (or always,
+            # when no skip target is scripted)
+            j = self._end - 1 - self._skip_asked
+            self._skip_asked += 1
+            v = 1 if (self._skip_to < 0 or j <= self._skip_to) else 0
+            self._enc.enc_bit_logp(v, logp)
+            return v
         # dual-stereo flag: off
         self._enc.enc_bit_logp(0, logp)
         return 0
@@ -793,7 +808,13 @@ class CeltEncoder(CeltDecoder):
         bits_8 = (total << BITRES) - rc.tell_frac() - 1
         anti_collapse_rsv = 0  # never transient
 
-        shim = _AllocCoder(rc)
+        # skip trailing empty bands (band-limited sources): their bits
+        # redistribute to the occupied spectrum
+        skip_to = start
+        for i in range(start, end):
+            if band_log_e[:C, i].max() > -20.0:
+                skip_to = i
+        shim = _AllocCoder(rc, end, skip_to)
         (pulses, fine_quant, fine_priority, codedBands, balance,
          intensity, dual_stereo) = self._compute_allocation(
             start, end, offsets, cap, alloc_trim, bits_8, shim, LM, C

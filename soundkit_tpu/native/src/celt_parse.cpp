@@ -826,9 +826,23 @@ struct AllocCoder {
   RC* dec = nullptr;
   RE* enc = nullptr;
   bool saw_uint = false;
+  // encode-side band-skip script: trailing bands above skip_to are
+  // skipped so their bits redistribute to the occupied spectrum.
+  // The skip loop walks down from end_band-1, one band per answered
+  // 0, so the band under question is inferred by counting.
+  int end_band = NB_BANDS;
+  int skip_to = -1;
+  int skip_asked = 0;
   int bit_logp(int logp) {
     if (dec) return dec->dec_bit_logp(logp);
-    int v = saw_uint ? 0 : 1;  // skip loop: stop; dual-stereo: off
+    int v;
+    if (!saw_uint) {  // skip loop
+      int j = end_band - 1 - skip_asked;
+      skip_asked++;
+      v = (skip_to < 0 || j <= skip_to) ? 1 : 0;
+    } else {  // dual-stereo flag: off
+      v = 0;
+    }
     enc->enc_bit_logp(v, logp);
     return v;
   }
@@ -2561,6 +2575,12 @@ struct Parser {
 
     AllocCoder io;
     io.enc = &rc;
+    io.end_band = end;
+    // skip trailing empty bands (band-limited sources)
+    io.skip_to = start;
+    for (int i = start; i < end; i++)
+      for (int c = 0; c < C; c++)
+        if (band_log_e[c][i] > -20.0) io.skip_to = i;
     int64_t pulses[NB_BANDS], fine_quant[NB_BANDS],
         fine_priority[NB_BANDS];
     int codedBands, intensity, dual_stereo;
