@@ -6,10 +6,18 @@
 // on the branchy VLC decode (measured on the v3 batch parse), which is
 // the serving path's host bottleneck.
 //
-// Usage: pgo_train <fixture.aac>
+// Usage: pgo_train <fixture.aac> [testdata_dir]
+//
+// When the testdata directory is given, the FLAC/MP3/GSM/ALAC parsers
+// and the FLAC frame packer train too (each on its own fixture or on
+// synthetic plans); celt/vorbis need Python-pushed spec tables and are
+// instead covered by -fprofile-partial-training in the Makefile.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstring>
+#include <string>
 #include <vector>
 
 extern "C" {
@@ -32,12 +40,157 @@ int skt_aac_parse_batch_v4_ptrs(void* h, const uint8_t* const* aus,
     int16_t* regions, uint8_t* sf_len, uint8_t* sf_val, uint8_t* msis_len,
     uint8_t* msis_ms, int8_t* msis_pos, int8_t* msis_sign, int8_t* refl,
     uint8_t* crb, uint8_t* order, uint32_t* runs, uint8_t* n_runs,
-    uint16_t* spec_bit, uint8_t* seq, uint8_t* shape, uint8_t* chan_valid,
-    uint8_t* au_out, int32_t* max_cw, int32_t* overflow);
+    uint16_t* spec_bit, uint8_t* pns, uint8_t* seq, uint8_t* shape,
+    uint8_t* chan_valid, uint8_t* au_out, int32_t* max_cw,
+    int32_t* overflow);
+}
+
+extern "C" {
+void* skt_flac_new();
+void skt_flac_free(void* h);
+int skt_flac_push(void* h, const uint8_t* data, long len);
+long skt_flac_pull(void* h, int32_t* out, long cap);
+long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
+                          int bits, int precision, const int64_t* frame_no,
+                          const int32_t* assign, const int32_t* kind,
+                          const int32_t* order, const int32_t* shift,
+                          const int32_t* qlp, int qstride,
+                          const int32_t* res, const int32_t* block,
+                          uint8_t* out, long cap, int64_t* out_len);
+void* skt_mp3_new();
+void skt_mp3_free(void* h);
+long skt_mp3_push(void* h, const uint8_t* data, long len);
+int skt_mp3_pop(void* h, int16_t* q, int16_t* e, int32_t* meta);
+void* skt_gsm_new(int variant);
+void skt_gsm_free(void* h);
+long skt_gsm_decode(void* h, const uint8_t* data, long len, int16_t* out);
+void* skt_alac_new(const uint8_t* cookie, long len);
+void skt_alac_free(void* h);
+long skt_alac_frame_length(void* h);
+int skt_alac_channels(void* h);
+long skt_alac_decode(void* h, const uint8_t* pkt, long len, int32_t* out);
+}
+
+static std::vector<uint8_t> slurp(const std::string& path) {
+    FILE* f = fopen(path.c_str(), "rb");
+    if (!f) return {};
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> data((size_t)sz);
+    if (fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) data.clear();
+    fclose(f);
+    return data;
+}
+
+static const char* CLIP = "A_Tusk_is_used_to_make_costly_gifts";
+
+static void train_flac(const std::string& dir) {
+    auto data = slurp(dir + "/flac/" + CLIP + ".flac");
+    if (data.empty()) return;
+    std::vector<int32_t> pcm(1 << 16);
+    for (int r = 0; r < 6; r++) {
+        void* h = skt_flac_new();
+        skt_flac_push(h, data.data(), (long)data.size());
+        while (skt_flac_pull(h, pcm.data(), (long)pcm.size()) > 0) {}
+        skt_flac_free(h);
+    }
+}
+
+static void train_flac_pack(const std::string&) {
+    // synthetic plans over deterministic tonal+noise PCM: exercises
+    // the Rice parameter search, partition scoring, and bit packing
+    const long F = 24, N = 4096;
+    std::vector<int32_t> block(F * 2 * N);
+    uint32_t s = 12345;
+    for (long i = 0; i < F * 2 * N; i++) {
+        s = s * 1664525u + 1013904223u;
+        double t = (double)(i % N);
+        block[i] = (int32_t)(9000.0 * std::sin(0.013 * t) +
+                             (int32_t)(s >> 20) - 2048);
+    }
+    std::vector<int64_t> fno(F);
+    std::vector<int32_t> assign(F), kind(F * 2), order(F * 2), shift(F * 2);
+    std::vector<int32_t> qlp(F * 2 * 8);
+    for (long f = 0; f < F; f++) {
+        fno[f] = f;
+        assign[f] = (int32_t)(1 + (f % 4) * 3 % 10);  // 1,8,9,10-ish
+        if (assign[f] != 1 && assign[f] != 8 && assign[f] != 9 &&
+            assign[f] != 10)
+            assign[f] = 1;
+        for (int sl = 0; sl < 2; sl++) {
+            kind[f * 2 + sl] = (int32_t)(f % 2);  // fixed / lpc
+            order[f * 2 + sl] = kind[f * 2 + sl] ? 8 : (int32_t)(f % 5);
+            shift[f * 2 + sl] = 12;
+            for (int j = 0; j < 8; j++)
+                qlp[(f * 2 + sl) * 8 + j] = (int32_t)(((f + j) % 7) - 3) * 800;
+        }
+    }
+    long cap = 256 + N * 12;
+    std::vector<uint8_t> out((size_t)F * cap);
+    std::vector<int64_t> out_len(F);
+    for (int r = 0; r < 8; r++)
+        skt_flac_pack_frames(F, N, 2, 44100, 16, 14, fno.data(),
+                             assign.data(), kind.data(), order.data(),
+                             shift.data(), qlp.data(), 8, nullptr,
+                             block.data(), out.data(), cap, out_len.data());
+}
+
+static void train_mp3(const std::string& dir) {
+    auto data = slurp(dir + "/mp3/" + CLIP + ".mp3");
+    if (data.empty()) return;
+    std::vector<int16_t> q(2 * 576), e(2 * 576);
+    std::vector<int32_t> meta(10);
+    for (int r = 0; r < 6; r++) {
+        void* h = skt_mp3_new();
+        skt_mp3_push(h, data.data(), (long)data.size());
+        while (skt_mp3_pop(h, q.data(), e.data(), meta.data())) {}
+        skt_mp3_free(h);
+    }
+}
+
+static void train_gsm(const std::string& dir) {
+    auto data = slurp(dir + "/gsm/" + CLIP + ".gsm");
+    if (data.empty()) return;
+    std::vector<int16_t> out(((long)data.size() / 33 + 2) * 320 + 320);
+    for (int r = 0; r < 10; r++) {
+        void* h = skt_gsm_new(0);
+        skt_gsm_decode(h, data.data(), (long)data.size(), out.data());
+        skt_gsm_free(h);
+    }
+}
+
+static void train_alac(const std::string& dir) {
+    auto data = slurp(dir + "/alac/" + CLIP + ".m4a");
+    if (data.empty()) return;
+    // magic cookie for the fixture (matches fuzz_parsers.py)
+    static const uint8_t cookie[] = {
+        0x00,0x00,0x00,0x24,0x61,0x6c,0x61,0x63,0x00,0x00,0x00,0x00,
+        0x00,0x00,0x10,0x00,0x00,0x10,0x28,0x0a,0x0e,0x01,0x00,0x00,
+        0x00,0x00,0x20,0x04,0x00,0x01,0xf4,0x00,0x00,0x00,0x1f,0x40};
+    void* h = skt_alac_new(cookie, sizeof(cookie));
+    if (!h) return;
+    long fl = skt_alac_frame_length(h);
+    int ch = skt_alac_channels(h);
+    std::vector<int32_t> out((size_t)(fl > 0 ? fl : 4096) *
+                             (ch > 0 ? ch : 2));
+    // mdat walk is in the Python layer; feed coarse slices so the
+    // packet decode hot paths still execute
+    for (long p = 0; p + 4096 <= (long)data.size(); p += 4096)
+        skt_alac_decode(h, data.data() + p, 4096, out.data());
+    skt_alac_free(h);
 }
 
 int main(int argc, char** argv) {
     if (argc < 2) return 0;
+    if (argc >= 3) {
+        std::string dir(argv[2]);
+        train_flac(dir);
+        train_flac_pack(dir);
+        train_mp3(dir);
+        train_gsm(dir);
+        train_alac(dir);
+    }
     FILE* f = fopen(argv[1], "rb");
     if (!f) return 0;
     fseek(f, 0, SEEK_END);
@@ -84,6 +237,7 @@ int main(int argc, char** argv) {
     std::vector<uint32_t> runs(B * 2 * 128);
     std::vector<uint8_t> n_runs(B * 2), au_out((size_t)B * 1024);
     std::vector<uint16_t> spec_bit(B * 2);
+    std::vector<uint8_t> pns((size_t)B * 2 * 4 * 128);  // generous
     int32_t ovf, max_cw;
 
     void* h = skt_aac_new(sr_index);
@@ -101,7 +255,7 @@ int main(int argc, char** argv) {
             regions.data(), sf_len.data(), sf_val.data(), msis_len.data(),
             msis_ms.data(), msis_pos.data(), msis_sign.data(), refl.data(),
             crb.data(), ord.data(), runs.data(), n_runs.data(),
-            spec_bit.data(), seq.data(), shp.data(), cv.data(),
+            spec_bit.data(), pns.data(), seq.data(), shp.data(), cv.data(),
             au_out.data(), &max_cw, &ovf);
         if (t < 4)  // keep the fallback path warm in the profile too
             skt_aac_parse_batch_compact_ptrs(h, ptrs.data(), lens.data(), B, 1,
