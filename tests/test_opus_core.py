@@ -322,3 +322,55 @@ def test_transient_click_train_vs_oracle():
     assert len(frame_snrs) > 50
     assert min(frame_snrs) > 60.0
     assert np.median(frame_snrs) > 85.0
+
+
+def test_fast_path_replay_on_mode_switch(testdata):
+    """A stream that starts CELT (native fast path) and switches to
+    SILK must replay its history through the Python decoder: output
+    after the switch is exactly what an all-Python decode produces,
+    output before it agrees to fast-path synthesis precision."""
+    import struct
+
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer, OpusStreamDecoder
+    from soundkit_tpu.simple import OpusDeboxer
+
+    CLIP = "A_Tusk_is_used_to_make_costly_gifts"
+    ogg = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dm = OggOpusDemuxer()
+    celt_pkts = dm.push(ogg)[:30]  # CELT 20 ms mono
+    raw = (testdata / "opus" / f"{CLIP}.opus").read_bytes()
+    box = OpusDeboxer()
+    silk_pkts = (box.push(raw) + box.flush())[:30]
+    assert celt_pkts and silk_pkts
+
+    head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    pkts = celt_pkts + silk_pkts
+    wire = head + b"".join(
+        struct.pack("<H", len(p)) + p for p in pkts
+    )
+
+    fast = OpusStreamDecoder()
+    out_fast = fast.decode_f32(wire)
+    assert fast._core is not None and fast._core._fast is False, (
+        "fast path should have engaged then bailed at the SILK packet"
+    )
+
+    ref = OpusStreamDecoder()
+    ref.decode_f32(head)  # core creation, then disable the fast path
+    ref._core._fast = False
+    out_ref = np.concatenate([
+        ref._core.decode_packet_f32(p) for p in pkts
+    ])
+
+    n = min(len(out_fast), len(out_ref))
+    assert n > 30 * 960
+    celt_n = 30 * 960  # mono samples in the CELT span
+    # pre-switch: f32 device-style synthesis vs f64 python
+    np.testing.assert_allclose(
+        out_fast[:celt_n], out_ref[:celt_n], atol=5e-3
+    )
+    # post-switch: the replay rebuilt exact python state
+    np.testing.assert_array_equal(
+        out_fast[celt_n:n], out_ref[celt_n:n]
+    )
