@@ -55,7 +55,7 @@ def _lib():
     lib.skt_celt_enc_frame.restype = ctypes.c_long
     lib.skt_celt_enc_frame.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
 
     t = tables()
 
@@ -209,16 +209,17 @@ class NativeCeltEncoder:
         self._lib.skt_celt_reset(self._h)
 
     def encode_frame(self, freq: np.ndarray, frame_size: int,
-                     nbytes: int) -> bytes:
+                     nbytes: int, transient: bool = False) -> bytes:
         """``freq``: [C, frame_size] forward-MDCT spectra (the caller
-        runs the dense MDCT matmul through BLAS, batched over frames)
-        -> the nbytes CBR range-coded payload (no TOC)."""
+        runs the dense MDCT matmul through BLAS, batched over frames;
+        bin-interleaved short blocks when ``transient``) -> the nbytes
+        CBR range-coded payload (no TOC)."""
         freq = np.ascontiguousarray(freq, dtype=np.float64)
         out = np.zeros(nbytes, dtype=np.uint8)
         r = self._lib.skt_celt_enc_frame(
             self._h,
             freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            frame_size, nbytes,
+            frame_size, nbytes, 1 if transient else 0,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         if r != nbytes:
             raise CeltNativeError(f"celt encode failed ({r})")

@@ -716,14 +716,19 @@ class CeltEncoder(CeltDecoder):
     # -- frame ---------------------------------------------------------------
     def encode_frame(self, rc: RangeEncoder, x: np.ndarray,
                      frame_size: int, start: int = 0,
-                     end: int = NB_BANDS) -> None:
+                     end: int = NB_BANDS,
+                     transient: bool = False) -> None:
         """Encode one CELT frame into ``rc``.
 
         ``x``: [C, frame_size + OVERLAP] pre-emphasized celt-domain
         samples (float PCM * 32768 through the pre-emphasis filter);
-        the OVERLAP tail is the lookahead into the next frame."""
+        the OVERLAP tail is the lookahead into the next frame.
+        ``transient`` selects 8 short MDCT blocks (pre-echo control on
+        attacks; the caller decides, see detect_transient)."""
         C = self.channels
         LM = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
+        if LM == 0:
+            transient = False  # no short split exists at 2.5 ms
         N = frame_size
         M = 1 << LM
         eBands = self.eBands
@@ -735,14 +740,26 @@ class CeltEncoder(CeltDecoder):
         if start == 0 and rc.tell() + 16 <= total:
             rc.enc_bit_logp(0, 1)   # no comb postfilter
         if LM > 0 and rc.tell() + 3 <= total:
-            rc.enc_bit_logp(0, 3)   # not transient (long MDCT)
+            rc.enc_bit_logp(1 if transient else 0, 3)
+        elif LM == 0:
+            transient = False
         intra = False
         if rc.tell() + 3 <= total:
             rc.enc_bit_logp(0, 3)   # inter energy prediction
 
-        # forward MDCT (one long block) + band energies
-        mat = _imdct_matrix(N)
-        freq = (x[:, : N + OVERLAP] @ mat.T) * (2.0 / N)  # 4/L, L=2N
+        # forward MDCT + band energies: one long block, or M short
+        # blocks interleaved bin-wise (the decoder's freq[c, b::B]
+        # layout, opus_celt._synthesize)
+        if transient:
+            NB = N // M
+            mat = _imdct_matrix(NB)
+            freq = np.zeros((C, N))
+            for b in range(M):
+                seg = x[:, b * NB : b * NB + NB + OVERLAP]
+                freq[:, b::M] = (seg @ mat.T) * (2.0 / NB)
+        else:
+            mat = _imdct_matrix(N)
+            freq = (x[:, : N + OVERLAP] @ mat.T) * (2.0 / N)  # 4/L, L=2N
         bandE = np.zeros((C, NB_BANDS))
         band_log_e = np.full((C, NB_BANDS), -28.0)
         Xn = np.zeros((C, M * eBands[NB_BANDS] + 200))
@@ -762,7 +779,8 @@ class CeltEncoder(CeltDecoder):
 
         # tf_res: all zero (no per-band time-frequency change)
         tf_res = np.zeros(NB_BANDS, dtype=np.int64)
-        logp = 4  # not transient
+        it = 1 if transient else 0
+        logp = 2 if transient else 4
         budget = total
         tell = rc.tell()
         tf_changed = 0
@@ -770,14 +788,14 @@ class CeltEncoder(CeltDecoder):
             if tell + logp <= budget:
                 rc.enc_bit_logp(0, logp)
                 tell = rc.tell()
-            logp = 5
+            logp = 4 if transient else 5
         tf_select = 0
         if (LM > 0 and tell + 1 <= budget
-                and self.tf_select_tab[LM][0][0][tf_changed]
-                != self.tf_select_tab[LM][0][1][tf_changed]):
+                and self.tf_select_tab[LM][it][0][tf_changed]
+                != self.tf_select_tab[LM][it][1][tf_changed]):
             rc.enc_bit_logp(0, 1)
         for i in range(start, end):
-            tf_res[i] = self.tf_select_tab[LM][0][tf_select][0]
+            tf_res[i] = self.tf_select_tab[LM][it][tf_select][0]
 
         spread = SPREAD_NORMAL
         if rc.tell() + 4 <= total:
@@ -806,7 +824,12 @@ class CeltEncoder(CeltDecoder):
             rc.enc_cdf(alloc_trim, self.trim_icdf)
 
         bits_8 = (total << BITRES) - rc.tell_frac() - 1
-        anti_collapse_rsv = 0  # never transient
+        anti_collapse_rsv = (
+            (1 << BITRES)
+            if (transient and LM >= 2 and bits_8 >= (LM + 2) << BITRES)
+            else 0
+        )
+        bits_8 -= anti_collapse_rsv
 
         # skip trailing empty bands (band-limited sources): their bits
         # redistribute to the occupied spectrum
@@ -825,17 +848,41 @@ class CeltEncoder(CeltDecoder):
 
         self._quant_all_bands_enc(
             rc, start, end, Xn[0], Xn[1] if C == 2 else None, bandE,
-            pulses, False, spread, tf_res,
+            pulses, transient, spread, tf_res,
             (total << BITRES) - anti_collapse_rsv, balance, LM,
             codedBands, intensity, dual_stereo,
         )
+
+        if anti_collapse_rsv > 0:
+            # anti-collapse off: the decoded spectrum then equals the
+            # encoder's resynthesis exactly (no decoder-side noise
+            # injection into collapsed short blocks)
+            rc.rawbits(0, 1)
 
         self._finalize_energy_enc(rc, start, end, fine_quant,
                                   fine_priority, total - rc.tell(),
                                   band_log_e, C)
 
-        self._post_frame_energy(start, end, False, C)
+        self._post_frame_energy(start, end, transient, C)
         self.rng = int(rc.rng) & 0xFFFFFFFF
+
+
+def detect_transient(frame: np.ndarray, N: int, M: int) -> bool:
+    """Attack detector for the short-block decision: block energies of
+    the first difference (a crude high-pass, so bass sustain doesn't
+    trigger) across the M short blocks; transient when a block jumps
+    well above the level of the blocks before it (pre-echo risk)."""
+    if M < 2:
+        return False
+    d = np.diff(frame[:, :N], axis=1)
+    NB = (N - 1) // M
+    eb = np.array([
+        float((d[:, b * NB : (b + 1) * NB] ** 2).sum()) for b in range(M)
+    ]) + 1e-9
+    peak = int(np.argmax(eb))
+    if peak == 0:
+        return False
+    return eb[peak] > 24.0 * eb[:peak].mean()
 
 
 _MDCT_WIN = {}
@@ -950,17 +997,34 @@ class OpusCeltEncoder:
                     self._pend[:, f * N : f * N + N + OVERLAP]
                     for f in range(nf)
                 ])  # [F, C, N+OVERLAP]
-                freq = _forward_mdct(frames, N)  # [F, C, N]
+                M = N // 120
+                trans = [detect_transient(frames[f], N, M)
+                         for f in range(nf)]
+                freq = _forward_mdct(frames, N)  # [F, C, N] (long)
                 for f in range(nf):
-                    payload = self._native.encode_frame(
-                        freq[f], N, self.bytes_per_frame
-                    )
+                    if trans[f] and M >= 2:
+                        # M short MDCTs, bin-interleaved (decoder's
+                        # freq[c, b::M] layout)
+                        fshort = np.zeros_like(freq[f])
+                        for b in range(M):
+                            seg = frames[f][:, b * 120 : b * 120 + 240]
+                            fshort[:, b::M] = _forward_mdct(seg, 120)
+                        payload = self._native.encode_frame(
+                            fshort, N, self.bytes_per_frame,
+                            transient=True,
+                        )
+                    else:
+                        payload = self._native.encode_frame(
+                            freq[f], N, self.bytes_per_frame
+                        )
                     out.append(bytes([self._toc]) + payload)
                 self._pend = self._pend[:, nf * N:]
             return out
         while self._pend.shape[1] >= N + OVERLAP:
+            frame = self._pend[:, : N + OVERLAP]
+            tr = detect_transient(frame, N, N // 120)
             rc = RangeEncoder(self.bytes_per_frame)
-            self._celt.encode_frame(rc, self._pend[:, : N + OVERLAP], N)
+            self._celt.encode_frame(rc, frame, N, transient=tr)
             out.append(bytes([self._toc]) + rc.finalize())
             self._pend = self._pend[:, N:]
         return out

@@ -2472,7 +2472,7 @@ struct Parser {
   // identical math to the Python encoder, and far faster than a
   // scalar loop here.
   int encode_frame(RE& rc, const double* freq_in /* C rows of N */,
-                   int frame_size, int C) {
+                   int frame_size, int C, bool transient) {
     int LM;
     switch (frame_size) {
       case 120: LM = 0; break;
@@ -2487,12 +2487,13 @@ struct Parser {
     int start = 0, end = NB_BANDS;
     int64_t total = rc.total_bits();
 
+    if (LM == 0) transient = false;  // no short split at 2.5 ms
     int tell = rc.tell();
     if (tell == 1) rc.enc_bit_logp(0, 15);  // not silence
     if (start == 0 && rc.tell() + 16 <= total)
       rc.enc_bit_logp(0, 1);  // no comb postfilter
     if (LM > 0 && rc.tell() + 3 <= total)
-      rc.enc_bit_logp(0, 3);  // not transient
+      rc.enc_bit_logp(transient ? 1 : 0, 3);
     bool intra = false;
     if (rc.tell() + 3 <= total) rc.enc_bit_logp(0, 3);  // inter
 
@@ -2527,7 +2528,8 @@ struct Parser {
 
     // tf_res all zero; encode the per-band clear flags
     int64_t tf_res[NB_BANDS] = {0};
-    int logp = 4;
+    int it = transient ? 1 : 0;
+    int logp = transient ? 2 : 4;
     int64_t budget = total;
     tell = rc.tell();
     int tf_changed = 0;
@@ -2536,15 +2538,15 @@ struct Parser {
         rc.enc_bit_logp(0, logp);
         tell = rc.tell();
       }
-      logp = 5;
+      logp = transient ? 4 : 5;
     }
     int tf_select = 0;
     if (LM > 0 && tell + 1 <= budget &&
-        t.tf_select[LM][0][0][tf_changed] !=
-            t.tf_select[LM][0][1][tf_changed])
+        t.tf_select[LM][it][0][tf_changed] !=
+            t.tf_select[LM][it][1][tf_changed])
       rc.enc_bit_logp(0, 1);
     for (int i = start; i < end; i++)
-      tf_res[i] = t.tf_select[LM][0][tf_select][0];
+      tf_res[i] = t.tf_select[LM][it][tf_select][0];
 
     int spread = 2;  // SPREAD_NORMAL
     if (rc.tell() + 4 <= total) rc.enc_cdf(spread, t.spread_cdf);
@@ -2572,6 +2574,10 @@ struct Parser {
       rc.enc_cdf(alloc_trim, t.trim_cdf);
 
     int64_t bits_8 = (total << BITRES) - rc.tell_frac() - 1;
+    int64_t anti_collapse_rsv =
+        (transient && LM >= 2 && bits_8 >= ((int64_t)(LM + 2) << BITRES))
+            ? (1 << BITRES) : 0;
+    bits_8 -= anti_collapse_rsv;
 
     AllocCoder io;
     io.enc = &rc;
@@ -2592,15 +2598,18 @@ struct Parser {
     fine_energy_enc(rc, start, end, fine_quant, &band_log_e[0][0], C);
 
     quant_all_bands_enc(rc, start, end, Xn[0], C == 2 ? Xn[1] : nullptr,
-                        &bandE[0][0], pulses, false, spread, tf_res,
-                        total << BITRES, balance, LM, codedBands,
-                        intensity, dual_stereo);
+                        &bandE[0][0], pulses, transient, spread, tf_res,
+                        (total << BITRES) - anti_collapse_rsv, balance,
+                        LM, codedBands, intensity, dual_stereo);
+
+    if (anti_collapse_rsv > 0)
+      rc.rawbits(0, 1);  // anti-collapse off: decode == resynthesis
 
     finalize_energy_enc(rc, start, end, fine_quant, fine_priority,
                         total - rc.tell(), &band_log_e[0][0], C);
 
     if (fail) return -4;
-    post_frame_energy(start, end, false, C);
+    post_frame_energy(start, end, transient, C);
     st->rng = rc.rng;
     return 0;
   }
@@ -2872,13 +2881,14 @@ int skt_celt_parse_many(void** handles, int B, const uint8_t* buf,
 // nbytes-long CBR range-coded payload (no TOC byte).  The handle is
 // a skt_celt_new() Celt state.  Returns nbytes, or negative on error.
 long skt_celt_enc_frame(void* h, const double* freq, int frame_size,
-                        int nbytes, uint8_t* out) {
+                        int nbytes, int transient, uint8_t* out) {
   if (!g_tables.ready) return -1;
   Celt* st = (Celt*)h;
   Parser p(st);
   RE re;
   re.init(nbytes);
-  int r = p.encode_frame(re, freq, frame_size, st->channels);
+  int r = p.encode_frame(re, freq, frame_size, st->channels,
+                         transient != 0);
   if (r != 0) return r;
   if (re.finalize() != 0) return -6;
   std::memcpy(out, re.buf.data(), nbytes);

@@ -379,3 +379,51 @@ def test_native_celt_encoder_matches_python():
             assert p_nat == p_py, (
                 f"C={C} {bitrate}bps: packets diverge from python"
             )
+
+
+def test_transient_frames_oracle_and_backends():
+    """Attack-heavy input triggers short-block (transient) frames;
+    packets must stay byte-identical across backends and decode
+    through the independent libopus oracle at sane quality."""
+    import struct
+
+    import soundkit_tpu.codecs.opus_celt_enc as oce
+    from soundkit_tpu.codecs.avdec import AvDecoder
+
+    n = 48000 * 2
+    t = np.arange(n)
+    x = 0.02 * np.sin(0.01 * t)
+    for k in range(8):
+        p = 6000 + k * 11000
+        burst = 0.5 * np.sin(0.3 * np.arange(2000)) * np.exp(
+            -np.arange(2000) / 300.0)
+        x[p : p + 2000] += burst
+    x2 = np.stack([x, 0.8 * x], axis=1)
+
+    # the detector must fire on this material
+    enc_probe = oce.OpusCeltEncoder(channels=2, bit_rate=96000)
+    pre = enc_probe._preemph(x2)
+    hits = sum(
+        oce.detect_transient(pre[:, f * 960 : f * 960 + 1080], 960, 8)
+        for f in range(60)
+        if pre[:, f * 960 : f * 960 + 1080].shape[1] >= 1080
+    )
+    assert hits >= 1, "transient detector never fired"
+
+    e_nat = oce.OpusCeltEncoder(channels=2, bit_rate=96000)
+    e_py = oce.OpusCeltEncoder(channels=2, bit_rate=96000, native=False)
+    p_nat = e_nat.push(x2) + e_nat.flush()
+    p_py = e_py.push(x2) + e_py.flush()
+    assert p_nat == p_py, "native/python diverge on transient frames"
+
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    av = AvDecoder("opus", extradata=head)
+    parts = [av.push(p) for p in p_nat] + [av.flush()]
+    parts = [p for p in parts if p is not None and p.size]
+    out = np.concatenate(parts, axis=-1).reshape(-1, 2)
+    m = min(len(out), len(x2))
+    assert m > 48000
+    e = out[:m] - x2[:m]
+    snr = 10 * np.log10((x2[:m] ** 2).mean() / max((e ** 2).mean(), 1e-20))
+    assert snr > 15.0, f"oracle decode SNR {snr:.1f} dB"
