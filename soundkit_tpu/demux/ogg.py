@@ -100,3 +100,118 @@ class OggPacketizer:
                     packets.append((bytes(self._partial), page.granule))
                     self._partial.clear()
         return packets
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (poly 0x04C11DB7, no reflection, init 0)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
+                if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def build_ogg_page(packets, serial: int, seq: int, granule: int,
+                   header_type: int = 0) -> bytes:
+    """One Ogg page from whole packets (RFC 3533 framing: 255-run
+    segment lacing, little-endian header, CRC over the full page)."""
+    import struct
+
+    segs = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n = len(pkt)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        body.extend(pkt)
+    hdr = struct.pack("<4sBBqIII", b"OggS", 0, header_type, granule,
+                      serial, seq, 0) + bytes([len(segs)]) + bytes(segs)
+    page = bytearray(hdr + bytes(body))
+    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+class OggOpusWriter:
+    """Mux Opus packets into an Ogg-Opus stream (RFC 7845): OpusHead
+    BOS page, OpusTags page, then one packet per page with 48 kHz
+    granule positions and an EOS flag at close.
+
+    The encode-direction sibling of OggOpusDemuxer — pair with the
+    owned encoder (codecs/opus_celt_enc.OpusCeltEncoder) for a fully
+    owned .opus-file pipeline.  No reference analog exists (its
+    encoders emit raw packets only)."""
+
+    def __init__(self, channels: int, pre_skip: int = 0,
+                 input_sample_rate: int = 48000, output_gain: int = 0,
+                 serial: int = 0x534B5401, vendor: bytes = b"soundkit-tpu"):
+        import struct
+
+        self._serial = serial
+        self._seq = 0
+        self._granule = 0
+        self._pending: list = []
+        self._closed = False
+        head = (b"OpusHead" + bytes([1, channels])
+                + struct.pack("<H", pre_skip)
+                + struct.pack("<I", input_sample_rate)
+                + struct.pack("<h", output_gain) + b"\x00")
+        tags = (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor
+                + struct.pack("<I", 0))
+        self._out = bytearray()
+        self._out += build_ogg_page([head], serial, self._next_seq(), 0,
+                                    header_type=2)  # BOS
+        self._out += build_ogg_page([tags], serial, self._next_seq(), 0)
+
+    def _next_seq(self) -> int:
+        s = self._seq
+        self._seq += 1
+        return s
+
+    def write_packet(self, packet: bytes,
+                     samples_48k: int = 960) -> None:
+        """Append one Opus packet (granule advances by its 48 kHz
+        sample count; 960 = a 20 ms frame)."""
+        if self._closed:
+            raise ValueError("writer is closed")
+        self._pending.append((bytes(packet), samples_48k))
+
+    def take(self) -> bytes:
+        """Drain the muxed bytes produced so far (streamable)."""
+        for pkt, n in self._pending:
+            self._granule += n
+            self._out += build_ogg_page([pkt], self._serial,
+                                        self._next_seq(), self._granule)
+        self._pending = []
+        out = bytes(self._out)
+        self._out = bytearray()
+        return out
+
+    def close(self) -> bytes:
+        """Flush with the EOS flag on the final page."""
+        if self._closed:
+            return b""
+        self._closed = True
+        if self._pending:
+            *head_pkts, last = self._pending
+            for pkt, n in head_pkts:
+                self._granule += n
+                self._out += build_ogg_page([pkt], self._serial,
+                                            self._next_seq(),
+                                            self._granule)
+            pkt, n = last
+            self._granule += n
+            self._out += build_ogg_page([pkt], self._serial,
+                                        self._next_seq(), self._granule,
+                                        header_type=4)  # EOS
+            self._pending = []
+        else:
+            self._out += build_ogg_page([b""], self._serial,
+                                        self._next_seq(), self._granule,
+                                        header_type=4)
+        out = bytes(self._out)
+        self._out = bytearray()
+        return out

@@ -342,34 +342,10 @@ def test_fleet_i16_downshifts_24bit_flac():
     assert np.abs(pcm24).max() > (1 << 20)
 
 
-def _ogg_crc(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 24
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 \
-                else (crc << 1) & 0xFFFFFFFF
-    return crc
-
-
 def _ogg_page(packets, serial, seq, granule, header_type=0):
-    import struct
+    from soundkit_tpu.demux.ogg import build_ogg_page
 
-    segs = bytearray()
-    body = bytearray()
-    for pkt in packets:
-        n = len(pkt)
-        while n >= 255:
-            segs.append(255)
-            n -= 255
-        segs.append(n)
-        body.extend(pkt)
-    hdr = struct.pack("<4sBBqIII", b"OggS", 0, header_type, granule,
-                      serial, seq, 0) + bytes([len(segs)]) + bytes(segs)
-    page = bytearray(hdr + bytes(body))
-    crc = _ogg_crc(bytes(page))
-    page[22:26] = struct.pack("<I", crc)
-    return bytes(page)
+    return build_ogg_page(packets, serial, seq, granule, header_type)
 
 
 def _make_ogg_opus_celt(seconds=1.0, seed=9):

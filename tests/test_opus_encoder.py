@@ -427,3 +427,51 @@ def test_transient_frames_oracle_and_backends():
     e = out[:m] - x2[:m]
     snr = 10 * np.log10((x2[:m] ** 2).mean() / max((e ** 2).mean(), 1e-20))
     assert snr > 15.0, f"oracle decode SNR {snr:.1f} dB"
+
+
+def test_ogg_opus_writer_roundtrip():
+    """Owned encode -> OggOpusWriter mux -> own Ogg-Opus decode, plus
+    the libavcodec oracle demuxing the same file."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+    from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
+    from soundkit_tpu.demux.ogg import OggOpusWriter
+
+    rng = np.random.default_rng(2)
+    n = 48000
+    t = np.arange(n)
+    x = np.stack([
+        0.3 * np.sin(0.02 * t) + 0.02 * rng.standard_normal(n),
+        0.25 * np.sin(0.018 * t),
+    ], axis=1)
+    enc = OpusCeltEncoder(channels=2, bit_rate=96000)
+    w = OggOpusWriter(channels=2)
+    chunks = []
+    for i in range(0, n, 9600):  # streamed in 200 ms slabs
+        for pkt in enc.push(x[i : i + 9600]):
+            w.write_packet(pkt)
+        chunks.append(w.take())
+    for pkt in enc.flush():
+        w.write_packet(pkt)
+    chunks.append(w.close())
+    wire = b"".join(chunks)
+    assert wire[:4] == b"OggS"
+
+    dec = OggOpusDecoder()
+    out = dec.decode_f32(wire).reshape(-1, 2)
+    m = min(len(out), n)
+    assert m > 40000
+    e = out[:m] - x[:m]
+    snr = 10 * np.log10((x[:m] ** 2).mean() / max((e ** 2).mean(), 1e-20))
+    assert snr > 12.0, f"own round-trip SNR {snr:.1f}"
+
+    # independent oracle: libavcodec demuxes+decodes the same file
+    import subprocess
+    import tempfile
+
+    from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+    from soundkit_tpu.core.audio_types import AudioData
+
+    sd = StreamDecoder()
+    outs = sd.process(wire) + sd.process(b"")
+    audio = [o for o in outs if isinstance(o, AudioData)]
+    assert audio and audio[0].sampling_rate == 48000
