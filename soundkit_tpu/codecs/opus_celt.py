@@ -1185,13 +1185,17 @@ class CeltDecoder:
 
         self._coarse_energy(rc, start, end, intra, LM, C)
 
-        # tf_res
+        # tf_res (libopus tf_decode: the tf_select bit is RESERVED
+        # from the per-band budget up front, so the last band's flag
+        # and the select bit never compete for the same bit)
         tf_res = np.zeros(NB_BANDS, dtype=np.int64)
         curr = 0
         tf_changed = 0
         logp = 2 if isTransient else 4
         budget = total
         tell = rc.tell()
+        tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+        budget -= tf_select_rsv
         for i in range(start, end):
             if tell + logp <= budget:
                 curr ^= rc.dec_bit_logp(logp)
@@ -1201,7 +1205,7 @@ class CeltDecoder:
             logp = 4 if isTransient else 5
         tf_select = 0
         it = 1 if isTransient else 0
-        if (LM > 0 and tell + 1 <= budget
+        if (tf_select_rsv
                 and self.tf_select_tab[LM][it][0][tf_changed]
                 != self.tf_select_tab[LM][it][1][tf_changed]):
             tf_select = rc.dec_bit_logp(1)

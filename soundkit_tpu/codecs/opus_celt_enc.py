@@ -741,7 +741,8 @@ class CeltEncoder(CeltDecoder):
             rc.enc_bit_logp(0, 1)   # no comb postfilter
         if LM > 0 and rc.tell() + 3 <= total:
             rc.enc_bit_logp(1 if transient else 0, 3)
-        elif LM == 0:
+        else:
+            # the decoder cannot read the flag: force long blocks
             transient = False
         intra = False
         if rc.tell() + 3 <= total:
@@ -777,20 +778,24 @@ class CeltEncoder(CeltDecoder):
         self._coarse_energy_enc(rc, start, end, intra, LM,
                                 band_log_e, C)
 
-        # tf_res: all zero (no per-band time-frequency change)
+        # tf_res: all zero (no per-band time-frequency change);
+        # libopus tf_encode budget semantics: the tf_select bit is
+        # reserved from the per-band budget up front
         tf_res = np.zeros(NB_BANDS, dtype=np.int64)
         it = 1 if transient else 0
         logp = 2 if transient else 4
         budget = total
         tell = rc.tell()
         tf_changed = 0
+        tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+        budget -= tf_select_rsv
         for i in range(start, end):
             if tell + logp <= budget:
                 rc.enc_bit_logp(0, logp)
                 tell = rc.tell()
             logp = 4 if transient else 5
         tf_select = 0
-        if (LM > 0 and tell + 1 <= budget
+        if (tf_select_rsv
                 and self.tf_select_tab[LM][it][0][tf_changed]
                 != self.tf_select_tab[LM][it][1][tf_changed]):
             rc.enc_bit_logp(0, 1)
@@ -998,25 +1003,30 @@ class OpusCeltEncoder:
                     for f in range(nf)
                 ])  # [F, C, N+OVERLAP]
                 M = N // 120
-                trans = [detect_transient(frames[f], N, M)
+                trans = [detect_transient(frames[f], N, M) and M >= 2
                          for f in range(nf)]
-                freq = _forward_mdct(frames, N)  # [F, C, N] (long)
-                for f in range(nf):
-                    if trans[f] and M >= 2:
-                        # M short MDCTs, bin-interleaved (decoder's
-                        # freq[c, b::M] layout)
-                        fshort = np.zeros_like(freq[f])
+                long_idx = [f for f in range(nf) if not trans[f]]
+                short_idx = [f for f in range(nf) if trans[f]]
+                freq = np.zeros((nf, frames.shape[1], N))
+                if long_idx:
+                    freq[long_idx] = _forward_mdct(frames[long_idx], N)
+                if short_idx:
+                    # all transient frames' short blocks in ONE
+                    # batched transform, bin-interleaved back into the
+                    # decoder's freq[c, b::M] layout
+                    segs = np.stack([
+                        frames[f][:, b * 120 : b * 120 + 240]
+                        for f in short_idx for b in range(M)
+                    ])
+                    fs = _forward_mdct(segs, 120)
+                    for j, f in enumerate(short_idx):
                         for b in range(M):
-                            seg = frames[f][:, b * 120 : b * 120 + 240]
-                            fshort[:, b::M] = _forward_mdct(seg, 120)
-                        payload = self._native.encode_frame(
-                            fshort, N, self.bytes_per_frame,
-                            transient=True,
-                        )
-                    else:
-                        payload = self._native.encode_frame(
-                            freq[f], N, self.bytes_per_frame
-                        )
+                            freq[f][:, b::M] = fs[j * M + b]
+                for f in range(nf):
+                    payload = self._native.encode_frame(
+                        freq[f], N, self.bytes_per_frame,
+                        transient=trans[f],
+                    )
                     out.append(bytes([self._toc]) + payload)
                 self._pend = self._pend[:, nf * N:]
             return out

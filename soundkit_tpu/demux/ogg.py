@@ -102,14 +102,26 @@ class OggPacketizer:
         return packets
 
 
-def _ogg_crc(data: bytes) -> int:
-    """Ogg page CRC-32 (poly 0x04C11DB7, no reflection, init 0)."""
-    crc = 0
-    for b in data:
-        crc ^= b << 24
+def _ogg_crc_table():
+    table = []
+    for i in range(256):
+        crc = i << 24
         for _ in range(8):
             crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
                 if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+        table.append(crc)
+    return table
+
+
+_OGG_CRC_TABLE = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (poly 0x04C11DB7, no reflection, init 0)."""
+    crc = 0
+    tab = _OGG_CRC_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tab[((crc >> 24) ^ b) & 0xFF]
     return crc
 
 
@@ -133,6 +145,16 @@ def build_ogg_page(packets, serial: int, seq: int, granule: int,
     page = bytearray(hdr + bytes(body))
     page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
     return bytes(page)
+
+
+def _packet_samples_48k(packet: bytes) -> int:
+    """48 kHz sample count of one Opus packet from its TOC byte."""
+    from soundkit_tpu.codecs.opus_core import parse_packet
+
+    if not packet:
+        return 0
+    toc, frames = parse_packet(packet)
+    return int(toc.frame_duration * 48) * max(len(frames), 1)
 
 
 class OggOpusWriter:
@@ -172,12 +194,17 @@ class OggOpusWriter:
         return s
 
     def write_packet(self, packet: bytes,
-                     samples_48k: int = 960) -> None:
-        """Append one Opus packet (granule advances by its 48 kHz
-        sample count; 960 = a 20 ms frame)."""
+                     samples_48k: int = 0) -> None:
+        """Append one Opus packet.  The granule advances by the
+        packet's own 48 kHz sample count, derived from its TOC byte
+        (frame duration x frame count) unless ``samples_48k``
+        overrides it."""
         if self._closed:
             raise ValueError("writer is closed")
-        self._pending.append((bytes(packet), samples_48k))
+        packet = bytes(packet)
+        if samples_48k <= 0:
+            samples_48k = _packet_samples_48k(packet)
+        self._pending.append((packet, samples_48k))
 
     def take(self) -> bytes:
         """Drain the muxed bytes produced so far (streamable)."""
@@ -209,7 +236,9 @@ class OggOpusWriter:
                                         header_type=4)  # EOS
             self._pending = []
         else:
-            self._out += build_ogg_page([b""], self._serial,
+            # packet-free EOS page (zero segments): a zero-length
+            # "packet" would reach the Opus layer and is invalid
+            self._out += build_ogg_page([], self._serial,
                                         self._next_seq(), self._granule,
                                         header_type=4)
         out = bytes(self._out)

@@ -2492,8 +2492,12 @@ struct Parser {
     if (tell == 1) rc.enc_bit_logp(0, 15);  // not silence
     if (start == 0 && rc.tell() + 16 <= total)
       rc.enc_bit_logp(0, 1);  // no comb postfilter
-    if (LM > 0 && rc.tell() + 3 <= total)
+    if (LM > 0 && rc.tell() + 3 <= total) {
       rc.enc_bit_logp(transient ? 1 : 0, 3);
+    } else if (transient) {
+      return -7;  // caller passed short spectra but the flag can't
+                  // be coded; a silent long-block flip would desync
+    }
     bool intra = false;
     if (rc.tell() + 3 <= total) rc.enc_bit_logp(0, 3);  // inter
 
@@ -2526,13 +2530,16 @@ struct Parser {
 
     coarse_energy_enc(rc, start, end, intra, LM, &band_log_e[0][0], C);
 
-    // tf_res all zero; encode the per-band clear flags
+    // tf_res all zero; libopus tf_encode budget semantics (the
+    // tf_select bit is reserved from the per-band budget up front)
     int64_t tf_res[NB_BANDS] = {0};
     int it = transient ? 1 : 0;
     int logp = transient ? 2 : 4;
     int64_t budget = total;
     tell = rc.tell();
     int tf_changed = 0;
+    int tf_select_rsv = (LM > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+    budget -= tf_select_rsv;
     for (int i = start; i < end; i++) {
       if (tell + logp <= budget) {
         rc.enc_bit_logp(0, logp);
@@ -2541,7 +2548,7 @@ struct Parser {
       logp = transient ? 4 : 5;
     }
     int tf_select = 0;
-    if (LM > 0 && tell + 1 <= budget &&
+    if (tf_select_rsv &&
         t.tf_select[LM][it][0][tf_changed] !=
             t.tf_select[LM][it][1][tf_changed])
       rc.enc_bit_logp(0, 1);
@@ -2675,11 +2682,15 @@ struct Parser {
 
     coarse_energy(rc, start, end, intra, LM, C);
 
+    // libopus tf_decode: the tf_select bit is RESERVED from the
+    // per-band budget up front
     int64_t tf_res[NB_BANDS] = {0};
     int curr = 0, tf_changed = 0;
     int logp = isTransient ? 2 : 4;
     int64_t budget = total;
     tell = rc.tell();
+    int tf_select_rsv = (LM > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+    budget -= tf_select_rsv;
     for (int i = start; i < end; i++) {
       if (tell + logp <= budget) {
         curr ^= rc.dec_bit_logp(logp);
@@ -2691,7 +2702,7 @@ struct Parser {
     }
     int tf_select = 0;
     int it = isTransient ? 1 : 0;
-    if (LM > 0 && tell + 1 <= budget &&
+    if (tf_select_rsv &&
         t.tf_select[LM][it][0][tf_changed] !=
             t.tf_select[LM][it][1][tf_changed])
       tf_select = rc.dec_bit_logp(1);

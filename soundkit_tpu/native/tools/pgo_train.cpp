@@ -114,10 +114,8 @@ static void train_flac_pack(const std::string&) {
     std::vector<int32_t> qlp(F * 2 * 8);
     for (long f = 0; f < F; f++) {
         fno[f] = f;
-        assign[f] = (int32_t)(1 + (f % 4) * 3 % 10);  // 1,8,9,10-ish
-        if (assign[f] != 1 && assign[f] != 8 && assign[f] != 9 &&
-            assign[f] != 10)
-            assign[f] = 1;
+        static const int32_t assigns[4] = {1, 8, 9, 10};
+        assign[f] = assigns[f % 4];  // all four stereo packings
         for (int sl = 0; sl < 2; sl++) {
             kind[f * 2 + sl] = (int32_t)(f % 2);  // fixed / lpc
             order[f * 2 + sl] = kind[f * 2 + sl] ? 8 : (int32_t)(f % 5);

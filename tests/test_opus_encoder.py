@@ -464,10 +464,7 @@ def test_ogg_opus_writer_roundtrip():
     snr = 10 * np.log10((x[:m] ** 2).mean() / max((e ** 2).mean(), 1e-20))
     assert snr > 12.0, f"own round-trip SNR {snr:.1f}"
 
-    # independent oracle: libavcodec demuxes+decodes the same file
-    import subprocess
-    import tempfile
-
+    # independent oracle: the autodetect pipeline reads the same file
     from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
     from soundkit_tpu.core.audio_types import AudioData
 
