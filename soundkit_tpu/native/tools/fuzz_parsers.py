@@ -236,9 +236,106 @@ def fuzz_flac_pack(_data):
         rng.randrange(16), 2, kind1, order1, sb1, sh1, warm, res1, qlp1,
         out1, len(out1))
 
+# -- CELT parse: serves untrusted packets in the fleet's opus group.
+# The C++ stage needs the spec tables pushed (normally done by
+# codecs/celt_native); push them here so the ASAN build can be fuzzed.
+_celt_ready = False
+try:
+    sys.path.insert(0, "/root/repo")
+    from soundkit_tpu.codecs.opus_tables import tables as _celt_tables
+    from soundkit_tpu.codecs.opus_tables import PVQ_U_ROW_OFFSETS
+
+    lib.skt_celt_table_i.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long]
+    lib.skt_celt_table_f.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+    lib.skt_celt_tables_done.restype = ctypes.c_int
+    lib.skt_celt_new.restype = ctypes.c_void_p
+    lib.skt_celt_new.argtypes = [ctypes.c_int]
+    lib.skt_celt_free.argtypes = [ctypes.c_void_p]
+    lib.skt_celt_parse.restype = ctypes.c_int
+    lib.skt_celt_parse.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int)]
+    _t = _celt_tables()
+
+    def _push_i(name, arr):
+        a = np.ascontiguousarray(np.asarray(arr).reshape(-1), np.int64)
+        lib.skt_celt_table_i(name.encode(),
+                             a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                             a.size)
+
+    def _push_f(name, arr):
+        a = np.ascontiguousarray(np.asarray(arr).reshape(-1), np.float64)
+        lib.skt_celt_table_f(name.encode(),
+                             a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                             a.size)
+
+    _push_i("pvq_u", _t["celt_pvq_u"])
+    _push_i("pvq_row_off", np.asarray(PVQ_U_ROW_OFFSETS))
+    _push_i("freq_bands", _t["celt_freq_bands"])
+    _push_i("log_freq_range", _t["celt_log_freq_range"])
+    _push_f("mean_energy", _t["celt_mean_energy"])
+    _push_f("alpha_coef", _t["celt_alpha_coef"])
+    _push_f("beta_coef", _t["celt_beta_coef"])
+    _push_i("coarse_energy_dist", _t["celt_coarse_energy_dist"])
+    _push_i("static_alloc", _t["celt_static_alloc"])
+    _push_i("static_caps", _t["celt_static_caps"])
+    _push_i("cache_index", _t["celt_cache_index"])
+    _push_i("cache_bits", _t["celt_cache_bits"])
+    _push_i("log2_frac", _t["celt_log2_frac"])
+    _push_i("tf_select", _t["celt_tf_select"])
+    _push_i("qn_exp2", _t["celt_qn_exp2"])
+    _push_i("bit_interleave", _t["celt_bit_interleave"])
+    _push_i("bit_deinterleave", _t["celt_bit_deinterleave"])
+    _push_i("model_spread", _t["celt_model_spread"])
+    _push_i("model_tapset", _t["celt_model_tapset"])
+    _push_i("model_alloc_trim", _t["celt_model_alloc_trim"])
+    _push_i("model_energy_small", _t["celt_model_energy_small"])
+    _push_f("postfilter_taps", _t["celt_postfilter_taps"])
+    _push_f("window", _t["celt_window"])
+    _celt_ready = lib.skt_celt_tables_done() == 0
+except Exception as e:
+    print("celt fuzz disabled:", e)
+
+def _celt_frames():
+    # real CELT frames from the ogg fixture packets (strip the TOC)
+    from soundkit_tpu.demux.ogg import OggPacketizer
+    data = open("/root/reference/testdata/ogg_opus/A_Tusk_is_used_to_make_costly_gifts.ogg", "rb").read()
+    pk = OggPacketizer()
+    out = []
+    for p, _g in pk.push(data):
+        if len(p) > 2 and p[:8] != b"OpusHead" and p[:8] != b"OpusTags":
+            out.append(p[1:])
+    return out
+
+_CELT_CORPUS = _celt_frames() if _celt_ready else []
+
+def fuzz_celt(data):
+    if not _celt_ready or not _CELT_CORPUS:
+        return
+    C = rng.randrange(1, 3)
+    h = lib.skt_celt_new(C)
+    freq = np.zeros((2, 960), np.float64)
+    comb = np.zeros(16, np.float64)
+    sflag = ctypes.c_int(0)
+    for _ in range(4):
+        frame = mutate(_CELT_CORPUS[rng.randrange(len(_CELT_CORPUS))])
+        lib.skt_celt_parse(
+            h, frame, len(frame), 960, 0, rng.choice([13, 17, 19, 21]),
+            rng.randrange(1, C + 1),
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(sflag))
+    lib.skt_celt_free(h)
+
 fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac,
-       "gsm": fuzz_gsm, "alac": fuzz_alac, "flac_pack": fuzz_flac_pack}
+       "gsm": fuzz_gsm, "alac": fuzz_alac, "flac_pack": fuzz_flac_pack,
+       "celt": fuzz_celt}
 corpora["flac_pack"] = b"\x00" * 64  # plans are generated, not mutated
+corpora["celt"] = b"\x00" * 64       # frames come from _CELT_CORPUS
 for it in range(iters):
     kind = rng.choice(list(fns))
     fns[kind](mutate(corpora[kind]))
