@@ -472,3 +472,44 @@ def test_ogg_opus_writer_roundtrip():
     outs = sd.process(wire) + sd.process(b"")
     audio = [o for o in outs if isinstance(o, AudioData)]
     assert audio and audio[0].sampling_rate == 48000
+
+
+def test_ogg_opus_writer_edge_cases():
+    """Empty-close emits a packet-free EOS page; granule positions
+    come from each packet's TOC (10 ms frames advance 480, not 960)."""
+    import struct
+
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+    from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
+    from soundkit_tpu.demux.ogg import OggOpusWriter
+
+    # empty stream: headers + EOS, decodable as zero samples
+    w = OggOpusWriter(channels=1)
+    wire = w.close()
+    dec = OggOpusDecoder()
+    out = dec.decode_f32(wire)
+    assert out.size == 0
+    # EOS page carries no packet: its segment count is zero
+    last = wire.rfind(b"OggS")
+    assert wire[last + 5] & 4  # EOS flag
+    assert wire[last + 26] == 0  # zero lacing segments
+
+    # 10 ms frames: the final granule equals the true sample count
+    n = 48000 // 2
+    t = np.arange(n)
+    x = np.stack([0.3 * np.sin(0.02 * t), 0.2 * np.sin(0.03 * t)], axis=1)
+    enc = OpusCeltEncoder(channels=2, bit_rate=96000, frame_size=480)
+    w = OggOpusWriter(channels=2)
+    pkts = enc.push(x) + enc.flush()
+    for p in pkts:
+        w.write_packet(p)
+    wire = w.close()
+    # walk pages, read the last granule
+    pos, granule = 0, 0
+    while True:
+        pos = wire.find(b"OggS", pos)
+        if pos < 0:
+            break
+        granule = struct.unpack_from("<q", wire, pos + 6)[0]
+        pos += 4
+    assert granule == len(pkts) * 480, (granule, len(pkts))
