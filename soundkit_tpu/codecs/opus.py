@@ -53,42 +53,147 @@ class OpusHead:
         )
 
 
+_CELT_SUPPORT_WIN = {}
+
+
+def _celt_support_window(NB: int) -> np.ndarray:
+    """The [NB + 120] support slice of the low-overlap window."""
+    if NB not in _CELT_SUPPORT_WIN:
+        from soundkit_tpu.codecs.opus_celt import tables
+
+        w = tables()["celt_window"].astype(np.float64)
+        win = np.zeros(NB + 120)
+        win[:120] = w
+        win[120:NB] = 1.0
+        win[NB:] = w[::-1]
+        _CELT_SUPPORT_WIN[NB] = win
+    return _CELT_SUPPORT_WIN[NB]
+
+
 class _NativeCeltStream:
     """Single-stream CELT fast path: C++ range-decode/PVQ parse
-    (native/src/celt_parse.cpp, ~160x the Python stage) + the same
-    synthesis math as the batched model (ops/celt_batch.py) jitted on
-    the HOST CPU backend — per-packet dispatch to the TPU tunnel is
-    slower than realtime (CLAUDE.md), so the single-stream path never
-    touches the device.  Raises OpusUnsupported on anything it cannot
-    serve (non-CELT mode, non-20 ms frames, PLC); the caller then
-    replays history through the Python decoder."""
+    (native/src/celt_parse.cpp, ~160x the Python stage) + pure-numpy
+    synthesis mirroring CeltDecoder._synthesize in f64 — NO jax, so
+    the path works even when the pinned TPU plugin cannot initialize
+    (the tunnel-wedge failure mode), and its output matches the
+    Python decoder to machine precision.  Raises OpusUnsupported on
+    anything it cannot serve (non-CELT mode, non-20 ms frames, PLC);
+    the caller then replays history through the Python decoder."""
+
+    HIST = 1200  # > max comb period 1024 + taps
 
     def __init__(self, channels: int):
         from soundkit_tpu.codecs.celt_native import NativeCeltParser
         from soundkit_tpu.codecs.opus_celt import tables
-        from soundkit_tpu.ops.celt_batch import HIST
-        from soundkit_tpu.utils.backend import jax_cpu_ready
 
-        if not jax_cpu_ready():
-            raise RuntimeError("jax CPU backend unavailable in time")
         self.C = channels
         self._parser = NativeCeltParser(channels)
-        self._band_end = tables()["celt_band_end"].astype(int)
-        self._ola = np.zeros((1, channels, 120), np.float32)
-        self._hist = np.zeros((1, channels, HIST), np.float32)
-        self._emph = np.zeros((1, channels), np.float32)
-        # prove the host-jitted synthesis actually runs in THIS
-        # process (with the pinned TPU plugin down, jax init can fail
-        # entirely) — any error here sends the stream to the jax-free
-        # Python decoder instead of crashing mid-decode
-        _host_celt_synth()(
-            np.zeros((1, channels, 960), np.float32),
-            np.zeros(1, np.int32), np.zeros((1, 16), np.float32),
-            self._ola, self._hist, self._emph,
-        )
+        t = tables()
+        self._band_end = t["celt_band_end"].astype(int)
+        self._win = t["celt_window"].astype(np.float64)
+        self._ola = np.zeros((channels, 120))
+        self._hist = np.zeros((channels, self.HIST))
+        self._emph = np.zeros(channels)
+
+    def _comb_packed(self, x, base, i0, i1, T0, T1, gw0, gw1) -> None:
+        """CeltDecoder._comb_inplace with premultiplied tap weights
+        (the pack_comb_params layout the C++ parse emits)."""
+        if not (gw0.any() or gw1.any()):
+            return
+        g00, g01, g02 = gw0
+        g10, g11, g12 = gw1
+        w = self._win
+        overlap = min(120, i1 - i0)
+        for i in range(overlap):
+            f = w[i] * w[i]
+            j = base + i0 + i
+            x[j] = (
+                x[j]
+                + (1 - f) * (
+                    g00 * x[j - T0]
+                    + g01 * (x[j - T0 - 1] + x[j - T0 + 1])
+                    + g02 * (x[j - T0 - 2] + x[j - T0 + 2])
+                )
+                + f * (
+                    g10 * x[j - T1]
+                    + g11 * (x[j - T1 - 1] + x[j - T1 + 1])
+                    + g12 * (x[j - T1 - 2] + x[j - T1 + 2])
+                )
+            )
+        if gw1.any():
+            # the steady tail recursion has lag T1 (>= 15): chunks of
+            # T1-2 samples only read positions strictly before the
+            # chunk, so each chunk vectorizes
+            i = i0 + overlap
+            while i < i1:
+                step = min(T1 - 2, i1 - i)
+                j = base + i
+                idx = np.arange(j, j + step)
+                x[idx] += (
+                    g10 * x[idx - T1]
+                    + g11 * (x[idx - T1 - 1] + x[idx - T1 + 1])
+                    + g12 * (x[idx - T1 - 2] + x[idx - T1 + 2])
+                )
+                i += step
+
+    @staticmethod
+    def _imdct_fast(freq: np.ndarray, NB: int) -> np.ndarray:
+        """[NB] spectrum -> [NB + 120] windowed time support, equal to
+        ``freq @ _imdct_matrix(NB)`` to ~1e-11 relative: DCT-IV + the
+        MDCT's odd/even symmetric extension + low-overlap window."""
+        try:
+            import scipy.fft as sf
+        except ImportError:
+            from soundkit_tpu.codecs.opus_celt import _imdct_matrix
+
+            return freq @ _imdct_matrix(NB)
+        win = _celt_support_window(NB)
+        half = NB // 2
+        v = sf.dct(freq, type=4) / 2.0
+        pad = (NB - 120) // 2
+        # y_full = [v[half:], -v[::-1], -v[:half]]; support slice is
+        # [pad : pad + NB + 120] of the 2*NB frame
+        y = np.concatenate([v[half:], -v[::-1], -v[:half]])
+        return y[pad : pad + NB + 120] * win
+
+    def _synth(self, freq: np.ndarray, comb: np.ndarray,
+               sflag: int) -> np.ndarray:
+        """[C, 960] spectra -> [960, C] float PCM (CeltDecoder
+        _synthesize, comb params in packed form)."""
+        from scipy.signal import lfilter
+
+        from soundkit_tpu.codecs.opus_celt import CELT_EMPH_COEFF
+
+        C, N = freq.shape
+        B = 8 if sflag else 1
+        NB = N // B
+        T0a, T1a = int(comb[0]), int(comb[1])
+        gw0a, gw1a = comb[2:5], comb[5:8]
+        T0b, T1b = int(comb[8]), int(comb[9])
+        gw0b, gw1b = comb[10:13], comb[13:16]
+        res = np.empty((N, C))
+        for c in range(C):
+            out = np.zeros(N + 120)
+            out[:120] = self._ola[c]
+            for b in range(B):
+                out[b * NB : b * NB + NB + 120] += \
+                    self._imdct_fast(freq[c, b::B], NB)
+            self._ola[c] = out[N : N + 120]
+            x = np.concatenate([self._hist[c], out[:N]])
+            base = self.HIST
+            self._comb_packed(x, base, 0, min(120, N), T0a, T1a,
+                              gw0a, gw1a)
+            self._comb_packed(x, base, 120, N, T0b, T1b, gw0b, gw1b)
+            pcm = x[base : base + N]
+            self._hist[c] = np.concatenate([self._hist[c][N:], pcm])
+            o, zf = lfilter([1.0], [1.0, -CELT_EMPH_COEFF], pcm,
+                            zi=[CELT_EMPH_COEFF * self._emph[c]])
+            self._emph[c] = o[-1]
+            res[:, c] = o
+        return res / 32768.0
 
     def decode_packet(self, data: bytes) -> np.ndarray:
-        """One packet -> [n, channels] f32 at 48 kHz."""
+        """One packet -> [n, channels] float at 48 kHz."""
         from soundkit_tpu.codecs.opus_core import (
             OpusUnsupported,
             parse_packet,
@@ -103,33 +208,13 @@ class _NativeCeltStream:
         if coded > self.C:
             raise OpusUnsupported("stereo packet in a mono stream")
         end = int(self._band_end[toc.bandwidth])
-        synth = _host_celt_synth()
         outs = []
         for f in frames:
             freq, comb, sflag = self._parser.parse(f, end, coded)
-            freq = np.asarray(freq, np.float32)
             if coded < self.C:
                 freq = np.repeat(freq, self.C, axis=0)
-            pcm, self._ola, self._hist, self._emph = synth(
-                freq[None], np.asarray([sflag], np.int32),
-                comb.astype(np.float32)[None],
-                self._ola, self._hist, self._emph,
-            )
-            outs.append(np.asarray(pcm)[0].T)  # [960, C]
+            outs.append(self._synth(freq, comb, sflag))
         return np.concatenate(outs, axis=0)
-
-
-def _host_celt_synth():
-    global _HOST_CELT_SYNTH
-    if _HOST_CELT_SYNTH is None:
-        from soundkit_tpu.ops.celt_batch import celt_synth_step
-        from soundkit_tpu.utils.backend import host_jit
-
-        _HOST_CELT_SYNTH = host_jit(celt_synth_step)
-    return _HOST_CELT_SYNTH
-
-
-_HOST_CELT_SYNTH = None
 
 
 class _OpusCore:
