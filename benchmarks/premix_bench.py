@@ -186,6 +186,16 @@ def main(argv=None) -> int:
         print(f"No matching tracks found for {args.query} under {roots}.")
         return 0
     print(f"Found {len(tracks)} candidate tracks")
+    # untimed warmup: native library build/load, spec-table pushes and
+    # scipy imports otherwise land in the first track's own-backend
+    # column and skew the per-backend comparison
+    warm = (np.sin(0.05 * np.arange(TARGET_RATE // 4)) * 8000).astype(
+        np.int16)
+    for backend in ("owned", "libopus"):
+        try:
+            run_soundkit_backend(warm, frame, args.bitrate, backend)
+        except Exception:
+            pass
     hdr = (f"{'Track':<58} {'dur':>6} {'own_enc':>7} {'own_snr':>7} {'own_kbps':>8} "
            f"{'lop_enc':>7} {'lop_snr':>7} {'lop_kbps':>8} | {'bat_dec':>7} {'bat_snr':>7}")
     print(hdr)
