@@ -87,3 +87,48 @@ class AacAdtsAdapter:
 
     def flush(self) -> List[AudioData]:
         return self._emit(f32_to_i16(self._dec.flush_f32()))
+
+
+class AacLatmAdapter:
+    """StreamingDecoder for LOAS/LATM AAC elementary streams.
+
+    Beyond reference parity (which only passes LATM packets through,
+    soundkit-audio-demux/src/lib.rs:2249): demuxes the LOAS sync layer
+    to raw access units (demux/latm.py) and decodes them with a
+    raw-AU decoder configured from the in-band StreamMuxConfig's
+    AudioSpecificConfig.
+    """
+
+    def __init__(self) -> None:
+        from soundkit_tpu.demux.latm import LoasDemuxer
+
+        self._loas = LoasDemuxer()
+        self._dec: Optional[AacRawDecoder] = None
+
+    def _emit(self, pcm: np.ndarray) -> List[AudioData]:
+        if pcm is None or pcm.size == 0 or not self._dec or not self._dec.sample_rate:
+            return []
+        pcm16 = f32_to_i16(pcm)
+        return [
+            AudioData(
+                bits_per_sample=16,
+                channel_count=self._dec.channels,
+                sampling_rate=self._dec.sample_rate,
+                data=pcm16.astype("<i2").tobytes(),
+                audio_format=EncodingFlag.PCM_SIGNED,
+                endianness=Endianness.LITTLE,
+            )
+        ]
+
+    def process(self, chunk: bytes) -> List[AudioData]:
+        out: List[AudioData] = []
+        for au in self._loas.push(chunk):
+            if self._dec is None:
+                self._dec = AacRawDecoder(self._loas.config.asc.to_bytes())
+            out.extend(self._emit(self._dec.decode_access_unit_f32(au)))
+        return out
+
+    def flush(self) -> List[AudioData]:
+        if self._dec is None:
+            return []
+        return self._emit(self._dec._av.flush())

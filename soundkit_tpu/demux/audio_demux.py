@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Union
 
 from soundkit_tpu.demux.ebml import WebmAudioDemuxer
+from soundkit_tpu.demux.latm import LatmError, LoasDemuxer
 from soundkit_tpu.demux.mp4 import Mp4Error, demux_mp4_audio
 from soundkit_tpu.demux.mpegts import MpegTsAudioDemuxer
 
@@ -110,6 +111,14 @@ class AudioTrackDemuxer:
         self._config_sent = False
         self._sample_id = 0
         self._finished = False
+        # LATM elementary streams: parse LOAS down to raw AUs (beyond
+        # the reference, which passes LATM PES payloads through —
+        # soundkit-audio-demux/src/lib.rs:2249). Raw payloads are held
+        # until the first AudioMuxElement parses, so a stream that
+        # never syncs falls back to reference-parity passthrough.
+        self._loas: Optional[LoasDemuxer] = None
+        self._loas_pending: list = []
+        self._loas_passthrough = False
 
     @classmethod
     def new_auto(cls) -> "AudioTrackDemuxer":
@@ -144,7 +153,13 @@ class AudioTrackDemuxer:
         if self._container == AudioContainer.MP4:
             return self._flush_mp4()
         if self._container == AudioContainer.MPEG_TS and self._ts is not None:
-            return [self._ts_packet(p) for p in self._ts.flush()]
+            events = self._emit_ts_packets(self._ts.flush())
+            if self._loas_pending and not self._loas_passthrough:
+                # stream ended before any AudioMuxElement parsed:
+                # reference-parity passthrough of the raw PES payloads
+                self._loas_passthrough = True
+                events += self._emit_ts_packets([])
+            return events
         if self._container is None and self._detect_buf:
             # small complete file: one last detection attempt
             detected = _detect_container(bytes(self._detect_buf))
@@ -206,10 +221,25 @@ class AudioTrackDemuxer:
         if self._container == AudioContainer.MPEG_TS:
             if self._ts is None:
                 self._ts = MpegTsAudioDemuxer()
-            pes = self._ts.push(data)
-            events = []
-            tr = self._ts.track
-            if tr is not None and not self._config_sent:
+            return self._emit_ts_packets(self._ts.push(data))
+        raise AudioDemuxError("no container configured")
+
+    def _emit_ts_packets(self, pes) -> List[AudioDemuxEvent]:
+        """Emit config + packet events for assembled PES payloads.
+
+        ADTS/raw tracks pass the payload through (reference parity).
+        LATM tracks are parsed down to raw access units via LOAS
+        (see latm.py); if the elementary stream never produces a
+        parseable AudioMuxElement, the raw payloads held so far are
+        re-emitted passthrough-style like the reference.
+        """
+        events: List[AudioDemuxEvent] = []
+        tr = self._ts.track
+        if tr is None:
+            return events
+        latm = tr.packet_format == "latm" and not self._loas_passthrough
+        if not latm:
+            if not self._config_sent:
                 events.append(
                     AudioTrackConfig(
                         container=AudioContainer.MPEG_TS,
@@ -222,23 +252,75 @@ class AudioTrackDemuxer:
                     )
                 )
                 self._config_sent = True
+            for data, pts in self._loas_pending:
+                events.append(self._ts_raw_packet(data, pts))
+            self._loas_pending.clear()
             events.extend(self._ts_packet(p) for p in pes)
             return events
-        raise AudioDemuxError("no container configured")
+        if self._loas is None:
+            self._loas = LoasDemuxer()
+        for p in pes:
+            self._loas_pending.append((p.data, p.pts))
+            try:
+                aus = self._loas.push(p.data)
+            except LatmError:
+                self._loas_passthrough = True
+                return events + self._emit_ts_packets([])
+            if self._loas.frames:
+                self._loas_pending.clear()
+            if aus and not self._config_sent:
+                cfg = self._loas.config
+                events.append(
+                    AudioTrackConfig(
+                        container=AudioContainer.MPEG_TS,
+                        codec=AudioCodec(tr.codec),
+                        packet_format=AudioPacketFormat.LATM,
+                        pid=tr.pid,
+                        stream_type=tr.stream_type,
+                        sample_rate=cfg.asc.sample_rate,
+                        channels=cfg.asc.channels,
+                        codec_private=cfg.asc.to_bytes(),
+                    )
+                )
+                self._config_sent = True
+            for au in aus:
+                self._sample_id += 1
+                events.append(
+                    AudioTrackPacket(
+                        container=AudioContainer.MPEG_TS,
+                        codec=AudioCodec(tr.codec),
+                        format=AudioPacketFormat.RAW,
+                        data=au,
+                        pid=tr.pid,
+                        stream_type=tr.stream_type,
+                        sample_id=self._sample_id,
+                        start_time=p.pts,
+                    )
+                )
+        pending_bytes = sum(len(d) for d, _ in self._loas_pending)
+        if not self._loas.frames and pending_bytes > MAX_DETECTION_BYTES:
+            self._loas_passthrough = True
+            return events + self._emit_ts_packets([])
+        return events
 
-    def _ts_packet(self, p) -> AudioTrackPacket:
+    def _ts_raw_packet(self, data: bytes, pts) -> AudioTrackPacket:
         tr = self._ts.track
         self._sample_id += 1
         return AudioTrackPacket(
             container=AudioContainer.MPEG_TS,
             codec=AudioCodec(tr.codec),
-            format=AudioPacketFormat(tr.packet_format) if tr.packet_format != "raw" else AudioPacketFormat.RAW,
-            data=p.data,
+            format=AudioPacketFormat(tr.packet_format)
+            if tr.packet_format != "raw"
+            else AudioPacketFormat.RAW,
+            data=data,
             pid=tr.pid,
             stream_type=tr.stream_type,
             sample_id=self._sample_id,
-            start_time=p.pts,
+            start_time=pts,
         )
+
+    def _ts_packet(self, p) -> AudioTrackPacket:
+        return self._ts_raw_packet(p.data, p.pts)
 
     def _flush_mp4(self) -> List[AudioDemuxEvent]:
         if not self._mp4_buf:

@@ -498,6 +498,17 @@ class DecodePipeline:
         return cls._spawn(StreamDecoder(options, AacAdtsAdapter()))
 
     @classmethod
+    def spawn_aac_latm(cls, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
+        """LOAS/LATM AAC elementary stream (broadcast transport).
+
+        Beyond reference parity: the reference only tags LATM packets
+        (soundkit-audio-demux/src/lib.rs:2369); this path decodes them.
+        """
+        from soundkit_tpu.codecs.aac import AacLatmAdapter
+
+        return cls._spawn(StreamDecoder(options, AacLatmAdapter()))
+
+    @classmethod
     def spawn_gsm(cls, variant=None, options: DecodeOptions = DecodeOptions()) -> DecodePipelineHandle:
         from soundkit_tpu.codecs.telephony import GsmVariant, make_gsm_adapter
 

@@ -49,8 +49,8 @@ def test_webm_autodetect(testdata):
     assert len(packets) == 56
 
 
-def _mux_ts(adts: bytes, audio_pid=0x41, pmt_pid=0x20) -> bytes:
-    """Minimal single-program TS mux of an ADTS stream."""
+def _mux_ts(adts: bytes, audio_pid=0x41, pmt_pid=0x20, stream_type=0x0F) -> bytes:
+    """Minimal single-program TS mux of an audio elementary stream."""
     def packet(pid, payload, pusi, cc):
         hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF,
                      0x10 | (cc & 0xF)])
@@ -76,7 +76,7 @@ def _mux_ts(adts: bytes, audio_pid=0x41, pmt_pid=0x20) -> bytes:
     # PMT: table_id 2, pcr pid, no prog info, one ES (0x0F ADTS @ audio_pid)
     pmt_body = bytes([0x02, 0xB0, 0x12, 0x00, 0x01, 0xC1, 0x00, 0x00,
                       0xE0 | (audio_pid >> 8), audio_pid & 0xFF, 0xF0, 0x00,
-                      0x0F, 0xE0 | (audio_pid >> 8), audio_pid & 0xFF, 0xF0, 0x00])
+                      stream_type, 0xE0 | (audio_pid >> 8), audio_pid & 0xFF, 0xF0, 0x00])
     out = bytearray()
     out += packet(0, psi(pat_body), True, 0)
     out += packet(pmt_pid, psi(pmt_body), True, 0)
