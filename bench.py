@@ -177,6 +177,44 @@ def main() -> None:
     pcm.block_until_ready()
 
     audio_seconds = B * 1024 / rate
+
+    # throughput gate: the liveness probe above catches a wedged
+    # tunnel, but the tunnel also enters long collapsed states where
+    # ops answer yet h2d runs 10-20x slow (measured 2026-08-18: passes
+    # of 29-134x vs the usual ~1900x).  Time a short burst and wait
+    # (bounded) for the tunnel to recover before recording passes.
+    min_x = float(os.environ.get("SKT_BENCH_MIN_X", 700.0))
+    gate_budget = float(os.environ.get("SKT_BENCH_MIN_X_WAIT_S", 1800.0))
+    gate_deadline = time.time() + gate_budget
+    probe_history = []
+
+    def mini_pass(k: int = 4) -> float:
+        s, p = init()
+        t0 = time.perf_counter()
+        for t in range(k):
+            buf, mst = parse(t)
+            pcm, s, p = step(buf, p, s, mst)
+            pcm.block_until_ready()
+        return k * audio_seconds / (time.perf_counter() - t0)
+
+    while True:
+        est = mini_pass()
+        probe_history.append(round(est, 1))
+        if est >= min_x:
+            break
+        if time.time() >= gate_deadline:
+            print(
+                f"bench: tunnel still collapsed after gate budget "
+                f"(probes {probe_history}); recording anyway",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"bench: tunnel collapsed ({est:.0f}x < {min_x:.0f}x); waiting",
+            file=sys.stderr,
+        )
+        time.sleep(90)
+
     passes = []
     n_batches = 46  # fixed per-pass work regardless of AU pool size
     pipeline = os.cpu_count() and os.cpu_count() > 1
@@ -220,6 +258,7 @@ def main() -> None:
                 "median": round(median, 1),
                 "median_vs_baseline": round(median / 1000.0, 3),
                 "passes": [round(v, 1) for v in passes],
+                "gate_probes": probe_history,
             }
         )
     )
