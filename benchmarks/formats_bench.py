@@ -263,12 +263,13 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0)
 
 
 def bench_fleet(passes):
-    """Mixed-codec fleet smoke throughput (aac+mp3+flac lanes)."""
+    """Mixed-codec fleet smoke throughput (aac+mp3+flac+opus lanes)."""
     from soundkit_tpu.models.fleet import StreamFleet
 
     aac = (GOLDEN / "aac" / f"{CLIP}_encoded.aac").read_bytes()
     mp3 = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
     flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
+    opus = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
 
     def one_pass():
         # i16 serving mode = the reference pipeline's default output
@@ -280,10 +281,12 @@ def bench_fleet(passes):
             fleet.push(f"a{i}", aac)
             fleet.push(f"m{i}", mp3)
             fleet.push(f"f{i}", flac)
+            fleet.push(f"o{i}", opus)
         for i in range(8):
             fleet.end_stream(f"a{i}")
             fleet.end_stream(f"m{i}")
             fleet.end_stream(f"f{i}")
+            fleet.end_stream(f"o{i}")
         out = fleet.collect()
         el = time.perf_counter() - t0
         secs = 0.0
