@@ -233,16 +233,30 @@ class OpusEncoder:
     encoder (``opus_celt_enc.py``) — encode-math parity with the
     reference's pure-Rust path (soundkit-opus/src/lib.rs:96-293,
     Cargo.toml:11-14).  Packets are CELT fullband CBR and decode on
-    any conformant decoder with zero codec delay (pre_skip=0).  Other
-    sample rates, and ``backend="libopus"``, use the libopus shim
-    (pre_skip=312, the shim's reported lookahead).
+    any conformant decoder with zero codec delay (pre_skip=0).
+    ``mode="voice"`` (mono only) selects the owned SILK-layer encoder
+    instead (``opus_silk_enc.py``): NB/MB/WB VBR speech packets.
+    Other sample rates, and ``backend="libopus"``, use the libopus
+    shim (pre_skip=312, the shim's reported lookahead).
     """
 
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
-                 bit_rate: int = 64000, backend: str = "owned"):
+                 bit_rate: int = 64000, backend: str = "owned",
+                 mode: str = "music", voice_bandwidth: str = "wb"):
         self.sample_rate = sample_rate
         self.channels = channels
-        if backend == "owned" and sample_rate == 48000 and channels in (1, 2):
+        if (backend == "owned" and sample_rate == 48000
+                and mode == "voice" and channels == 1):
+            from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+            self._own: Optional[object] = OpusSilkEncoder(
+                bandwidth=voice_bandwidth, bit_rate=bit_rate
+            )
+            self._enc = None
+            self.frame_size = self._own.frame_size
+            self.pre_skip = 0
+            self.backend = "owned-silk"
+        elif backend == "owned" and sample_rate == 48000 and channels in (1, 2):
             from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
 
             self._own: Optional[object] = OpusCeltEncoder(

@@ -1,0 +1,739 @@
+"""RFC 6716 §4.2 SILK layer ENCODER (owned code, no libopus).
+
+The mirror of the owned SILK decoder (opus_silk.py): LPC analysis +
+LSF quantization against the extracted NLSF codebooks, open-loop
+pitch search with the normative lag/contour coding, LTP codebook
+search, subframe gain quantization, and a closed-loop excitation
+quantizer that runs the decoder's synthesis arithmetic sample by
+sample (rewhitening, LTP, LPC, the LCG sign dither and the quant
+offset) so the encoder's reconstruction IS the decoder's output.
+
+Every symbol is emitted through the exact interval the owned range
+decoder reads (opus_enc_rc.RangeEncoder is its proven inverse), in
+the exact read order of SilkDecoder._decode_frame; the NLSF
+reconstruction, stabilization and LSF->LPC conversion are the
+decoder's own functions, so the analysis filter used for the closed
+loop equals the synthesis filter every conformant decoder derives.
+
+Scope: mono, 20 ms frames, NB (8 kHz) / MB (12 kHz) / WB (16 kHz),
+VBR with a feedback rate loop.  Together with the owned CELT encoder
+(opus_celt_enc.py) this owns Opus encode in both coding layers.
+
+Parity reference: the reference encodes via pure-Rust libopus-rs
+(soundkit-opus/src/lib.rs:96-293, Cargo.toml:11-14); here the SILK
+encode math is owned.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from soundkit_tpu.codecs.opus_enc_rc import RangeEncoder
+from soundkit_tpu.codecs.opus_silk import (
+    LTP_ORDER,
+    SILK_HISTORY,
+    SILK_MAX_LAG,
+    _lsf2lpc,
+    _stabilize_lsf,
+)
+from soundkit_tpu.codecs.opus_tables import tables
+
+
+# ----------------------------------------------------------------------
+# analysis helpers
+# ----------------------------------------------------------------------
+
+def _levinson(ac: np.ndarray, order: int) -> np.ndarray:
+    """Levinson-Durbin; returns prediction coefficients a with
+    x[n] ~= sum a_k x[n-k] (the decoder's positive-dot convention)."""
+    a = np.zeros(order)
+    err = ac[0]
+    if err <= 0:
+        return a
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1])
+        # reflection coefficient
+        k = acc / err
+        k = float(np.clip(k, -0.999, 0.999))
+        new = a.copy()
+        new[i] = k
+        new[:i] = a[:i] - k * a[:i][::-1]
+        a = new
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    return a
+
+
+def _lpc_to_nlsf(a: np.ndarray, order: int) -> np.ndarray:
+    """Prediction coeffs -> NLSF (Q15 normalized line spectral
+    frequencies, 0..32768) via the P/Q root decomposition.
+
+    A(z) = 1 - sum a_k z^-k; P(z) = A(z) + z^-(N+1) A(1/z) and
+    Q(z) = A(z) - z^-(N+1) A(1/z) have roots on the unit circle whose
+    interleaved angles are the LSFs.  Deflate the trivial roots at
+    z = -1 / z = +1 and take the angles with numpy's eigen root
+    finder (order <= 16, well within its accuracy)."""
+    A = np.concatenate([[1.0], -np.asarray(a[:order], dtype=np.float64)])
+    P = A + A[::-1]          # symmetric, root at z=-1
+    Q = A - A[::-1]          # antisymmetric, root at z=+1
+    P = np.polydiv(P, [1.0, 1.0])[0]
+    Q = np.polydiv(Q, [1.0, -1.0])[0]
+    ang = []
+    for poly in (P, Q):
+        r = np.roots(poly)
+        # unit-circle conjugate pairs: keep upper half plane
+        for z in r:
+            if z.imag > 1e-9:
+                ang.append(math.atan2(z.imag, z.real))
+            elif abs(z.imag) <= 1e-9 and z.real < 0:
+                # defensive: real root near -1 (should be deflated)
+                pass
+    ang.sort()
+    if len(ang) != order:
+        return np.array([])  # caller falls back to previous NLSF
+    nlsf = np.clip(np.round(np.array(ang) / math.pi * 32768.0),
+                   1, 32767).astype(np.int64)
+    # enforce strictly increasing before codebook quantization
+    for i in range(1, order):
+        if nlsf[i] <= nlsf[i - 1]:
+            nlsf[i] = nlsf[i - 1] + 1
+    return nlsf
+
+
+def _cdf_cost_bits(cdf, sym: int) -> float:
+    total = int(cdf[0])
+    lo = int(cdf[sym]) if sym >= 1 else 0
+    hi = int(cdf[sym + 1])
+    return -math.log2(max(hi - lo, 1) / total)
+
+
+# ----------------------------------------------------------------------
+# core per-frame encoder (mono)
+# ----------------------------------------------------------------------
+
+class SilkEncoder:
+    """Stateful mono SILK encoder for 20 ms frames at the internal
+    rate (bandwidth 0=NB/8k, 1=MB/12k, 2=WB/16k).
+
+    ``encode_superframe(rc, x)`` encodes one frame of ``flength``
+    samples (float, +-1) into an open RangeEncoder and returns the
+    encoder-side reconstruction (== the decoder's output for these
+    bytes, 2-sample delayed like the decoder's emission grid)."""
+
+    def __init__(self, bandwidth: int = 2, target_pulse: float = 3.0):
+        t = tables()
+        self.t = t
+        self.bandwidth = bandwidth
+        self.wb = bandwidth == 2
+        self.order = 16 if self.wb else 10
+        self.subframes = 4               # 20 ms
+        self.sflength = 20 * (bandwidth + 2)
+        self.flength = self.sflength * self.subframes
+        self.target_pulse = target_pulse
+
+        # decoder-mirror state (matches opus_silk.SilkFrame)
+        self.log_gain = 0
+        self.coded = False
+        self.prev_voiced = False
+        self.prev_nlsf = np.zeros(16, dtype=np.int64)
+        self.output = np.zeros(2 * SILK_HISTORY)
+        self.lpc_history = np.zeros(2 * SILK_HISTORY)
+
+        # analysis-side input history (unquantized)
+        self._xhist = np.zeros(SILK_MAX_LAG + self.order)
+
+        # 2**(idx/...) linear gain table mirroring the decoder formula
+        lin = []
+        for idx in range(64):
+            lg = ((idx * 0x1D1C71) >> 16) + 2090
+            ipart = lg >> 7
+            fpart = lg & 127
+            lingain = (1 << ipart) + (
+                (((-174 * fpart * (128 - fpart)) >> 16) + fpart)
+                * ((1 << ipart) >> 7)
+            )
+            lin.append(lingain / 65536.0)
+        self._lingain = np.array(lin)
+
+    # -- parameter quantizers ------------------------------------------
+
+    def _quant_gains(self, desired: np.ndarray):
+        """Desired linear gains -> (symbols, effective gains) mirroring
+        the decoder's absolute + delta state machine."""
+        t = self.t
+        syms = []
+        gains = np.zeros(self.subframes)
+        log_gain = self.log_gain
+        for i in range(self.subframes):
+            want = int(np.argmin(np.abs(self._lingain - desired[i])))
+            if i == 0:
+                # absolute (frame_num == 0 within 20 ms superframes)
+                idx = want
+                syms.append(("abs", idx >> 3, idx & 7))
+                log_gain = idx
+                if self.coded:
+                    log_gain = max(log_gain, self.log_gain - 16)
+            else:
+                best_d, best_eff = 0, -1
+                for d in range(41):
+                    eff = min(max(max(2 * d - 16, log_gain + d - 4), 0), 63)
+                    if best_eff < 0 or abs(eff - want) < abs(best_eff - want):
+                        best_eff, best_d = eff, d
+                syms.append(("delta", best_d))
+                log_gain = best_eff
+            gains[i] = self._lingain[log_gain]
+            if i == 0:
+                self._lg0 = log_gain
+            self._lg_last = log_gain
+        return syms, gains
+
+    def _quant_nlsf(self, target: np.ndarray, voiced: bool):
+        """Full NLSF quantization: stage-1 codebook search with exact
+        stage-2 backward-prediction quantization per candidate.
+        Returns (i1, I2 list, reconstructed+stabilized nlsf)."""
+        t = self.t
+        order = self.order
+        wb = self.wb
+        qstep = 9830 if wb else 11796
+        codebooks = (t["silk_lsf_codebook_wb"] if wb
+                     else t["silk_lsf_codebook_nbmb"])
+        pred_tab = (t["silk_lsf_pred_weights_wb"] if wb
+                    else t["silk_lsf_pred_weights_nbmb"])
+        wsel_tab = (t["silk_lsf_weight_sel_wb"] if wb
+                    else t["silk_lsf_weight_sel_nbmb"])
+
+        def weights_for(cb):
+            w = np.zeros(order, dtype=np.int64)
+            for i in range(order):
+                cur = int(cb[i])
+                prev = int(cb[i - 1]) if i else 0
+                nxt = int(cb[i + 1]) if i + 1 < order else 256
+                weight_sq = (1024 // (cur - prev) + 1024 // (nxt - cur)) << 16
+                ipart = weight_sq.bit_length()
+                fpart = (weight_sq >> (ipart - 8)) & 127
+                y = (32768 if (ipart & 1) else 46214) >> ((32 - ipart) >> 1)
+                w[i] = y + ((213 * fpart * y) >> 16)
+            return w
+
+        def f_res(i2: int) -> int:
+            v = i2 * 1024
+            if i2 < 0:
+                v += 102
+            elif i2 > 0:
+                v -= 102
+            return (v * qstep) >> 16
+
+        best = None
+        for i1 in range(32):
+            cb = codebooks[i1]
+            w = weights_for(cb)
+            wsel = wsel_tab[i1]
+            # desired backward-prediction residuals
+            res_des = [
+                (int(target[i]) - int(cb[i]) * 128) * int(w[i]) / 16384.0
+                for i in range(order)
+            ]
+            res_q = np.zeros(order, dtype=np.int64)
+            i2s = np.zeros(order, dtype=np.int64)
+            for i in range(order - 1, -1, -1):
+                pred = 0
+                if i + 1 < order:
+                    pred = (int(res_q[i + 1])
+                            * int(pred_tab[wsel[i]][i])) >> 8
+                d = res_des[i] - pred
+                guess = int(round(d * 65536.0 / (1024.0 * qstep)))
+                bi, bv = 0, None
+                for c in (guess - 1, guess, guess + 1):
+                    c = max(-10, min(10, c))
+                    v = f_res(c) + pred
+                    if bv is None or abs(v - res_des[i]) < abs(bv - res_des[i]):
+                        bv, bi = v, c
+                i2s[i] = bi
+                res_q[i] = f_res(bi) + pred
+            # reconstruct exactly as the decoder does
+            nlsf = np.zeros(order, dtype=np.int64)
+            for i in range(order):
+                num = int(res_q[i]) * 16384
+                weight = int(w[i])
+                value = int(cb[i]) * 128 + (
+                    -((-num) // weight) if num < 0 else num // weight
+                )
+                nlsf[i] = min(max(value, 0), 32767)
+            err = float(np.sum((nlsf - target) ** 2))
+            if best is None or err < best[0]:
+                best = (err, i1, i2s.copy(), nlsf.copy())
+        _, i1, i2s, nlsf = best
+        spacing = (t["silk_lsf_min_spacing_wb"] if wb
+                   else t["silk_lsf_min_spacing_nbmb"])
+        _stabilize_lsf(nlsf, order, spacing)
+        return i1, i2s, nlsf
+
+    # -- pitch / LTP ----------------------------------------------------
+
+    def _pitch_search(self, res: np.ndarray):
+        """Open-loop normalized autocorrelation over the LPC residual;
+        ``res`` covers [SILK_MAX_LAG history | current frame].
+        Returns (lag, normalized correlation)."""
+        t = self.t
+        lo = int(t["silk_pitch_min_lag"][self.bandwidth])
+        scale = int(t["silk_pitch_scale"][self.bandwidth])
+        hi = min(int(t["silk_pitch_max_lag"][self.bandwidth]),
+                 lo + 32 * scale - 1)
+        f = res[SILK_MAX_LAG:]
+        n = len(f)
+        e0 = float(np.dot(f, f)) + 1e-9
+        best_lag, best_c = lo, 0.0
+        for lag in range(lo, hi + 1):
+            p = res[SILK_MAX_LAG - lag:SILK_MAX_LAG - lag + n]
+            num = float(np.dot(f, p))
+            den = math.sqrt(e0 * (float(np.dot(p, p)) + 1e-9))
+            c = num / den if den > 0 else 0.0
+            if c > best_c:
+                best_c, best_lag = c, lag
+        # sub-multiple preference against octave errors
+        for div in (2, 3):
+            cand = best_lag // div
+            if cand >= lo:
+                p = res[SILK_MAX_LAG - cand:SILK_MAX_LAG - cand + n]
+                num = float(np.dot(f, p))
+                den = math.sqrt(e0 * (float(np.dot(p, p)) + 1e-9))
+                c = num / den if den > 0 else 0.0
+                if c > 0.85 * best_c:
+                    best_lag, best_c = cand, c
+                    break
+        return best_lag, best_c
+
+    def _ltp_select(self, res: np.ndarray, lag: int, corr: float):
+        """Choose the LTP filter set by periodicity and the best
+        codebook entry per subframe (least-squares over the open-loop
+        residual).  Returns (period_index, [subframe tap indices])."""
+        t = self.t
+        period = 0 if corr < 0.65 else (1 if corr < 0.8 else 2)
+        books = (t["silk_ltp_filter0_taps"], t["silk_ltp_filter1_taps"],
+                 t["silk_ltp_filter2_taps"])[period]
+        sfl = self.sflength
+        idxs = []
+        for i in range(self.subframes):
+            r0 = SILK_MAX_LAG + i * sfl
+            target = res[r0:r0 + sfl]
+            # predictor matrix rows: res[j - lag + 2 - k], k = 0..4
+            P = np.stack([
+                res[r0 - lag + 2 - k:r0 - lag + 2 - k + sfl]
+                for k in range(LTP_ORDER)
+            ])  # [5, sfl]
+            G = P @ P.T
+            b = P @ target
+            cand = books.astype(np.float64) / 128.0  # [n, 5]
+            # E = t't - 2 c'b + c'Gc per codebook row
+            e = -2.0 * cand @ b + np.einsum("nk,kl,nl->n", cand, G, cand)
+            idxs.append(int(np.argmin(e)))
+        return period, idxs
+
+    # -- excitation quantizer (the decoder's synthesis, closed loop) ----
+
+    def _quantize_frame(self, x: np.ndarray, gains: np.ndarray,
+                        lpc: np.ndarray, voiced: bool, lag: int,
+                        ltptaps: np.ndarray, ltpscale: float,
+                        qoff: int, seed: int):
+        """Run the decoder's subframe synthesis with the quantizer in
+        the loop.  Mutates self.output / self.lpc_history exactly as
+        SilkDecoder._decode_frame does and returns the stored
+        excitation values (pre-LCG-flip integers, decoder order)."""
+        order = self.order
+        sfl = self.sflength
+        flength = self.flength
+        residual = np.zeros(SILK_MAX_LAG + flength)
+        dst = self.output
+        lpch = self.lpc_history
+        base = SILK_HISTORY
+        values = np.zeros(flength, dtype=np.int64)
+        coeff = lpc
+
+        for i in range(self.subframes):
+            r0 = SILK_MAX_LAG + i * sfl
+            d0 = base + i * sfl
+            g = gains[i]
+            if voiced:
+                out_end = -i * sfl          # nlsf_interp_factor == 4
+                rescale = ltpscale
+                start = -lag - LTP_ORDER // 2
+                for j in range(start, out_end):
+                    v = dst[d0 + j]
+                    v -= float(np.dot(coeff[:order],
+                                      dst[d0 + j - order:d0 + j][::-1]))
+                    residual[r0 + j] = (
+                        min(max(v, -1.0), 1.0) * rescale / g
+                    )
+                if out_end:
+                    rescale2 = gains[i - 1] / g
+                    residual[r0 + out_end:r0] *= rescale2
+            for j in range(sfl):
+                lpc_pred = float(np.dot(coeff[:order],
+                                        lpch[d0 + j - order:d0 + j][::-1]))
+                if voiced:
+                    off = r0 + j - lag + LTP_ORDER // 2
+                    ltp_pred = float(np.dot(
+                        ltptaps[i],
+                        residual[off - LTP_ORDER + 1:off + 1][::-1]))
+                else:
+                    ltp_pred = 0.0
+                res_des = (x[i * sfl + j] - lpc_pred) / g
+                e_des = res_des - ltp_pred
+                # LCG dither state advances exactly like the decoder's
+                seed = (196314165 * seed + 907633515) & 0xFFFFFFFF
+                flip = bool(seed & 0x80000000)
+                d23 = (-e_des if flip else e_des) * 8388608.0
+                guess = int(math.floor((d23 - qoff) / 256.0))
+                bv, be = 0, abs(qoff - d23)
+                for c in (guess - 1, guess, guess + 1, guess + 2):
+                    c = max(-4095, min(4095, c))
+                    e23 = c * 256 + qoff
+                    if c < 0:
+                        e23 += 20
+                    elif c > 0:
+                        e23 -= 20
+                    if abs(e23 - d23) < be:
+                        be, bv = abs(e23 - d23), c
+                seed = (seed + bv) & 0xFFFFFFFF
+                e23 = bv * 256 + qoff
+                if bv < 0:
+                    e23 += 20
+                elif bv > 0:
+                    e23 -= 20
+                e_q = (-e23 if flip else e23) / 8388608.0
+                values[i * sfl + j] = bv
+                residual[r0 + j] = e_q + ltp_pred
+                s = residual[r0 + j] * g + lpc_pred
+                lpch[d0 + j] = s
+                dst[d0 + j] = min(max(s, -1.0), 1.0)
+
+        out = dst[base - 2:base + flength - 2].copy()
+        self.lpc_history[:SILK_HISTORY] = \
+            self.lpc_history[flength:flength + SILK_HISTORY]
+        self.output[:SILK_HISTORY] = \
+            self.output[flength:flength + SILK_HISTORY]
+        return values, out
+
+    # -- symbol emission -------------------------------------------------
+
+    def _encode_excitation(self, rc: RangeEncoder, values: np.ndarray,
+                           seed0: int, voiced: bool, qoffset_high: int):
+        t = self.t
+        active = 1
+        rc.enc_cdf(seed0, t["silk_model_lcg_seed"])
+        shellblocks = int(
+            t["silk_shell_blocks"][self.bandwidth][self.subframes >> 2]
+        )
+        assert shellblocks * 16 == self.flength
+        mags = np.abs(values).astype(np.int64)
+
+        # per-block lsb shift so the shell total stays <= 16
+        lsbcount = np.zeros(shellblocks, dtype=np.int64)
+        tops = np.zeros(shellblocks * 16, dtype=np.int64)
+        pulses = np.zeros(shellblocks, dtype=np.int64)
+        for b in range(shellblocks):
+            blk = mags[16 * b:16 * (b + 1)]
+            lsb = 0
+            while int(np.sum(blk >> lsb)) > 16:
+                lsb += 1
+            lsbcount[b] = lsb
+            tops[16 * b:16 * (b + 1)] = blk >> lsb
+            pulses[b] = int(np.sum(blk >> lsb))
+
+        # rate level: exact entropy cost of the count symbols
+        pc_model = t["silk_model_pulse_count"]
+
+        def count_syms(b):
+            lsb, p = int(lsbcount[b]), int(pulses[b])
+            if lsb == 0:
+                return [(None, p)]  # (model override, symbol)
+            syms = [(None, 17)]
+            syms += [(9, 17)] * (lsb - 1)
+            syms.append((10 if lsb == 10 else 9, p))
+            return syms
+
+        best_rl, best_cost = 0, None
+        for rl in range(9):
+            c = 0.0
+            for b in range(shellblocks):
+                for model, sym in count_syms(b):
+                    c += _cdf_cost_bits(pc_model[rl if model is None
+                                                 else model], sym)
+            if best_cost is None or c < best_cost:
+                best_cost, best_rl = c, rl
+        rc.enc_cdf(best_rl, t["silk_model_exc_rate"][1 if voiced else 0])
+        for b in range(shellblocks):
+            for model, sym in count_syms(b):
+                rc.enc_cdf(sym, pc_model[best_rl if model is None
+                                         else model])
+
+        # shell tree locations (decoder's count_children order)
+        loc_model = t["silk_model_pulse_location"]
+
+        def enc_split(model: int, left: int, total: int):
+            if total == 0:
+                return
+            off = ((total - 1 + 5) * (total - 1)) >> 1
+            rc.enc_cdf(left, loc_model[model][off:])
+
+        for b in range(shellblocks):
+            if pulses[b] == 0:
+                continue
+            tb = tops[16 * b:16 * (b + 1)]
+            h8 = (int(tb[:8].sum()), int(tb[8:].sum()))
+            enc_split(0, h8[0], int(pulses[b]))
+            for bi, bv in enumerate(h8):
+                q4 = (int(tb[8 * bi:8 * bi + 4].sum()),
+                      int(tb[8 * bi + 4:8 * bi + 8].sum()))
+                enc_split(1, q4[0], bv)
+                for ci, cv in enumerate(q4):
+                    base = 8 * bi + 4 * ci
+                    p2 = (int(tb[base:base + 2].sum()),
+                          int(tb[base + 2:base + 4].sum()))
+                    enc_split(2, p2[0], cv)
+                    for di, dv in enumerate(p2):
+                        k = base + 2 * di
+                        enc_split(3, int(tb[k]), dv)
+
+        # LSBs, MSB-first per sample
+        lsb_model = t["silk_model_excitation_lsb"]
+        for i in range(shellblocks * 16):
+            lsb = int(lsbcount[i >> 4])
+            for b in range(lsb):
+                bit = (int(mags[i]) >> (lsb - 1 - b)) & 1
+                rc.enc_cdf(bit, lsb_model)
+
+        # signs (decoder: symbol 0 negates)
+        sign_model = t["silk_model_excitation_sign"]
+        for i in range(shellblocks * 16):
+            if mags[i] != 0:
+                m = sign_model[active + int(voiced)][qoffset_high][
+                    min(int(pulses[i >> 4]), 6)]
+                rc.enc_cdf(0 if values[i] < 0 else 1, m)
+
+    # -- frame entry ------------------------------------------------------
+
+    def encode_superframe(self, rc: RangeEncoder, x: np.ndarray,
+                          seed0: int = 0) -> np.ndarray:
+        """Encode one mono 20 ms frame (header flags + frame payload)
+        and return the reconstruction ([flength] float, the decoder's
+        2-sample-delayed grid)."""
+        t = self.t
+        order = self.order
+        x = np.asarray(x, dtype=np.float64)
+        assert x.shape == (self.flength,)
+
+        # header: VAD flag + LBRR flag (mono, one frame per packet)
+        rc.enc_bit_logp(1, 1)
+        rc.enc_bit_logp(0, 1)
+
+        # ----- analysis (open loop, on the unquantized input) -----
+        xh = np.concatenate([self._xhist, x])
+        # windowed autocorrelation over history tail + frame
+        awin = xh[-(self.flength + order):]
+        w = np.hanning(len(awin))
+        xe = awin * w
+        ac = np.array([
+            float(np.dot(xe[: len(xe) - k], xe[k:])) for k in range(order + 1)
+        ])
+        ac[0] = ac[0] * 1.0001 + 1e-9
+        a_raw = _levinson(ac, order)
+        nlsf_t = _lpc_to_nlsf(a_raw, order)
+        if nlsf_t.size == 0:
+            nlsf_t = self.prev_nlsf[:order].copy()
+            if not self.coded:
+                nlsf_t = np.linspace(
+                    2048, 30720, order).astype(np.int64)
+        i1, i2s, nlsf_q = self._quant_nlsf(nlsf_t, True)
+        lpc = np.zeros(16)
+        _lsf2lpc(nlsf_q, lpc, order, t)
+
+        # open-loop residual for pitch/LTP/gain decisions
+        res_ol = np.zeros(SILK_MAX_LAG + self.flength)
+        for j in range(-SILK_MAX_LAG, self.flength):
+            idx = len(self._xhist) + j
+            res_ol[SILK_MAX_LAG + j] = xh[idx] - float(
+                np.dot(lpc[:order], xh[idx - order:idx][::-1]))
+
+        lag, corr = self._pitch_search(res_ol)
+        voiced = corr > 0.55
+        period, tap_idx = (0, [0] * self.subframes)
+        ltptaps = np.zeros((self.subframes, LTP_ORDER))
+        if voiced:
+            period, tap_idx = self._ltp_select(res_ol, lag, corr)
+            books = (t["silk_ltp_filter0_taps"],
+                     t["silk_ltp_filter1_taps"],
+                     t["silk_ltp_filter2_taps"])[period]
+            for i in range(self.subframes):
+                ltptaps[i] = books[tap_idx[i]] / 128.0
+
+        # subframe gains from the open-loop excitation energy
+        sfl = self.sflength
+        desired = np.zeros(self.subframes)
+        for i in range(self.subframes):
+            seg = res_ol[SILK_MAX_LAG + i * sfl:SILK_MAX_LAG + (i + 1) * sfl]
+            if voiced:
+                pred = res_ol[SILK_MAX_LAG + i * sfl - lag:
+                              SILK_MAX_LAG + (i + 1) * sfl - lag]
+                g_ltp = float(np.dot(ltptaps[i], ltptaps[i])) ** 0.5
+                seg = seg - min(1.0, g_ltp) * pred * (
+                    float(np.dot(seg, pred))
+                    / (float(np.dot(pred, pred)) + 1e-9))
+            rms = float(np.sqrt(np.mean(seg * seg) + 1e-12))
+            desired[i] = max(rms * 32768.0 / self.target_pulse, 1.0)
+        gain_syms, gains = self._quant_gains(desired)
+
+        qoffset_high = 0
+        ftype = (2 if voiced else 0) | qoffset_high
+        rc.enc_cdf(ftype, t["silk_model_frame_type_active"])
+
+        # gains
+        for i, sym in enumerate(gain_syms):
+            if sym[0] == "abs":
+                sigtype = 2 if voiced else 1
+                rc.enc_cdf(sym[1], t["silk_model_gain_highbits"][sigtype])
+                rc.enc_cdf(sym[2], t["silk_model_gain_lowbits"])
+            else:
+                rc.enc_cdf(sym[1], t["silk_model_gain_delta"])
+
+        # LSF stage 1 + stage 2 + interpolation offset
+        rc.enc_cdf(i1, t["silk_model_lsf_s1"]
+                   [1 if self.wb else 0][1 if voiced else 0])
+        sel = (t["silk_lsf_s2_model_sel_wb"] if self.wb
+               else t["silk_lsf_s2_model_sel_nbmb"])[i1]
+        for i in range(order):
+            i2 = int(i2s[i])
+            bsym = max(-4, min(4, i2))
+            rc.enc_cdf(bsym + 4, t["silk_model_lsf_s2"][sel[i]])
+            if bsym == -4:
+                rc.enc_cdf(-4 - i2, t["silk_model_lsf_s2_ext"])
+            elif bsym == 4:
+                rc.enc_cdf(i2 - 4, t["silk_model_lsf_s2_ext"])
+        rc.enc_cdf(4, t["silk_model_lsf_interpolation_offset"])
+
+        ltpscale = 15565.0 / 16384.0
+        if voiced:
+            # absolute lag (frame 0 of every 20 ms superframe)
+            lo = int(t["silk_pitch_min_lag"][self.bandwidth])
+            scale = int(t["silk_pitch_scale"][self.bandwidth])
+            lag = max(lo, min(lag, lo + 32 * scale - 1))
+            high, low = divmod(lag - lo, scale)
+            low_models = (t["silk_model_pitch_lowbits_nb"],
+                          t["silk_model_pitch_lowbits_mb"],
+                          t["silk_model_pitch_lowbits_wb"])
+            rc.enc_cdf(high, t["silk_model_pitch_highbits"])
+            rc.enc_cdf(low, low_models[self.bandwidth])
+            # contour 0: all-zero offsets at every bandwidth
+            rc.enc_cdf(0, t["silk_model_pitch_contour_nb20ms"]
+                       if self.bandwidth == 0
+                       else t["silk_model_pitch_contour_mbwb20ms"])
+            filter_sel = (t["silk_model_ltp_filter0_sel"],
+                          t["silk_model_ltp_filter1_sel"],
+                          t["silk_model_ltp_filter2_sel"])
+            rc.enc_cdf(period, t["silk_model_ltp_filter"])
+            for i in range(self.subframes):
+                rc.enc_cdf(tap_idx[i], filter_sel[period])
+            rc.enc_cdf(0, t["silk_model_ltp_scale_index"])
+            ltpscale = int(t["silk_ltp_scale_factor"][0]) / 16384.0
+
+        # ----- closed-loop quantization (the decoder's synthesis) -----
+        qoff = int(t["silk_quant_offset"][1 if voiced else 0][qoffset_high])
+        values, recon = self._quantize_frame(
+            x, gains, lpc, voiced, lag, ltptaps, ltpscale, qoff, seed0)
+
+        self._encode_excitation(rc, values, seed0, voiced, qoffset_high)
+
+        # advance decoder-mirror + analysis state
+        self.prev_nlsf[:order] = nlsf_q
+        self.prev_voiced = voiced
+        self.log_gain = self._lg_last
+        self.coded = True
+        keep = SILK_MAX_LAG + self.order
+        self._xhist = np.concatenate([self._xhist, x])[-keep:]
+        return values, recon
+
+
+# ----------------------------------------------------------------------
+# 48 kHz Opus packet encoder (SILK-only modes)
+# ----------------------------------------------------------------------
+
+class OpusSilkEncoder:
+    """Opus packet encoder, SILK-only mono modes (NB/MB/WB, 20 ms
+    code-0 VBR packets) — the voice counterpart of OpusCeltEncoder.
+
+    push() buffers float PCM at 48 kHz, decimates to the SILK
+    internal rate with a carried-history polyphase FIR, and emits one
+    packet per complete 20 ms frame with a feedback rate loop nudging
+    the per-frame gain floor toward ``bit_rate``."""
+
+    _CONFIGS = {0: 1, 1: 5, 2: 9}   # 20 ms TOC configs per bandwidth
+
+    def __init__(self, bandwidth: str = "wb", bit_rate: int = 24000,
+                 channels: int = 1):
+        if channels != 1:
+            raise ValueError("owned SILK encode is mono (stereo: use "
+                             "the CELT encoder or the libopus shim)")
+        bw = {"nb": 0, "mb": 1, "wb": 2}[bandwidth]
+        self.bandwidth = bw
+        self.channels = 1
+        self.rate = (8000, 12000, 16000)[bw]
+        self.decim = 48000 // self.rate
+        self.bit_rate = bit_rate
+        self._enc = SilkEncoder(bw)
+        self.frame_size = 960            # 20 ms at 48 kHz
+        self._toc = self._CONFIGS[bw] << 3
+        # anti-alias decimation FIR: Hamming-windowed sinc, linear
+        # phase, unity DC gain (no scipy dependency)
+        taps = 24 * self.decim
+        n = np.arange(taps + 1) - taps / 2.0
+        cutoff = 0.92 / self.decim          # fraction of Nyquist
+        h = np.sinc(cutoff * n) * np.hamming(taps + 1)
+        self._fir = h / np.sum(h)
+        self._hist48 = np.zeros(taps)
+        self._pend = np.zeros(0)
+        self._lambda = 1.0               # rate-loop gain multiplier
+
+    def _decimate(self, x48: np.ndarray) -> np.ndarray:
+        buf = np.concatenate([self._hist48, x48])
+        n_out = len(x48) // self.decim
+        if n_out:
+            y = np.convolve(buf, self._fir, mode="valid")[
+                self.decim - 1::self.decim][:n_out]
+        else:
+            y = np.zeros(0)
+        self._hist48 = buf[len(buf) - len(self._fir) + 1:]
+        return y
+
+    def push(self, pcm: np.ndarray):
+        pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
+        if len(pcm) % self.decim:
+            pad = self.decim - len(pcm) % self.decim
+            pcm = np.concatenate([pcm, np.zeros(pad)])
+        self._pend = np.concatenate([self._pend, self._decimate(pcm)])
+        out = []
+        fl = self._enc.flength
+        target_bits = self.bit_rate * 0.02
+        while len(self._pend) >= fl:
+            frame = self._pend[:fl]
+            self._pend = self._pend[fl:]
+            self._enc.target_pulse = float(
+                np.clip(3.0 * self._lambda, 0.6, 24.0))
+            rc = RangeEncoder(1275)
+            self._enc.encode_superframe(rc, frame)
+            rc.finalize()
+            payload = bytes(rc.buf[:rc.offs])
+            out.append(bytes([self._toc]) + payload)
+            bits = len(payload) * 8
+            # feedback VBR loop: too many bits -> lower the pulse
+            # target (larger gains -> smaller excitation values)
+            self._lambda *= (max(target_bits, 1.0) / bits) ** 0.25
+            self._lambda = float(np.clip(self._lambda, 0.1, 10.0))
+        return out
+
+    def flush(self):
+        if len(self._pend) == 0:
+            return []
+        need = self._enc.flength - len(self._pend)
+        return self.push(np.zeros((need + 1) * self.decim))

@@ -513,3 +513,129 @@ def test_ogg_opus_writer_edge_cases():
         granule = struct.unpack_from("<q", wire, pos + 6)[0]
         pos += 4
     assert granule == len(pkts) * 480, (granule, len(pkts))
+
+
+# ---------------------------------------------------------------------------
+# SILK frame encoder (opus_silk_enc.py)
+# ---------------------------------------------------------------------------
+
+def _speech_48k(seconds: float) -> np.ndarray:
+    from pathlib import Path
+
+    raw = Path(
+        "/root/reference/testdata/linear16_48/"
+        "A_Tusk_is_used_to_make_costly_gifts.s16le"
+    )
+    if not raw.is_file():
+        pytest.skip("reference testdata not available")
+    pcm = np.frombuffer(raw.read_bytes(), dtype="<i2").astype(np.float64)
+    return (pcm / 32768.0)[: int(48000 * seconds)]
+
+
+def _mono_snr(ref: np.ndarray, out: np.ndarray, maxoff: int = 600) -> float:
+    """Best gain-compensated SNR over decoder/FIR delay candidates."""
+    n = min(len(ref), len(out))
+    best = -1.0
+    for off in range(maxoff):
+        b = out[off:n]
+        a = ref[: n - off]
+        g = float(np.dot(a, b)) / (float(np.dot(b, b)) + 1e-12)
+        e = a - g * b
+        best = max(
+            best,
+            10 * np.log10(float(np.mean(a * a)) / (float(np.mean(e * e)) + 1e-12)),
+        )
+    return best
+
+
+def test_silk_encode_own_decode_speech():
+    """Owned SILK encode -> owned decode on real speech (WB, 1 s)."""
+    from soundkit_tpu.codecs.opus_core import OpusDecoder
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    pcm = _speech_48k(1.0)
+    enc = OpusSilkEncoder(bandwidth="wb", bit_rate=28000)
+    pkts = enc.push(pcm) + enc.flush()
+    assert len(pkts) >= 48
+    assert all(1 <= len(p) <= 1275 for p in pkts)
+    # TOC: config 9 (SILK WB 20 ms), mono, code 0
+    assert all(p[0] == (9 << 3) for p in pkts)
+    dec = OpusDecoder(channels=1)
+    out = np.concatenate([dec.decode_packet(p) for p in pkts]).reshape(-1)
+    snr = _mono_snr(pcm, out)
+    assert snr > 10.0, f"own-decode snr {snr:.1f} dB"
+
+
+def test_silk_encode_independent_oracle_accepts_packets():
+    """libopus must accept our SILK packets and match our decoder to
+    >120 dB — bitstream conformance for the voice layer (NB fast path;
+    the full bandwidth matrix is the slow test below)."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.opus_core import OpusDecoder
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    pcm = _speech_48k(1.0)
+    enc = OpusSilkEncoder(bandwidth="nb", bit_rate=20000)
+    pkts = enc.push(pcm) + enc.flush()
+    av = AvDecoder("opus", extradata=_opus_head_raw(1))
+    outs = [np.asarray(av.push(p), dtype=np.float64).reshape(-1) for p in pkts]
+    ref = np.concatenate([o for o in outs if o.size])
+    own = OpusDecoder(channels=1)
+    ours = np.concatenate([own.decode_packet(p) for p in pkts]).reshape(-1)
+    n = min(len(ref), len(ours))
+    e = ref[:n] - ours[:n]
+    snr = 10 * np.log10(np.sum(ref[:n] ** 2) / max(np.sum(e * e), 1e-30))
+    assert snr > 120.0, f"own-vs-oracle decode {snr:.1f} dB"
+
+
+@pytest.mark.slow
+def test_silk_encode_bandwidth_matrix():
+    """All three SILK bandwidths on the full speech fixture: VBR rate
+    lands near target, oracle agreement >120 dB, speech SNR per band."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.opus_core import OpusDecoder
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    pcm = _speech_48k(3.0)
+    bars = {"nb": 9.0, "mb": 9.5, "wb": 12.0}   # measured 11.6/12.1/15.1
+    for bw, br in (("nb", 20000), ("mb", 24000), ("wb", 28000)):
+        enc = OpusSilkEncoder(bandwidth=bw, bit_rate=br)
+        pkts = enc.push(pcm) + enc.flush()
+        kbps = np.mean([len(p) for p in pkts]) * 8 / 0.02 / 1000
+        assert kbps < br / 1000 * 1.6, f"{bw}: VBR landed at {kbps:.1f} kbps"
+        own = OpusDecoder(channels=1)
+        a = np.concatenate([own.decode_packet(p) for p in pkts]).reshape(-1)
+        av = AvDecoder("opus", extradata=_opus_head_raw(1))
+        outs = [np.asarray(av.push(p), dtype=np.float64).reshape(-1)
+                for p in pkts]
+        b = np.concatenate([o for o in outs if o.size])
+        n = min(len(a), len(b))
+        agree = 10 * np.log10(
+            np.sum(b[:n] ** 2) / max(np.sum((a[:n] - b[:n]) ** 2), 1e-30))
+        assert agree > 120.0, f"{bw}: oracle agreement {agree:.1f} dB"
+        snr = _mono_snr(pcm, b)
+        assert snr > bars[bw], f"{bw}: speech snr {snr:.1f} dB"
+
+
+def test_opus_encoder_voice_routing():
+    """encoders.OpusEncoder(mode='voice'): owned SILK backend for mono
+    48 kHz, packets decode on the owned decoder."""
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+    from soundkit_tpu.codecs.opus_core import OpusDecoder
+
+    enc = OpusEncoder(48000, 1, 24000, mode="voice", voice_bandwidth="wb")
+    assert enc.backend == "owned-silk" and enc.pre_skip == 0
+    assert enc.frame_size == 960
+    t = np.arange(48000 // 2)
+    tone = (32767 * 0.3 * np.sin(2 * np.pi * 220 * t / 48000.0)).astype(
+        np.int16)
+    pkts = enc.encode_i16_packets(tone) + enc.flush_packets()
+    assert len(pkts) >= 24
+    dec = OpusDecoder(channels=1)
+    out = np.concatenate([dec.decode_packet(p) for p in pkts])
+    assert out.shape[0] >= 24 * 960
+    # stereo voice is not owned: must raise, not silently fall back
+    with pytest.raises(ValueError):
+        from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+        OpusSilkEncoder(bandwidth="wb", channels=2)
