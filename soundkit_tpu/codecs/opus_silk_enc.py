@@ -305,7 +305,53 @@ class SilkEncoder:
                     break
         return best_lag, best_c
 
-    def _ltp_select(self, res: np.ndarray, lag: int, corr: float):
+    def _contour_search(self, res: np.ndarray, lag: int):
+        """Per-subframe lag refinement + normative contour selection.
+
+        Refines the frame-level lag per subframe by local correlation
+        search, then picks the (primary lag, contour index) pair whose
+        decoder-side per-subframe lags (clip(primary+offset)) best
+        match, energy-weighted.  Returns (primary, contour_index,
+        per-subframe lag array) with lags exactly as the decoder will
+        reconstruct them (opus_silk.py:274-291)."""
+        t = self.t
+        lo = int(t["silk_pitch_min_lag"][self.bandwidth])
+        scale = int(t["silk_pitch_scale"][self.bandwidth])
+        hi_abs = lo + 32 * scale - 1
+        hi = int(t["silk_pitch_max_lag"][self.bandwidth])
+        offs = (t["silk_pitch_offset_nb20ms"] if self.bandwidth == 0
+                else t["silk_pitch_offset_mbwb20ms"]).astype(np.int64)
+        sfl = self.sflength
+        sub_lag = np.zeros(self.subframes, dtype=np.int64)
+        sub_w = np.zeros(self.subframes)
+        for i in range(self.subframes):
+            r0 = SILK_MAX_LAG + i * sfl
+            f = res[r0:r0 + sfl]
+            e0 = float(np.dot(f, f)) + 1e-9
+            best_l, best_c = lag, -1.0
+            for cand in range(max(lo, lag - 10), min(hi, lag + 10) + 1):
+                p = res[r0 - cand:r0 - cand + sfl]
+                num = float(np.dot(f, p))
+                den = math.sqrt(e0 * (float(np.dot(p, p)) + 1e-9))
+                c = num / den if den > 0 else 0.0
+                if c > best_c:
+                    best_c, best_l = c, cand
+            sub_lag[i] = best_l
+            sub_w[i] = e0 * max(best_c, 0.0)
+        sub_w = sub_w / (np.sum(sub_w) + 1e-12)
+        best = None
+        for ci in range(len(offs)):
+            p0 = int(round(float(np.dot(sub_w, sub_lag - offs[ci]))))
+            for p in (p0 - 1, p0, p0 + 1):
+                p = max(lo, min(hi_abs, p))
+                eff = np.clip(p + offs[ci], lo, hi)
+                err = float(np.dot(sub_w, (eff - sub_lag) ** 2))
+                if best is None or err < best[0]:
+                    best = (err, p, ci, eff.copy())
+        _, primary, ci, eff = best
+        return primary, ci, eff
+
+    def _ltp_select(self, res: np.ndarray, lags: np.ndarray, corr: float):
         """Choose the LTP filter set by periodicity and the best
         codebook entry per subframe (least-squares over the open-loop
         residual).  Returns (period_index, [subframe tap indices])."""
@@ -317,6 +363,7 @@ class SilkEncoder:
         idxs = []
         for i in range(self.subframes):
             r0 = SILK_MAX_LAG + i * sfl
+            lag = int(lags[i])
             target = res[r0:r0 + sfl]
             # predictor matrix rows: res[j - lag + 2 - k], k = 0..4
             P = np.stack([
@@ -334,7 +381,7 @@ class SilkEncoder:
     # -- excitation quantizer (the decoder's synthesis, closed loop) ----
 
     def _quantize_frame(self, x: np.ndarray, gains: np.ndarray,
-                        lpc: np.ndarray, voiced: bool, lag: int,
+                        lpc: np.ndarray, voiced: bool, lags: np.ndarray,
                         ltptaps: np.ndarray, ltpscale: float,
                         qoff: int, seed: int):
         """Run the decoder's subframe synthesis with the quantizer in
@@ -358,7 +405,7 @@ class SilkEncoder:
             if voiced:
                 out_end = -i * sfl          # nlsf_interp_factor == 4
                 rescale = ltpscale
-                start = -lag - LTP_ORDER // 2
+                start = -int(lags[i]) - LTP_ORDER // 2
                 for j in range(start, out_end):
                     v = dst[d0 + j]
                     v -= float(np.dot(coeff[:order],
@@ -373,7 +420,7 @@ class SilkEncoder:
                 lpc_pred = float(np.dot(coeff[:order],
                                         lpch[d0 + j - order:d0 + j][::-1]))
                 if voiced:
-                    off = r0 + j - lag + LTP_ORDER // 2
+                    off = r0 + j - int(lags[i]) + LTP_ORDER // 2
                     ltp_pred = float(np.dot(
                         ltptaps[i],
                         residual[off - LTP_ORDER + 1:off + 1][::-1]))
@@ -561,8 +608,11 @@ class SilkEncoder:
         voiced = corr > 0.55
         period, tap_idx = (0, [0] * self.subframes)
         ltptaps = np.zeros((self.subframes, LTP_ORDER))
+        primary, contour = lag, 0
+        lags = np.full(self.subframes, lag, dtype=np.int64)
         if voiced:
-            period, tap_idx = self._ltp_select(res_ol, lag, corr)
+            primary, contour, lags = self._contour_search(res_ol, lag)
+            period, tap_idx = self._ltp_select(res_ol, lags, corr)
             books = (t["silk_ltp_filter0_taps"],
                      t["silk_ltp_filter1_taps"],
                      t["silk_ltp_filter2_taps"])[period]
@@ -575,8 +625,8 @@ class SilkEncoder:
         for i in range(self.subframes):
             seg = res_ol[SILK_MAX_LAG + i * sfl:SILK_MAX_LAG + (i + 1) * sfl]
             if voiced:
-                pred = res_ol[SILK_MAX_LAG + i * sfl - lag:
-                              SILK_MAX_LAG + (i + 1) * sfl - lag]
+                pred = res_ol[SILK_MAX_LAG + i * sfl - int(lags[i]):
+                              SILK_MAX_LAG + (i + 1) * sfl - int(lags[i])]
                 g_ltp = float(np.dot(ltptaps[i], ltptaps[i])) ** 0.5
                 seg = seg - min(1.0, g_ltp) * pred * (
                     float(np.dot(seg, pred))
@@ -618,15 +668,14 @@ class SilkEncoder:
             # absolute lag (frame 0 of every 20 ms superframe)
             lo = int(t["silk_pitch_min_lag"][self.bandwidth])
             scale = int(t["silk_pitch_scale"][self.bandwidth])
-            lag = max(lo, min(lag, lo + 32 * scale - 1))
-            high, low = divmod(lag - lo, scale)
+            primary = max(lo, min(primary, lo + 32 * scale - 1))
+            high, low = divmod(primary - lo, scale)
             low_models = (t["silk_model_pitch_lowbits_nb"],
                           t["silk_model_pitch_lowbits_mb"],
                           t["silk_model_pitch_lowbits_wb"])
             rc.enc_cdf(high, t["silk_model_pitch_highbits"])
             rc.enc_cdf(low, low_models[self.bandwidth])
-            # contour 0: all-zero offsets at every bandwidth
-            rc.enc_cdf(0, t["silk_model_pitch_contour_nb20ms"]
+            rc.enc_cdf(contour, t["silk_model_pitch_contour_nb20ms"]
                        if self.bandwidth == 0
                        else t["silk_model_pitch_contour_mbwb20ms"])
             filter_sel = (t["silk_model_ltp_filter0_sel"],
@@ -641,7 +690,7 @@ class SilkEncoder:
         # ----- closed-loop quantization (the decoder's synthesis) -----
         qoff = int(t["silk_quant_offset"][1 if voiced else 0][qoffset_high])
         values, recon = self._quantize_frame(
-            x, gains, lpc, voiced, lag, ltptaps, ltpscale, qoff, seed0)
+            x, gains, lpc, voiced, lags, ltptaps, ltpscale, qoff, seed0)
 
         self._encode_excitation(rc, values, seed0, voiced, qoffset_high)
 
