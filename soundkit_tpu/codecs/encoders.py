@@ -246,11 +246,12 @@ class OpusEncoder:
         self.sample_rate = sample_rate
         self.channels = channels
         if (backend == "owned" and sample_rate == 48000
-                and mode == "voice" and channels == 1):
+                and mode == "voice" and channels in (1, 2)):
             from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
 
             self._own: Optional[object] = OpusSilkEncoder(
-                bandwidth=voice_bandwidth, bit_rate=bit_rate
+                bandwidth=voice_bandwidth, bit_rate=bit_rate,
+                channels=channels,
             )
             self._enc = None
             self.frame_size = self._own.frame_size

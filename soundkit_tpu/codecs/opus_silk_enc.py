@@ -567,14 +567,19 @@ class SilkEncoder:
         """Encode one mono 20 ms frame (header flags + frame payload)
         and return the reconstruction ([flength] float, the decoder's
         2-sample-delayed grid)."""
+        # header: VAD flag + LBRR flag (mono, one frame per packet)
+        rc.enc_bit_logp(1, 1)
+        rc.enc_bit_logp(0, 1)
+        return self._encode_frame(rc, x, seed0)
+
+    def _encode_frame(self, rc: RangeEncoder, x: np.ndarray,
+                      seed0: int = 0) -> np.ndarray:
+        """Frame payload only (no superframe header bits): analysis,
+        parameter quantization, closed-loop excitation, emission."""
         t = self.t
         order = self.order
         x = np.asarray(x, dtype=np.float64)
         assert x.shape == (self.flength,)
-
-        # header: VAD flag + LBRR flag (mono, one frame per packet)
-        rc.enc_bit_logp(1, 1)
-        rc.enc_bit_logp(0, 1)
 
         # ----- analysis (open loop, on the unquantized input) -----
         xh = np.concatenate([self._xhist, x])
@@ -705,6 +710,123 @@ class SilkEncoder:
 
 
 # ----------------------------------------------------------------------
+# stereo (mid/side) frame encoder
+# ----------------------------------------------------------------------
+
+class SilkStereoEncoder:
+    """Stereo SILK encoder: mid/side split with the normative
+    prediction-weight coding, one mid + one side frame per packet.
+
+    Mirrors SilkDecoder's stereo read order exactly (opus_silk.py:
+    106-124 header flags, 187-203 weights, 156-175 unmix): header VAD/
+    LBRR flags for both channels, stereo weight symbols, mid frame,
+    side frame.  The side target is computed against the DECODED mid
+    (closed loop across channels) and the decoder's 8 ms weight
+    interpolation, so the unmixed L/R equals the encoder's intent."""
+
+    def __init__(self, bandwidth: int = 2, target_pulse: float = 3.0):
+        self.mid = SilkEncoder(bandwidth, target_pulse)
+        self.side = SilkEncoder(bandwidth, target_pulse)
+        self.bandwidth = bandwidth
+        self.flength = self.mid.flength
+        self.t = self.mid.t
+        self.w = [0.0, 0.0]          # last coded [w_p0, w_m] (decoder scale)
+        self._mhist = np.zeros(2)    # true mid, last 2 samples
+        self._dhist = np.zeros(2)    # true half-difference, last 2
+
+    @property
+    def target_pulse(self) -> float:
+        return self.mid.target_pulse
+
+    @target_pulse.setter
+    def target_pulse(self, v: float) -> None:
+        self.mid.target_pulse = v
+        self.side.target_pulse = v
+
+    def _quant_weight(self, target_q13: float):
+        """Nearest representable stereo weight: (value_q13, wi, ws)."""
+        wtab = self.t["silk_stereo_weights"]
+        best = None
+        for wi in range(15):
+            lo, hi = int(wtab[wi]), int(wtab[wi + 1])
+            step = ((hi - lo) * 6554) >> 16
+            for ws in range(5):
+                v = lo + step * (ws * 2 + 1)
+                if best is None or abs(v - target_q13) < abs(best[0]
+                                                             - target_q13):
+                    best = (v, wi, ws)
+        return best
+
+    def encode_superframe(self, rc: RangeEncoder, xl: np.ndarray,
+                          xr: np.ndarray, seed0: int = 0) -> None:
+        t = self.t
+        fl = self.flength
+        xl = np.asarray(xl, dtype=np.float64)
+        xr = np.asarray(xr, dtype=np.float64)
+        assert xl.shape == (fl,) and xr.shape == (fl,)
+        m = 0.5 * (xl + xr)
+        d = 0.5 * (xl - xr)
+
+        # header: VAD + LBRR per channel (both active, no LBRR)
+        for _ in range(2):
+            rc.enc_bit_logp(1, 1)
+            rc.enc_bit_logp(0, 1)
+
+        # ----- weight estimation (open loop, true mid) -----
+        # unmix grid k=0..fl-1: m1[k]=m[k-1], p0[k]=lowpass centered
+        # at k-1, target dd[k]=d[k-1]
+        mx = np.concatenate([self._mhist, m])      # m[-2..fl)
+        dx = np.concatenate([self._dhist, d])
+        m1 = mx[1:fl + 1]
+        p0 = 0.25 * (mx[:fl] + 2.0 * mx[1:fl + 1] + mx[2:fl + 2])
+        dd = dx[1:fl + 1]
+        G = np.array([[float(np.dot(m1, m1)), float(np.dot(m1, p0))],
+                      [float(np.dot(m1, p0)), float(np.dot(p0, p0))]])
+        b = np.array([float(np.dot(m1, dd)), float(np.dot(p0, dd))])
+        try:
+            wm, wp = np.linalg.solve(G + 1e-9 * np.eye(2), b)
+        except np.linalg.LinAlgError:
+            wm, wp = 0.0, 0.0
+        w1v, wi1, ws1 = self._quant_weight(
+            float(np.clip(wm * 8192.0, -13732, 13732)))
+        w0v, wi0, ws0 = self._quant_weight(
+            float(np.clip(wp * 8192.0 + w1v, -13732, 13732)))
+        n_sym = 5 * (wi0 // 3) + (wi1 // 3)
+        rc.enc_cdf(n_sym, t["silk_model_stereo_s1"])
+        rc.enc_cdf(wi0 % 3, t["silk_model_stereo_s2"])
+        rc.enc_cdf(ws0, t["silk_model_stereo_s3"])
+        rc.enc_cdf(wi1 % 3, t["silk_model_stereo_s2"])
+        rc.enc_cdf(ws1, t["silk_model_stereo_s3"])
+        # (mid-only flag is only coded when the side VAD flag is 0)
+        w_new = [(w0v - w1v) / 8192.0, w1v / 8192.0]
+
+        # ----- mid frame -----
+        self.mid._encode_frame(rc, m, seed0)
+
+        # ----- side target against the decoded mid + interpolation ---
+        # decoded mid at relative position t' lives at
+        # mid.output[SILK_HISTORY - fl + t'] after the history shift
+        base = SILK_HISTORY - fl
+        ms = self.mid.output[base - 2:base + fl]      # t' = -2..fl-1
+        ms = np.concatenate([ms, ms[-1:]])            # extrapolate t'=fl
+        n1 = int(t["silk_stereo_interp_len"][self.bandwidth])
+        k = np.arange(1, fl + 1, dtype=np.float64)    # k = t'+1
+        w0p, w1p = self.w
+        i0 = np.where(k < n1, w0p + k * (w_new[0] - w0p) / n1, w_new[0])
+        i1 = np.where(k < n1, w1p + k * (w_new[1] - w1p) / n1, w_new[1])
+        ms_t = ms[2:fl + 2]                           # t' = 0..fl-1
+        p0_dec = 0.25 * (ms[1:fl + 1] + 2.0 * ms[2:fl + 2] + ms[3:fl + 3])
+        x_side = d - i1 * ms_t - i0 * p0_dec
+
+        # ----- side frame -----
+        self.side._encode_frame(rc, x_side, seed0)
+
+        self.w = w_new
+        self._mhist = m[-2:].copy()
+        self._dhist = d[-2:].copy()
+
+
+# ----------------------------------------------------------------------
 # 48 kHz Opus packet encoder (SILK-only modes)
 # ----------------------------------------------------------------------
 
@@ -721,18 +843,18 @@ class OpusSilkEncoder:
 
     def __init__(self, bandwidth: str = "wb", bit_rate: int = 24000,
                  channels: int = 1):
-        if channels != 1:
-            raise ValueError("owned SILK encode is mono (stereo: use "
-                             "the CELT encoder or the libopus shim)")
+        if channels not in (1, 2):
+            raise ValueError("channels must be 1 or 2")
         bw = {"nb": 0, "mb": 1, "wb": 2}[bandwidth]
         self.bandwidth = bw
-        self.channels = 1
+        self.channels = channels
         self.rate = (8000, 12000, 16000)[bw]
         self.decim = 48000 // self.rate
         self.bit_rate = bit_rate
-        self._enc = SilkEncoder(bw)
+        self._enc = (SilkEncoder(bw) if channels == 1
+                     else SilkStereoEncoder(bw))
         self.frame_size = 960            # 20 ms at 48 kHz
-        self._toc = self._CONFIGS[bw] << 3
+        self._toc = (self._CONFIGS[bw] << 3) | (4 if channels == 2 else 0)
         # anti-alias decimation FIR: Hamming-windowed sinc, linear
         # phase, unity DC gain (no scipy dependency)
         taps = 24 * self.decim
@@ -740,27 +862,34 @@ class OpusSilkEncoder:
         cutoff = 0.92 / self.decim          # fraction of Nyquist
         h = np.sinc(cutoff * n) * np.hamming(taps + 1)
         self._fir = h / np.sum(h)
-        self._hist48 = np.zeros(taps)
-        self._pend = np.zeros(0)
+        self._hist48 = np.zeros((taps, channels))
+        self._pend = np.zeros((0, channels))
         self._lambda = 1.0               # rate-loop gain multiplier
 
     def _decimate(self, x48: np.ndarray) -> np.ndarray:
-        buf = np.concatenate([self._hist48, x48])
+        """[n, ch] 48 kHz -> [n/decim, ch] at the internal rate."""
+        buf = np.concatenate([self._hist48, x48], axis=0)
         n_out = len(x48) // self.decim
         if n_out:
-            y = np.convolve(buf, self._fir, mode="valid")[
-                self.decim - 1::self.decim][:n_out]
+            y = np.stack([
+                np.convolve(buf[:, c], self._fir, mode="valid")[
+                    self.decim - 1::self.decim][:n_out]
+                for c in range(self.channels)
+            ], axis=1)
         else:
-            y = np.zeros(0)
+            y = np.zeros((0, self.channels))
         self._hist48 = buf[len(buf) - len(self._fir) + 1:]
         return y
 
     def push(self, pcm: np.ndarray):
-        pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
+        pcm = np.asarray(pcm, dtype=np.float64)
+        pcm = pcm.reshape(-1, self.channels)
         if len(pcm) % self.decim:
             pad = self.decim - len(pcm) % self.decim
-            pcm = np.concatenate([pcm, np.zeros(pad)])
-        self._pend = np.concatenate([self._pend, self._decimate(pcm)])
+            pcm = np.concatenate(
+                [pcm, np.zeros((pad, self.channels))], axis=0)
+        self._pend = np.concatenate(
+            [self._pend, self._decimate(pcm)], axis=0)
         out = []
         fl = self._enc.flength
         target_bits = self.bit_rate * 0.02
@@ -770,7 +899,10 @@ class OpusSilkEncoder:
             self._enc.target_pulse = float(
                 np.clip(3.0 * self._lambda, 0.6, 24.0))
             rc = RangeEncoder(1275)
-            self._enc.encode_superframe(rc, frame)
+            if self.channels == 1:
+                self._enc.encode_superframe(rc, frame[:, 0])
+            else:
+                self._enc.encode_superframe(rc, frame[:, 0], frame[:, 1])
             rc.finalize()
             payload = bytes(rc.buf[:rc.offs])
             out.append(bytes([self._toc]) + payload)
@@ -785,4 +917,5 @@ class OpusSilkEncoder:
         if len(self._pend) == 0:
             return []
         need = self._enc.flength - len(self._pend)
-        return self.push(np.zeros((need + 1) * self.decim))
+        return self.push(np.zeros(((need + 1) * self.decim,
+                                   self.channels)))

@@ -634,8 +634,35 @@ def test_opus_encoder_voice_routing():
     dec = OpusDecoder(channels=1)
     out = np.concatenate([dec.decode_packet(p) for p in pkts])
     assert out.shape[0] >= 24 * 960
-    # stereo voice is not owned: must raise, not silently fall back
-    with pytest.raises(ValueError):
-        from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+    stereo = OpusEncoder(48000, 2, 40000, mode="voice")
+    assert stereo.backend == "owned-silk"
 
-        OpusSilkEncoder(bandwidth="wb", channels=2)
+
+def test_silk_encode_stereo_oracle_and_quality():
+    """Stereo (mid/side) SILK encode: libopus accepts the packets and
+    matches our decoder; per-channel quality on correlated stereo."""
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.opus_core import OpusDecoder
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    mono = _speech_48k(1.0)
+    # correlated stereo: right = attenuated, 1 ms delayed left
+    R = np.concatenate([np.zeros(48), 0.7 * mono[:-48]])
+    pcm = np.stack([mono, R], axis=1)
+    enc = OpusSilkEncoder(bandwidth="wb", bit_rate=40000, channels=2)
+    pkts = enc.push(pcm) + enc.flush()
+    # TOC: config 9, stereo flag, code 0
+    assert all(p[0] == (9 << 3) | 4 for p in pkts)
+    own = OpusDecoder(channels=2)
+    a = np.concatenate([own.decode_packet(p) for p in pkts], axis=0)
+    av = AvDecoder("opus", extradata=_opus_head_raw(2))
+    outs = [np.asarray(av.push(p), dtype=np.float64).reshape(-1, 2)
+            for p in pkts]
+    b = np.concatenate([o for o in outs if o.size], axis=0)
+    n = min(len(a), len(b))
+    e = a[:n] - b[:n]
+    agree = 10 * np.log10(np.sum(b[:n] ** 2) / max(np.sum(e * e), 1e-30))
+    assert agree > 120.0, f"stereo oracle agreement {agree:.1f} dB"
+    snr_l = _mono_snr(mono, b[:, 0])
+    snr_r = _mono_snr(R, b[:, 1])
+    assert snr_l > 8.0 and snr_r > 8.0, (snr_l, snr_r)
