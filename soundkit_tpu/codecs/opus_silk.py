@@ -127,7 +127,10 @@ class SilkDecoder:
         for j in range(nb_frames):
             for c in range(coded_channels):
                 if lbrr[c][j]:
-                    active1 = 0 if (c == 0 and not lbrr[1][j]) else 1
+                    # the side-channel LBRR flag reads as 0 for mono
+                    # streams (the oracle's zero-initialized array)
+                    side_lbrr = coded_channels == 2 and lbrr[1][j]
+                    active1 = 0 if (c == 0 and not side_lbrr) else 1
                     self._decode_frame(rc, c, coded_channels, True, 0,
                                        active1, lbrr=True)
             self.midonly = 0

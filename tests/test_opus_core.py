@@ -374,3 +374,122 @@ def test_fast_path_replay_on_mode_switch(testdata):
     np.testing.assert_array_equal(
         out_fast[celt_n:n], out_ref[celt_n:n]
     )
+
+
+def _libopus_fec_packets(channels: int, bit_rate: int,
+                         seconds: float = 1.5):
+    """Encode speech-like audio with libopus inband FEC on (20%
+    expected loss) so SILK frames carry LBRR data."""
+    import ctypes
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_encoder_create.restype = ctypes.c_void_p
+    op.opus_encoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    op.opus_encode_float.restype = ctypes.c_int
+    op.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    err = ctypes.c_int(0)
+    enc = op.opus_encoder_create(48000, channels, 2048,  # VOIP app
+                                 ctypes.byref(err))
+    assert enc and err.value == 0
+    h = ctypes.c_void_p(enc)
+    assert op.opus_encoder_ctl(h, 4012, 1) == 0      # inband FEC
+    assert op.opus_encoder_ctl(h, 4014, 20) == 0     # 20% loss
+    assert op.opus_encoder_ctl(h, 4002, bit_rate) == 0
+    assert op.opus_encoder_ctl(h, 4004, 1103) == 0   # max bw WB (SILK)
+    rng = np.random.default_rng(7)
+    n = int(48000 * seconds)
+    t = np.arange(n) / 48000.0
+    base = (0.4 * np.sin(2 * np.pi * 180 * t)
+            * (1 + 0.6 * np.sin(2 * np.pi * 2.5 * t))
+            + 0.02 * rng.standard_normal(n))
+    if channels == 2:
+        x = np.stack([base, 0.7 * base], 1).astype(np.float32)
+    else:
+        x = base.astype(np.float32).reshape(-1, 1)
+    pkts = []
+    for i in range(0, len(x) - 960, 960):
+        buf = ctypes.create_string_buffer(1500)
+        frame = np.ascontiguousarray(x[i:i + 960])
+        r = op.opus_encode_float(
+            h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            960, buf, 1500)
+        assert r > 0
+        pkts.append(buf.raw[:r])
+    op.opus_encoder_destroy(h)
+    return pkts
+
+
+def test_silk_lbrr_fec_mono_vs_oracle():
+    """Real libopus inband-FEC stream: mono LBRR frames must parse
+    (they used to IndexError on the absent side-channel flag — the
+    oracle reads a zero-initialized array there) and the regular
+    frames must still match the oracle."""
+    pkts = _libopus_fec_packets(1, 24000)
+    assert any(len(p) > 1 for p in pkts)
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(1)
+    num = den = 0.0
+    for p in pkts:
+        toc, _ = parse_packet(p)
+        assert toc.mode == "silk"
+        ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1, 1)
+        ours = np.asarray(own.decode_packet(p), dtype=np.float64)
+        m = min(len(ref), len(ours))
+        den += float(np.sum(ref[:m] ** 2))
+        num += float(np.sum((ref[:m] - ours[:m]) ** 2))
+    snr = 10 * np.log10(den / max(num, 1e-30))
+    assert snr > 100.0, f"FEC stream decode {snr:.1f} dB"
+
+
+def test_silk_lbrr_fec_stereo_vs_libopus():
+    """Stereo inband-FEC: the avcodec native opus decoder desyncs on
+    mid-only LBRR packets (measured: its output collapses to ~0 dB
+    vs libopus from the first such packet), so the normative libopus
+    decoder is the oracle here.  Our float decode tracks fixed-point
+    libopus at the usual ~28-30 dB float-vs-fixed gap; the per-packet
+    floor proves the LBRR parse never desyncs the range coder."""
+    import ctypes
+
+    pkts = _libopus_fec_packets(2, 48000)
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_decoder_create.restype = ctypes.c_void_p
+    op.opus_decoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    op.opus_decode_float.restype = ctypes.c_int
+    op.opus_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+    err = ctypes.c_int(0)
+    dec = ctypes.c_void_p(
+        op.opus_decoder_create(48000, 2, ctypes.byref(err)))
+    assert dec and err.value == 0
+    own = OpusDecoder(2)
+    n_lbrr = 0
+    per_pkt = []
+    for p in pkts:
+        rc = __import__(
+            "soundkit_tpu.codecs.opus_rc", fromlist=["RangeDecoder"]
+        ).RangeDecoder(parse_packet(p)[1][0])
+        rc.dec_bit_logp(1)
+        n_lbrr += rc.dec_bit_logp(1)
+        buf = np.zeros(5760 * 2, dtype=np.float32)
+        n = op.opus_decode_float(
+            dec, p, len(p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            5760, 0)
+        assert n > 0
+        ref = buf[:n * 2].reshape(-1, 2).astype(np.float64)
+        ours = np.asarray(own.decode_packet(p), dtype=np.float64)
+        m = min(len(ref), len(ours))
+        sig = float(np.sum(ref[:m] ** 2))
+        e = float(np.sum((ref[:m] - ours[:m]) ** 2))
+        if sig > 1e-10:
+            per_pkt.append(10 * np.log10(sig / max(e, 1e-30)))
+    assert n_lbrr >= 3, "stream must actually carry LBRR data"
+    assert np.median(per_pkt) > 25.0
+    assert min(per_pkt) > 15.0, f"desync: {min(per_pkt):.1f} dB"
