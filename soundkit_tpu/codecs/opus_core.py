@@ -144,6 +144,9 @@ class OpusDecoder:
         self.celt = CeltDecoder(channels)
         self._silk = None
         self._resampler = None
+        self._delayed = 0       # oracle's delayed_samples (resampler
+        self._fade_delay = 0    # shortfall; NB start = 24)
+        self._red_pending = None  # clipped pos=0 fade tail -> next pkt
         t = tables()
         self._band_end = t["celt_band_end"].astype(int)
         self._w2 = t["celt_window2"].astype(np.float64)
@@ -161,7 +164,16 @@ class OpusDecoder:
         bw = 2 if force_wb else toc.bandwidth  # 0=NB 1=MB 2=WB
         if self._silk is None:
             self._silk = SilkDecoder()
+        flush = np.zeros((0, self.channels))
         if self._resampler is None or self._resampler_bw != bw:
+            # bandwidth switch: the oracle drains the old resampler's
+            # pending delayed_samples into the output, then reinits
+            # (opusdec opus_flush_resample)
+            if self._resampler is not None and self._delayed > 0:
+                flush = np.asarray(
+                    self._resampler.drain(self._delayed),
+                    dtype=np.float64)
+            self._delayed = 0
             rate = (8000, 12000, 16000)[bw]
             self._resampler = SilkResampler(rate, bw, self.channels)
             self._resampler_bw = bw
@@ -169,8 +181,10 @@ class OpusDecoder:
         pcm = self._silk.decode_superframe(rc, bw, coded, duration_ms)
         if coded < self.channels:
             pcm = np.repeat(pcm, self.channels, axis=1)
+        self._fade_delay = self._delayed
         out48 = self._resampler.process(pcm, duration_ms * 48)
-        return out48.astype(np.float64)
+        self._delayed += duration_ms * 48 - out48.shape[0]
+        return flush, out48.astype(np.float64)
 
     def _decode_redundancy(self, data: bytes, toc: Toc,
                            coded: int) -> np.ndarray:
@@ -202,8 +216,16 @@ class OpusDecoder:
             out[:120] = r[:120]
             out[120:240] = out[120:240] * w2 + r[120:240] * (1.0 - w2)
         else:
+            # the oracle fades at samples-120+delayed_samples; the
+            # window tail past the frame end continues onto the next
+            # packet's first samples (opusdec redundancy_idx)
             S = out.shape[0]
-            out[S - 120:] = out[S - 120:] * (1.0 - w2) + r[120:240] * w2
+            d = min(self._fade_delay, 120)
+            k = 120 - d
+            out[S - k:] = (out[S - k:] * (1.0 - w2[:k])
+                           + r[120:120 + k] * w2[:k])
+            if d > 0:
+                self._red_pending = (red.copy(), k)
 
     def _silk_transition(self, rc: RangeDecoder, toc: Toc, f: bytes,
                          out: np.ndarray) -> np.ndarray:
@@ -249,7 +271,8 @@ class OpusDecoder:
         one range coder; outputs are summed at 48 kHz, with mode-
         transition redundancy decoded and crossfaded as the oracle
         does."""
-        silk48 = self._decode_silk_frame(rc, toc, force_wb=True)
+        silk_flush, silk48 = self._decode_silk_frame(
+            rc, toc, force_wb=True)
         total = rc.total_bits
         redundancy = 0
         pos = 0
@@ -285,10 +308,24 @@ class OpusDecoder:
         out = silk48[:n] + celt.T[:n]
         if red is not None:
             self._apply_redundancy_fade(out, red, pos)
+        if silk_flush.shape[0]:
+            out = np.concatenate([silk_flush, out], axis=0)
         return out
 
     def decode_packet(self, data: bytes) -> np.ndarray:
         """One packet -> [n, channels] float64 at 48 kHz."""
+        pend = self._red_pending
+        self._red_pending = None
+        res = self._decode_packet_inner(data)
+        if pend is not None and res.shape[0]:
+            red, idx = pend
+            n = min(120 - idx, res.shape[0])
+            w = self._w2[idx:idx + n][:, None]
+            res[:n] = (res[:n] * (1.0 - w)
+                       + red.T[120 + idx:120 + idx + n] * w)
+        return res
+
+    def _decode_packet_inner(self, data: bytes) -> np.ndarray:
         if not data:
             # PLC: decay through the overlap buffer
             n = self._last_duration
@@ -305,14 +342,22 @@ class OpusDecoder:
             outs = []
             for f in frames:
                 rc = RangeDecoder(f)
-                out = self._decode_silk_frame(rc, toc)
+                flush, out = self._decode_silk_frame(rc, toc)
+                if flush.shape[0]:
+                    outs.append(flush)
                 outs.append(self._silk_transition(rc, toc, f, out))
             self._last_duration = int(toc.frame_duration * 48)
             return np.concatenate(outs, axis=0)
         # celt-only frames flush the LP layer (opusdec: ff_silk_flush
-        # + swr_close) so a later SILK span restarts from scratch
+        # + swr_close, draining pending delayed_samples first) so a
+        # later SILK span restarts from scratch
+        silk_flush = np.zeros((0, self.channels))
         if self._silk is not None:
             self._silk = None
+        if self._resampler is not None and self._delayed > 0:
+            silk_flush = np.asarray(
+                self._resampler.drain(self._delayed), dtype=np.float64)
+        self._delayed = 0
         self._resampler = None
         frame_size = int(toc.frame_duration * 48)
         self._last_duration = frame_size
@@ -320,7 +365,7 @@ class OpusDecoder:
         coded = 2 if toc.stereo else 1
         if coded > self.channels:
             raise OpusUnsupported("stereo packet in a mono stream")
-        outs = []
+        outs = [silk_flush] if silk_flush.shape[0] else []
         for f in frames:
             rc = RangeDecoder(f)
             pcm = self.celt.decode_frame(rc, frame_size, 0, end, coded)

@@ -119,7 +119,9 @@ class SilkDecoder:
                     model = (self.t["silk_model_lbrr_flags_40"]
                              if nb_frames == 2
                              else self.t["silk_model_lbrr_flags_60"])
-                    flags = rc.dec_cdf(model) + 1
+                    # these models carry a leading-0 cdf entry, so
+                    # dec_cdf returns the 1-based flag pattern already
+                    flags = rc.dec_cdf(model)
                     for j in range(nb_frames):
                         lbrr[c][j] = bool((flags >> j) & 1)
         # LBRR frames: decoded in place exactly as the oracle does
@@ -131,8 +133,13 @@ class SilkDecoder:
                     # streams (the oracle's zero-initialized array)
                     side_lbrr = coded_channels == 2 and lbrr[1][j]
                     active1 = 0 if (c == 0 and not side_lbrr) else 1
-                    self._decode_frame(rc, c, coded_channels, True, 0,
-                                       active1, lbrr=True)
+                    # libopus condCoding: an LBRR frame is coded
+                    # conditionally iff the same channel's previous
+                    # frame in this packet also carried LBRR
+                    ind = not (j > 0 and lbrr[c][j - 1])
+                    self._decode_frame(rc, c, coded_channels, True, j,
+                                       active1, lbrr=True,
+                                       independent=ind)
             self.midonly = 0
         out = []
         flen = self.flength
@@ -181,7 +188,10 @@ class SilkDecoder:
     def _decode_frame(self, rc: RangeDecoder, channel: int,
                       coded_channels: int, active: bool,
                       frame_num: int, active1: int = 1,
-                      lbrr: bool = False) -> np.ndarray:
+                      lbrr: bool = False,
+                      independent: Optional[bool] = None) -> np.ndarray:
+        if independent is None:
+            independent = frame_num == 0
         t = self.t
         frame = self.frames[channel]
         order = 16 if self.wb else 10
@@ -221,7 +231,7 @@ class SilkDecoder:
         gains = np.zeros(self.subframes)
         log_gain = frame.log_gain
         for i in range(self.subframes):
-            if i == 0 and (frame_num == 0 or not frame.coded):
+            if i == 0 and (independent or not frame.coded):
                 x = rc.dec_cdf(t["silk_model_gain_highbits"][sigtype])
                 log_gain = (x << 3) | rc.dec_cdf(
                     t["silk_model_gain_lowbits"])
@@ -252,7 +262,7 @@ class SilkDecoder:
         pitchlag = np.zeros(self.subframes, dtype=np.int64)
         ltptaps = np.zeros((self.subframes, LTP_ORDER))
         if voiced:
-            lag_absolute = frame_num == 0 or not frame.prev_voiced
+            lag_absolute = independent or not frame.prev_voiced
             primarylag = 0
             if not lag_absolute:
                 delta = rc.dec_cdf(t["silk_model_pitch_delta"])
@@ -309,7 +319,7 @@ class SilkDecoder:
                 ltptaps[i] = filter_taps[ltpfilter][index] / 128.0
 
         # LTP scale factor
-        if voiced and frame_num == 0:
+        if voiced and independent:
             ltpscale = int(t["silk_ltp_scale_factor"][
                 rc.dec_cdf(t["silk_model_ltp_scale_index"])]) / 16384.0
         else:
@@ -322,10 +332,13 @@ class SilkDecoder:
 
         flength = self.flength
         if lbrr:
-            # LBRR frames are parsed only: log_gain/NLSF/LPC/lag state
-            # updates stay, but prev_voiced, coded and the output
-            # history are untouched (the oracle skips the synthesis
-            # tail entirely)
+            # LBRR frames are parsed only: the synthesis tail and the
+            # output history are skipped, but ALL parse-visible state
+            # persists (libopus decode_indices updates LastGainIndex,
+            # prevNLSF, lagPrev AND ec_prevSignalType) so a following
+            # conditionally-coded LBRR frame keys off this one
+            frame.prev_voiced = voiced
+            frame.coded = True
             return np.zeros(flength)
         # synthesis
         residual = np.zeros(SILK_MAX_LAG + flength)

@@ -97,12 +97,23 @@ class SilkResampler:
 
     def process(self, pcm: np.ndarray, out_samples: int) -> np.ndarray:
         """pcm: [n, ch] float at the SILK rate; returns [m, ch] f32 at
-        48 kHz with m == out_samples (the oracle requests exactly the
-        packet duration per superframe)."""
+        48 kHz with m <= out_samples (the oracle requests exactly the
+        packet duration per superframe; the first NB frame comes up 24
+        samples short of it — the oracle's delayed_samples)."""
         flat = np.ascontiguousarray(
             pcm.astype(np.float32).reshape(-1)
         )
         out = self._convert(flat, pcm.shape[0], out_samples)
+        return out.reshape(-1, self.channels)
+
+    def drain(self, out_samples: int) -> np.ndarray:
+        """Flush up to ``out_samples`` buffered samples (NULL-input
+        convert), the oracle's opus_flush_resample on a bandwidth
+        switch."""
+        if out_samples <= 0:
+            return np.zeros((0, self.channels), dtype=np.float32)
+        out = self._convert(
+            np.zeros(0, dtype=np.float32), 0, out_samples)
         return out.reshape(-1, self.channels)
 
     def __del__(self):

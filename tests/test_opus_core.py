@@ -493,3 +493,144 @@ def test_silk_lbrr_fec_stereo_vs_libopus():
     assert n_lbrr >= 3, "stream must actually carry LBRR data"
     assert np.median(per_pkt) > 25.0
     assert min(per_pkt) > 15.0, f"desync: {min(per_pkt):.1f} dB"
+
+
+def test_silk_multiframe_lbrr_fec_vs_libopus():
+    """60 ms FEC request -> 40 ms NB/MB superframes (2 SILK frames per
+    packet) with consecutive LBRR frames, exercising the libopus
+    condCoding rule (delta gains / relative pitch / no LTP-scale read
+    when the previous frame in the packet also carried LBRR) and the
+    1-based lbrr_flags pattern.  ffmpeg's native decoder mis-parses
+    these packets (measured ~0 dB vs libopus over the FEC-dense span),
+    so fixed-point libopus is the oracle; the bar is the float-vs-
+    fixed gap with no range-coder desync."""
+    import ctypes
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_encoder_create.restype = ctypes.c_void_p
+    op.opus_encoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    op.opus_encode_float.restype = ctypes.c_int
+    op.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    op.opus_decoder_create.restype = ctypes.c_void_p
+    op.opus_decoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    op.opus_decode_float.restype = ctypes.c_int
+    op.opus_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(op.opus_encoder_create(48000, 1, 2048,
+                                                 ctypes.byref(err)))
+    for req, v in ((4012, 1), (4014, 30), (4002, 16000), (4004, 1103),
+                   (4040, 5005)):  # FEC, 30% loss, 16k, WB cap, 60 ms
+        assert op.opus_encoder_ctl(enc, req, v) == 0
+    rng = np.random.default_rng(3)
+    n = 48000 * 3
+    t = np.arange(n) / 48000.0
+    x = (0.4 * np.sin(2 * np.pi * 200 * t)
+         * (1 + 0.6 * np.sin(2 * np.pi * 2 * t))
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    FR = 2880
+    pkts = []
+    for i in range(0, n - FR, FR):
+        buf = ctypes.create_string_buffer(4000)
+        r = op.opus_encode_float(
+            enc, x[i:i + FR].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)), FR, buf, 4000)
+        pkts.append(buf.raw[:r])
+    # the stream must contain multi-frame superframes
+    assert any(parse_packet(p)[0].frame_duration > 20 for p in pkts)
+    lod = ctypes.c_void_p(op.opus_decoder_create(48000, 1,
+                                                 ctypes.byref(err)))
+    own = OpusDecoder(1)
+    L, O = [], []
+    for p in pkts:
+        buf = np.zeros(5760, dtype=np.float32)
+        m = op.opus_decode_float(
+            lod, p, len(p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            5760, 0)
+        L.append(buf[:m].astype(np.float64))
+        O.append(np.asarray(own.decode_packet(p),
+                            dtype=np.float64).reshape(-1))
+    L = np.concatenate(L)
+    O = np.concatenate(O)
+
+    def snr_at(lag, n0, n1):
+        a = L[max(0, lag):]
+        b = O[max(0, -lag):]
+        m = min(len(a), len(b))
+        a, b = a[n0:min(n1, m)], b[n0:min(n1, m)]
+        sig = float(np.sum(a ** 2))
+        return 10 * np.log10(sig / max(float(np.sum((a - b) ** 2)),
+                                       1e-30))
+
+    # small constant lag from the delayed-samples grids
+    best_head = max(snr_at(l, 0, 9600) for l in range(-4, 5))
+    best_tail = max(snr_at(l, len(L) - 48000, len(L))
+                    for l in range(-4, 5))
+    assert best_head > 20.0, f"FEC-dense span {best_head:.1f} dB"
+    assert best_tail > 20.0, f"tail {best_tail:.1f} dB"
+
+
+def test_silk_bandwidth_switch_vs_oracle():
+    """NB->MB->WB switching voice stream: the encoder attaches CELT
+    redundancy at SILK bandwidth switches; the decoder must drain the
+    old resampler's delayed_samples into the output (opusdec
+    opus_flush_resample), offset the pos=0 fade by delayed_samples,
+    and continue a clipped fade onto the next packet's first samples
+    (redundancy_idx)."""
+    import ctypes
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_encoder_create.restype = ctypes.c_void_p
+    op.opus_encoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    op.opus_encode_float.restype = ctypes.c_int
+    op.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(op.opus_encoder_create(48000, 1, 2048,
+                                                 ctypes.byref(err)))
+    assert op.opus_encoder_ctl(enc, 4002, 14000) == 0
+    rng = np.random.default_rng(3)
+    n = 48000 * 3
+    t = np.arange(n) / 48000.0
+    x = (0.4 * np.sin(2 * np.pi * 200 * t)
+         * (1 + 0.6 * np.sin(2 * np.pi * 2 * t))
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    pkts = []
+    for k, i in enumerate(range(0, n - 960, 960)):
+        bw = (1101, 1102, 1103)[(k // 25) % 3]
+        op.opus_encoder_ctl(enc, 4004, bw)
+        buf = ctypes.create_string_buffer(4000)
+        r = op.opus_encode_float(
+            enc, x[i:i + 960].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)), 960, buf, 4000)
+        pkts.append(buf.raw[:r])
+    cfgs = [parse_packet(p)[0].config for p in pkts]
+    assert len(set(cfgs)) >= 2, "stream must switch bandwidths"
+    head = struct.pack("<8sBBHIhB", b"OpusHead", 1, 1, 0, 48000, 0, 0)
+    av = AvDecoder("opus", extradata=head)
+    own = OpusDecoder(1)
+    worst = 1e9
+    num = den = 0.0
+    for p in pkts:
+        ref = np.asarray(av.push(p), dtype=np.float64).reshape(-1)
+        ours = np.asarray(own.decode_packet(p),
+                          dtype=np.float64).reshape(-1)
+        assert len(ref) == len(ours)  # incl. the 24 drained samples
+        sig = float(np.sum(ref ** 2))
+        e = float(np.sum((ref - ours) ** 2))
+        den += sig
+        num += e
+        if sig > 1e-12:
+            worst = min(worst, 10 * np.log10(sig / max(e, 1e-30)))
+    assert worst > 80.0, f"worst packet {worst:.1f} dB"
+    assert 10 * np.log10(den / max(num, 1e-30)) > 100.0
