@@ -21,6 +21,16 @@ from soundkit_tpu.codecs.opus_celt import CeltDecoder
 from soundkit_tpu.codecs.opus_tables import tables
 
 
+def _native_silk_cls():
+    """The C++ SILK stage class, or None if the native library is
+    unavailable (the Python decoder then runs the LP layer)."""
+    try:
+        from soundkit_tpu.codecs.silk_native import NativeSilkDecoder
+        return NativeSilkDecoder
+    except Exception:
+        return None
+
+
 class OpusUnsupported(ValueError):
     pass
 
@@ -141,6 +151,7 @@ class OpusDecoder:
 
     def __init__(self, channels: int = 1):
         self.channels = channels
+        self.use_native_silk = True
         self.celt = CeltDecoder(channels)
         self._silk = None
         self._resampler = None
@@ -163,7 +174,9 @@ class OpusDecoder:
         # hybrid runs SILK at WB regardless of the packet bandwidth
         bw = 2 if force_wb else toc.bandwidth  # 0=NB 1=MB 2=WB
         if self._silk is None:
-            self._silk = SilkDecoder()
+            cls = (_native_silk_cls()
+                   if self.use_native_silk else None)
+            self._silk = cls() if cls is not None else SilkDecoder()
         flush = np.zeros((0, self.channels))
         if self._resampler is None or self._resampler_bw != bw:
             # bandwidth switch: the oracle drains the old resampler's
@@ -178,7 +191,16 @@ class OpusDecoder:
             self._resampler = SilkResampler(rate, bw, self.channels)
             self._resampler_bw = bw
         duration_ms = int(toc.frame_duration)
-        pcm = self._silk.decode_superframe(rc, bw, coded, duration_ms)
+        if hasattr(self._silk, "_h"):
+            # native stage: decodes from the frame start and exports
+            # the final coder state back into the caller's rc so the
+            # redundancy/hybrid logic below continues unchanged
+            pcm, _, st = self._silk.decode_superframe(
+                rc.buf, bw, coded, duration_ms, False)
+            rc.set_state(st)
+        else:
+            pcm = self._silk.decode_superframe(rc, bw, coded,
+                                               duration_ms)
         if coded < self.channels:
             pcm = np.repeat(pcm, self.channels, axis=1)
         self._fade_delay = self._delayed

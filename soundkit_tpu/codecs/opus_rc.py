@@ -45,6 +45,15 @@ class RangeDecoder:
         self.error = False
         self._normalize()
 
+    def set_state(self, state) -> None:
+        """Restore mid-stream coder state exported by the native SILK
+        stage (silk_parse.cpp skt_silk_decode info[4..12]) so a hybrid
+        frame's CELT layer continues from the SILK-consumed position."""
+        (self.offs, self.rem, self.end_offs, self.end_window,
+         self.nend_bits, self.nbits_total, self.rng, self.val,
+         err) = state
+        self.error = bool(err)
+
     # -- byte feeds -----------------------------------------------------
     def _read_byte(self) -> int:
         if self.offs < self.storage:

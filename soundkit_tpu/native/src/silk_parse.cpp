@@ -1,0 +1,998 @@
+// SILK (RFC 6716 §4.2) host decode stage: range decoder + NLSF/LTP/
+// gain/excitation parse + LTP/LPC synthesis at the SILK internal
+// rate, a C++ port of the owned Python decoder (codecs/opus_silk.py)
+// for the serving loop — the LP layer is per-sample sequential IIR
+// work that belongs on the host.  The caller (codecs/silk_native.py)
+// keeps the oracle-matched 48 kHz resampler and the redundancy/
+// transition machinery in Python; for hybrid frames the final range-
+// coder state is exported so the CELT layer can continue from it.
+// Parity reference: soundkit-opus/src/lib.rs (libopus wrapper).
+//
+// Spec tables are pushed from Python (the extracted RFC set in
+// opus_tables.py) via skt_silk_table — nothing is hardcoded here
+// beyond structure.
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int LTP_ORDER = 5;
+constexpr int SILK_HISTORY = 322;
+constexpr int SILK_MAX_LAG = 288 + LTP_ORDER / 2;
+
+inline int ilogi(uint64_t v) { return v ? 64 - __builtin_clzll(v) : 0; }
+inline int32_t wrap32(int64_t x) {
+  return (int32_t)(uint32_t)(x & 0xFFFFFFFFll);
+}
+inline int32_t mulh32(int64_t a, int64_t b) { return wrap32((a * b) >> 32); }
+inline int32_t round_mull(int64_t a, int64_t b, int s) {
+  return wrap32((((a * b) >> (s - 1)) + 1) >> 1);
+}
+inline int64_t sat32(int64_t x) {
+  return x < -0x80000000ll ? -0x80000000ll
+                           : (x > 0x7FFFFFFFll ? 0x7FFFFFFFll : x);
+}
+
+// ---------------------------------------------------------------- tables
+struct Tables {
+  std::map<std::string, std::vector<int64_t>> raw;
+  // resolved views (names mirror opus_tables.py keys minus "silk_")
+  const int64_t *stereo_s1, *stereo_s2, *stereo_s3, *mid_only;
+  const int64_t *ft_inactive, *ft_active;
+  const int64_t *gain_high;  // [3][9]
+  const int64_t *gain_low, *gain_delta;
+  const int64_t *lsf_s1;     // [2][2][33]
+  const int64_t *lsf_s2;     // [32][10]
+  const int64_t *lsf_s2_ext, *lsf_interp;
+  const int64_t *pitch_high, *pitch_low_nb, *pitch_low_mb, *pitch_low_wb;
+  const int64_t *pitch_delta;
+  const int64_t *contour_nb10, *contour_nb20, *contour_mw10, *contour_mw20;
+  const int64_t *ltp_filter, *ltp_sel0, *ltp_sel1, *ltp_sel2;
+  const int64_t *ltp_scale_idx, *lcg_seed_m;
+  const int64_t *exc_rate;      // [2][10]
+  const int64_t *pulse_count;   // [11][19]
+  const int64_t *pulse_loc;     // [4][168]
+  const int64_t *exc_lsb;
+  const int64_t *exc_sign;      // [3][2][7][3]
+  const int64_t *lbrr40, *lbrr60;
+  const int64_t *s2_sel_nbmb, *s2_sel_wb;        // [32][10] / [32][16]
+  const int64_t *predw_nbmb, *predw_wb;          // [2][9] / [2][15]
+  const int64_t *wsel_nbmb, *wsel_wb;            // [32][9] / [32][15]
+  const int64_t *cb_nbmb, *cb_wb;                // [32][10] / [32][16]
+  const int64_t *minsp_nbmb, *minsp_wb;          // [11] / [17]
+  const int64_t *order_nbmb, *order_wb;          // [10] / [16]
+  const int64_t *cosine;                         // [129]
+  const int64_t *pitch_scale, *pitch_min, *pitch_max;  // [3]
+  const int64_t *off_nb10, *off_nb20, *off_mw10, *off_mw20;
+  int n_off_nb10, n_off_mw10;  // contour row counts for 10 ms tables
+  const int64_t *taps0, *taps1, *taps2;          // [8/16/32][5]
+  const int64_t *ltp_scale_f;                    // [3]
+  const int64_t *shell_blocks;                   // [3][2]
+  const int64_t *quant_offset;                   // [2][2]
+  const int64_t *stereo_w;                       // [16]
+  const int64_t *stereo_interp_len;              // [3]
+  bool ready = false;
+
+  const int64_t* get(const char* n, size_t minlen) {
+    auto it = raw.find(n);
+    if (it == raw.end() || it->second.size() < minlen) return nullptr;
+    return it->second.data();
+  }
+  bool finalize() {
+    struct Req { const int64_t** dst; const char* name; size_t n; };
+    const Req reqs[] = {
+      {&stereo_s1, "model_stereo_s1", 26}, {&stereo_s2, "model_stereo_s2", 4},
+      {&stereo_s3, "model_stereo_s3", 6}, {&mid_only, "model_mid_only", 3},
+      {&ft_inactive, "model_frame_type_inactive", 3},
+      {&ft_active, "model_frame_type_active", 5},
+      {&gain_high, "model_gain_highbits", 27},
+      {&gain_low, "model_gain_lowbits", 9},
+      {&gain_delta, "model_gain_delta", 42},
+      {&lsf_s1, "model_lsf_s1", 132}, {&lsf_s2, "model_lsf_s2", 320},
+      {&lsf_s2_ext, "model_lsf_s2_ext", 3},
+      {&lsf_interp, "model_lsf_interpolation_offset", 6},
+      {&pitch_high, "model_pitch_highbits", 33},
+      {&pitch_low_nb, "model_pitch_lowbits_nb", 5},
+      {&pitch_low_mb, "model_pitch_lowbits_mb", 6},
+      {&pitch_low_wb, "model_pitch_lowbits_wb", 9},
+      {&pitch_delta, "model_pitch_delta", 22},
+      {&contour_nb10, "model_pitch_contour_nb10ms", 4},
+      {&contour_nb20, "model_pitch_contour_nb20ms", 12},
+      {&contour_mw10, "model_pitch_contour_mbwb10ms", 13},
+      {&contour_mw20, "model_pitch_contour_mbwb20ms", 35},
+      {&ltp_filter, "model_ltp_filter", 4},
+      {&ltp_sel0, "model_ltp_filter0_sel", 9},
+      {&ltp_sel1, "model_ltp_filter1_sel", 17},
+      {&ltp_sel2, "model_ltp_filter2_sel", 33},
+      {&ltp_scale_idx, "model_ltp_scale_index", 4},
+      {&lcg_seed_m, "model_lcg_seed", 5},
+      {&exc_rate, "model_exc_rate", 20},
+      {&pulse_count, "model_pulse_count", 11 * 19},
+      {&pulse_loc, "model_pulse_location", 4 * 168},
+      {&exc_lsb, "model_excitation_lsb", 3},
+      {&exc_sign, "model_excitation_sign", 3 * 2 * 7 * 3},
+      {&lbrr40, "model_lbrr_flags_40", 5},
+      {&lbrr60, "model_lbrr_flags_60", 9},
+      {&s2_sel_nbmb, "lsf_s2_model_sel_nbmb", 320},
+      {&s2_sel_wb, "lsf_s2_model_sel_wb", 512},
+      {&predw_nbmb, "lsf_pred_weights_nbmb", 18},
+      {&predw_wb, "lsf_pred_weights_wb", 30},
+      {&wsel_nbmb, "lsf_weight_sel_nbmb", 288},
+      {&wsel_wb, "lsf_weight_sel_wb", 480},
+      {&cb_nbmb, "lsf_codebook_nbmb", 320},
+      {&cb_wb, "lsf_codebook_wb", 512},
+      {&minsp_nbmb, "lsf_min_spacing_nbmb", 11},
+      {&minsp_wb, "lsf_min_spacing_wb", 17},
+      {&order_nbmb, "lsf_ordering_nbmb", 10},
+      {&order_wb, "lsf_ordering_wb", 16},
+      {&cosine, "cosine", 129},
+      {&pitch_scale, "pitch_scale", 3}, {&pitch_min, "pitch_min_lag", 3},
+      {&pitch_max, "pitch_max_lag", 3},
+      {&off_nb10, "pitch_offset_nb10ms", 6},
+      {&off_nb20, "pitch_offset_nb20ms", 44},
+      {&off_mw10, "pitch_offset_mbwb10ms", 24},
+      {&off_mw20, "pitch_offset_mbwb20ms", 136},
+      {&taps0, "ltp_filter0_taps", 40}, {&taps1, "ltp_filter1_taps", 80},
+      {&taps2, "ltp_filter2_taps", 160},
+      {&ltp_scale_f, "ltp_scale_factor", 3},
+      {&shell_blocks, "shell_blocks", 6},
+      {&quant_offset, "quant_offset", 4},
+      {&stereo_w, "stereo_weights", 16},
+      {&stereo_interp_len, "stereo_interp_len", 3},
+    };
+    for (const auto& r : reqs) {
+      *r.dst = get(r.name, r.n);
+      if (!*r.dst) return false;
+    }
+    n_off_nb10 = (int)(raw["pitch_offset_nb10ms"].size() / 2);
+    n_off_mw10 = (int)(raw["pitch_offset_mbwb10ms"].size() / 2);
+    ready = true;
+    return true;
+  }
+};
+
+Tables g_t;
+
+// ------------------------------------------------------ range decoder
+// exact port of codecs/opus_rc.py RangeDecoder (shared with CELT)
+struct RC {
+  const uint8_t* buf;
+  int64_t storage, offs, end_offs;
+  uint64_t end_window;
+  int nend_bits, nbits_total;
+  uint32_t rng, val, ext;
+  int rem;
+  bool error;
+
+  void init(const uint8_t* data, int64_t len) {
+    buf = data; storage = len; offs = 0; end_offs = 0;
+    end_window = 0; nend_bits = 0;
+    nbits_total = 33 - ((32 - 7) / 8) * 8;  // 9
+    rng = 1u << 7;
+    rem = read_byte();
+    val = rng - 1 - (uint32_t)(rem >> 1);
+    error = false;
+    normalize();
+  }
+  int read_byte() { return offs < storage ? buf[offs++] : 0; }
+  void normalize() {
+    while (rng <= (1u << 23)) {
+      nbits_total += 8;
+      rng <<= 8;
+      int sym = rem;
+      rem = read_byte();
+      sym = ((sym << 8) | rem) >> 1;
+      val = ((val << 8) + (0xFF & ~sym)) & ((1u << 31) - 1);
+    }
+  }
+  void update(uint32_t fl, uint32_t fh, uint32_t ft) {
+    uint32_t s = ext * (ft - fh);
+    val -= s;
+    rng = fl > 0 ? ext * (fh - fl) : rng - s;
+    normalize();
+  }
+  int dec_bit_logp(int logp) {
+    uint32_t r = rng, d = val, s = r >> logp;
+    int ret = d < s ? 1 : 0;
+    if (!ret) val = d - s;
+    rng = ret ? s : r - s;
+    normalize();
+    return ret;
+  }
+  int dec_cdf(const int64_t* cdf) {
+    uint32_t total = (uint32_t)cdf[0];
+    uint32_t scale = rng / total;
+    ext = scale;
+    uint32_t m = val / scale + 1;
+    uint32_t sym = total - (m < total ? m : total);
+    int k = 1;
+    while ((uint32_t)cdf[k] <= sym) k++;
+    uint32_t high = (uint32_t)cdf[k];
+    uint32_t low = k > 1 ? (uint32_t)cdf[k - 1] : 0;
+    update(low, high, total);
+    return k - 1;
+  }
+  int tell() const { return nbits_total - ilogi(rng); }
+};
+
+// ------------------------------------------------------ decoder state
+struct SilkFrame {
+  bool coded;
+  int log_gain;
+  int64_t nlsf[16];
+  double lpc[16];
+  double output[2 * SILK_HISTORY];
+  double lpc_history[2 * SILK_HISTORY];
+  int primarylag;
+  bool prev_voiced;
+  void reset() {
+    coded = false; log_gain = 0; primarylag = 0; prev_voiced = false;
+    memset(nlsf, 0, sizeof nlsf);
+    memset(lpc, 0, sizeof lpc);
+    memset(output, 0, sizeof output);
+    memset(lpc_history, 0, sizeof lpc_history);
+  }
+};
+
+struct SilkDec {
+  SilkFrame frames[2];
+  int nlsf_interp_factor = 4;
+  bool wb = false;
+  int bandwidth = 0, subframes = 0, sflength = 0, flength = 0;
+  double stereo_weights[2] = {0, 0};
+  double prev_stereo_weights[2] = {0, 0};
+  int midonly = 0;
+  int prev_channels = 0;
+  void flush() {
+    frames[0].reset();
+    frames[1].reset();
+    stereo_weights[0] = stereo_weights[1] = 0;
+    prev_stereo_weights[0] = prev_stereo_weights[1] = 0;
+    midonly = 0;
+    prev_channels = 0;
+    nlsf_interp_factor = 4;
+  }
+};
+
+// -------------------------------------------------- LSF helper chain
+// opus_silk.py _stabilize_lsf
+void stabilize_lsf(int64_t* nlsf, int order, const int64_t* spacing) {
+  for (int pass = 0; pass < 20; pass++) {
+    int64_t min_diff = 0;
+    int k = 0;
+    for (int i = 0; i < order + 1; i++) {
+      int64_t low = i ? nlsf[i - 1] : 0;
+      int64_t high = i != order ? nlsf[i] : 32768;
+      int64_t diff = (high - low) - spacing[i];
+      if (diff < min_diff) { min_diff = diff; k = i; }
+    }
+    if (min_diff == 0) return;
+    if (k == 0) {
+      nlsf[0] = spacing[0];
+    } else if (k == order) {
+      nlsf[order - 1] = 32768 - spacing[order];
+    } else {
+      int64_t min_center = 0, max_center = 32768;
+      for (int i = 0; i < k; i++) min_center += spacing[i];
+      min_center += spacing[k] >> 1;
+      for (int i = k + 1; i < order + 1; i++) max_center -= spacing[i];
+      max_center -= spacing[k] >> 1;
+      int64_t cv = nlsf[k - 1] + nlsf[k];
+      cv = (cv >> 1) + (cv & 1);
+      if (cv < min_center) cv = min_center;
+      if (cv > max_center) cv = max_center;
+      nlsf[k - 1] = cv - (spacing[k] >> 1);
+      nlsf[k] = nlsf[k - 1] + spacing[k];
+    }
+  }
+  // fallback: sort + push apart
+  std::vector<int64_t> vals(nlsf, nlsf + order);
+  std::sort(vals.begin(), vals.end());
+  for (int i = 0; i < order; i++) nlsf[i] = vals[i];
+  if (nlsf[0] < spacing[0]) nlsf[0] = spacing[0];
+  for (int i = 1; i < order; i++) {
+    int64_t lim = nlsf[i - 1] + spacing[i];
+    if (lim > 32767) lim = 32767;
+    if (nlsf[i] < lim) nlsf[i] = lim;
+  }
+  if (nlsf[order - 1] > 32768 - spacing[order])
+    nlsf[order - 1] = 32768 - spacing[order];
+  for (int i = order - 2; i >= 0; i--)
+    if (nlsf[i] > nlsf[i + 1] - spacing[i + 1])
+      nlsf[i] = nlsf[i + 1] - spacing[i + 1];
+}
+
+// opus_silk.py _lsp2poly (wrapping int32 arithmetic by design)
+void lsp2poly(const int64_t* lsp, int stride, int64_t* pol, int half) {
+  pol[0] = 65536;
+  pol[1] = wrap32(-lsp[0]);
+  for (int i = 1; i < half; i++) {
+    int64_t l = lsp[stride * 2 * i];
+    pol[i + 1] = wrap32(wrap32(pol[i - 1] * 2) - round_mull(l, pol[i], 16));
+    for (int j = i; j > 1; j--)
+      pol[j] = wrap32(pol[j] + pol[j - 2] - round_mull(l, pol[j - 1], 16));
+    pol[1] = wrap32(pol[1] - l);
+  }
+}
+
+// opus_silk.py _is_lpc_stable
+bool is_lpc_stable(const int64_t* lpc, int order) {
+  int64_t dc_resp = 0;
+  for (int i = 0; i < order; i++) dc_resp += lpc[i];
+  if (dc_resp > 4095) return false;
+  std::vector<int64_t> row(order), nrow(order);
+  for (int i = 0; i < order; i++) row[i] = lpc[i] * 4096;  // Q24
+  int64_t totalinvgain = 1ll << 30;
+  int k = order - 1;
+  while (true) {
+    if (row[k] > 16773022 || row[k] < -16773022) return false;
+    int64_t rc = wrap32(-(row[k] * 128));
+    int64_t gaindiv = (1ll << 30) - mulh32(rc, rc);
+    totalinvgain = wrap32(((int64_t)mulh32(totalinvgain, gaindiv)) << 2);
+    if (k == 0) return totalinvgain >= 107374;
+    int fbits = ilogi((uint64_t)gaindiv);
+    int sh = fbits + 1 - 16;
+    int64_t dv = sh >= 0 ? (gaindiv >> sh) : (gaindiv << -sh);
+    if (dv <= 0) return false;
+    int64_t gain = ((1ll << 29) - 1) / dv;
+    int sh2 = 15 + 16 - fbits;
+    int64_t shifted = sh2 >= 0 ? (gaindiv << sh2) : (gaindiv >> -sh2);
+    int64_t error =
+        wrap32((1ll << 29) - wrap32(((int64_t)wrap32(shifted) * gain) >> 16));
+    gain = wrap32(((int64_t)wrap32(gain << 16)) + (wrap32(error * gain) >> 13));
+    for (int j = 0; j < k; j++) {
+      int64_t x = sat32(row[j] - round_mull(row[k - j - 1], rc, 31));
+      int64_t r = (x * gain) >> (fbits - 1);
+      r = (r + 1) >> 1;
+      if (r != wrap32(r)) return false;
+      nrow[j] = r;
+    }
+    row.swap(nrow);
+    k--;
+  }
+}
+
+// opus_silk.py _lsf2lpc
+void lsf2lpc(const int64_t* nlsf, double* lpcf, int order) {
+  const int64_t* ordering = order == 16 ? g_t.order_wb : g_t.order_nbmb;
+  int64_t lsp[16];
+  for (int k = 0; k < order; k++) {
+    int index = (int)(nlsf[k] >> 8);
+    int64_t offset = nlsf[k] & 255;
+    int k2 = (int)ordering[k];
+    int64_t v = g_t.cosine[index] * 256;
+    v += (g_t.cosine[index + 1] - g_t.cosine[index]) * offset;
+    lsp[k2] = (v + 4) >> 3;
+  }
+  int half = order >> 1;
+  int64_t p[9], q[9];
+  lsp2poly(lsp, 1, p, half);
+  lsp2poly(lsp + 1, 1, q, half);
+  int64_t lpc32[16], lpc16[16];
+  for (int k = 0; k < half; k++) {
+    int64_t p_tmp = wrap32(p[k + 1] + p[k]);
+    int64_t q_tmp = wrap32(q[k + 1] - q[k]);
+    lpc32[k] = wrap32(-q_tmp - p_tmp);
+    lpc32[order - k - 1] = wrap32(q_tmp - p_tmp);
+  }
+  int it = 0;
+  int64_t maxabs = 0;
+  for (it = 0; it < 10; it++) {
+    maxabs = 0;
+    int kmax = 0;
+    for (int j = 0; j < order; j++) {
+      int64_t x = lpc32[j] < 0 ? -lpc32[j] : lpc32[j];
+      if (x > maxabs) { maxabs = x; kmax = j; }
+    }
+    maxabs = (maxabs + 16) >> 5;  // Q17 -> Q12
+    if (maxabs > 32767) {
+      if (maxabs > 163838) maxabs = 163838;
+      int64_t chirp_base =
+          65470 - ((maxabs - 32767) << 14) / ((maxabs * (kmax + 1)) >> 2);
+      int64_t chirp = chirp_base;
+      for (int k = 0; k < order; k++) {
+        lpc32[k] = round_mull(lpc32[k], chirp, 16);
+        chirp = (chirp_base * chirp + 32768) >> 16;
+      }
+    } else {
+      break;
+    }
+  }
+  if (it == 9 && maxabs > 32767) it = 10;
+  if (it == 10) {
+    for (int k = 0; k < order; k++) {
+      int64_t x = (lpc32[k] + 16) >> 5;
+      if (x < -32768) x = -32768;
+      if (x > 32767) x = 32767;
+      lpc16[k] = x;
+      lpc32[k] = lpc16[k] * 32;
+    }
+  } else {
+    for (int k = 0; k < order; k++) lpc16[k] = (lpc32[k] + 16) >> 5;
+  }
+  for (int i = 1; i < 17; i++) {
+    if (is_lpc_stable(lpc16, order)) break;
+    int64_t chirp_base = 65536 - (1ll << i);
+    int64_t chirp = chirp_base;
+    for (int k = 0; k < order; k++) {
+      lpc32[k] = round_mull(lpc32[k], chirp, 16);
+      lpc16[k] = (lpc32[k] + 16) >> 5;
+      chirp = (chirp_base * chirp + 32768) >> 16;
+    }
+  }
+  for (int i = 0; i < order; i++) lpcf[i] = (double)lpc16[i] / 4096.0;
+}
+
+// ------------------------------------------------------ frame decode
+struct LpcOut {
+  double leadin[16];
+  double lpc[16];
+  bool has_leadin;
+};
+
+// opus_silk.py _decode_lpc
+void decode_lpc(SilkDec& s, RC& rc, SilkFrame& frame, int order, bool voiced,
+                LpcOut& out) {
+  bool wb = s.wb;
+  int lsf_i1 =
+      rc.dec_cdf(g_t.lsf_s1 + ((wb ? 1 : 0) * 2 + (voiced ? 1 : 0)) * 33);
+  const int64_t* sel =
+      (wb ? g_t.s2_sel_wb + lsf_i1 * 16 : g_t.s2_sel_nbmb + lsf_i1 * 10);
+  int64_t lsf_i2[16];
+  for (int i = 0; i < order; i++) {
+    lsf_i2[i] = rc.dec_cdf(g_t.lsf_s2 + sel[i] * 10) - 4;
+    if (lsf_i2[i] == -4)
+      lsf_i2[i] -= rc.dec_cdf(g_t.lsf_s2_ext);
+    else if (lsf_i2[i] == 4)
+      lsf_i2[i] += rc.dec_cdf(g_t.lsf_s2_ext);
+  }
+  int64_t qstep = wb ? 9830 : 11796;
+  const int64_t* wsel =
+      (wb ? g_t.wsel_wb + lsf_i1 * 15 : g_t.wsel_nbmb + lsf_i1 * 9);
+  const int64_t* pred = wb ? g_t.predw_wb : g_t.predw_nbmb;
+  int predw = wb ? 15 : 9;
+  int64_t res[16];
+  for (int i = order - 1; i >= 0; i--) {
+    int64_t v = lsf_i2[i] * 1024;
+    if (lsf_i2[i] < 0) v += 102;
+    else if (lsf_i2[i] > 0) v -= 102;
+    v = (v * qstep) >> 16;
+    if (i + 1 < order) v += (res[i + 1] * pred[wsel[i] * predw + i]) >> 8;
+    res[i] = v;
+  }
+  const int64_t* codebook =
+      (wb ? g_t.cb_wb + lsf_i1 * 16 : g_t.cb_nbmb + lsf_i1 * 10);
+  int64_t nlsf[16];
+  for (int i = 0; i < order; i++) {
+    int64_t cur = codebook[i];
+    int64_t prev = i ? codebook[i - 1] : 0;
+    int64_t nxt = i + 1 < order ? codebook[i + 1] : 256;
+    int64_t weight_sq = (1024 / (cur - prev) + 1024 / (nxt - cur)) << 16;
+    int ipart = ilogi((uint64_t)weight_sq);
+    int64_t fpart = (weight_sq >> (ipart - 8)) & 127;
+    int64_t y = ((ipart & 1) ? 32768 : 46214) >> ((32 - ipart) >> 1);
+    int64_t weight = y + ((213 * fpart * y) >> 16);
+    int64_t num = res[i] * 16384;
+    int64_t value = cur * 128 + num / weight;  // C truncation, as mandated
+    if (value < 0) value = 0;
+    if (value > 32767) value = 32767;
+    nlsf[i] = value;
+  }
+  const int64_t* spacing = wb ? g_t.minsp_wb : g_t.minsp_nbmb;
+  stabilize_lsf(nlsf, order, spacing);
+
+  memset(out.leadin, 0, sizeof out.leadin);
+  memset(out.lpc, 0, sizeof out.lpc);
+  out.has_leadin = false;
+  if (s.subframes == 4) {
+    int offset = rc.dec_cdf(g_t.lsf_interp);
+    if (offset != 4 && frame.coded) {
+      out.has_leadin = true;
+      if (offset != 0) {
+        int64_t nlsf_leadin[16];
+        for (int i = 0; i < order; i++)
+          nlsf_leadin[i] =
+              frame.nlsf[i] + (((nlsf[i] - frame.nlsf[i]) * offset) >> 2);
+        lsf2lpc(nlsf_leadin, out.leadin, order);
+      } else {
+        memcpy(out.leadin, frame.lpc, sizeof out.leadin);
+      }
+    } else {
+      offset = 4;
+    }
+    s.nlsf_interp_factor = offset;
+    lsf2lpc(nlsf, out.lpc, order);
+  } else {
+    s.nlsf_interp_factor = 4;
+    lsf2lpc(nlsf, out.lpc, order);
+  }
+  for (int i = 0; i < order; i++) frame.nlsf[i] = nlsf[i];
+  memcpy(frame.lpc, out.lpc, sizeof frame.lpc);
+}
+
+// opus_silk.py _decode_excitation
+void decode_excitation(SilkDec& s, RC& rc, int qoffset_high, int active,
+                       int voiced, double* out /* [flength] */) {
+  uint32_t seed = (uint32_t)rc.dec_cdf(g_t.lcg_seed_m);
+  int shellblocks =
+      (int)g_t.shell_blocks[s.bandwidth * 2 + (s.subframes >> 2)];
+  int ratelevel = rc.dec_cdf(g_t.exc_rate + voiced * 10);
+
+  std::vector<int64_t> pulsecount(shellblocks), lsbcount(shellblocks, 0);
+  for (int i = 0; i < shellblocks; i++) {
+    int p = rc.dec_cdf(g_t.pulse_count + ratelevel * 19);
+    if (p == 17) {
+      int lsb = 0;
+      while (p == 17) {
+        lsb += 1;
+        if (lsb == 10) break;
+        p = rc.dec_cdf(g_t.pulse_count + 9 * 19);
+      }
+      if (lsb == 10) p = rc.dec_cdf(g_t.pulse_count + 10 * 19);
+      lsbcount[i] = lsb;
+    }
+    pulsecount[i] = p;
+  }
+
+  auto count_children = [&](int model, int total, int* a, int* b) {
+    if (total == 0) { *a = 0; *b = 0; return; }
+    int off = ((total - 1 + 5) * (total - 1)) >> 1;
+    *a = rc.dec_cdf(g_t.pulse_loc + model * 168 + off);
+    *b = total - *a;
+  };
+
+  std::vector<int64_t> exc(shellblocks * 16, 0);
+  for (int i = 0; i < shellblocks; i++) {
+    if (pulsecount[i] == 0) continue;
+    int64_t* loc = exc.data() + 16 * i;
+    int b1[2];
+    count_children(0, (int)pulsecount[i], &b1[0], &b1[1]);
+    for (int bi = 0; bi < 2; bi++) {
+      int b2[2];
+      count_children(1, b1[bi], &b2[0], &b2[1]);
+      for (int ci = 0; ci < 2; ci++) {
+        int b3[2];
+        count_children(2, b2[ci], &b3[0], &b3[1]);
+        for (int di = 0; di < 2; di++) {
+          int d1, d2;
+          count_children(3, b3[di], &d1, &d2);
+          int k = bi * 8 + ci * 4 + di * 2;
+          loc[k] = d1;
+          loc[k + 1] = d2;
+        }
+      }
+    }
+  }
+
+  for (int i = 0; i < shellblocks * 16; i++)
+    for (int64_t b = 0; b < lsbcount[i >> 4]; b++)
+      exc[i] = (exc[i] << 1) | rc.dec_cdf(g_t.exc_lsb);
+
+  for (int i = 0; i < shellblocks * 16; i++) {
+    if (exc[i] != 0) {
+      int pc = (int)pulsecount[i >> 4];
+      if (pc > 6) pc = 6;
+      const int64_t* m =
+          g_t.exc_sign + (((active + voiced) * 2 + qoffset_high) * 7 + pc) * 3;
+      if (rc.dec_cdf(m) == 0) exc[i] = -exc[i];
+    }
+  }
+
+  int64_t qoff = g_t.quant_offset[voiced * 2 + qoffset_high];
+  for (int i = 0; i < shellblocks * 16; i++) {
+    int64_t value = exc[i];
+    int64_t e = wrap32((value * 256) | qoff);
+    if (value < 0) e += 20;
+    else if (value > 0) e -= 20;
+    seed = 196314165u * seed + 907633515u;
+    if (seed & 0x80000000u) e = -e;
+    seed = seed + (uint32_t)value;
+    if (i < s.flength) out[i] = (double)e / 8388608.0;
+  }
+  for (int i = shellblocks * 16; i < s.flength; i++) out[i] = 0.0;
+}
+
+// opus_silk.py _decode_frame (incl. the LBRR condCoding + parse-state
+// rules validated against libopus this round)
+void decode_frame(SilkDec& s, RC& rc, int channel, int coded_channels,
+                  bool active, int frame_num, int active1, bool lbrr,
+                  int independent) {
+  SilkFrame& frame = s.frames[channel];
+  int order = s.wb ? 16 : 10;
+  int sfl = s.sflength;
+
+  if (coded_channels == 2 && channel == 0) {
+    int n = rc.dec_cdf(g_t.stereo_s1);
+    int wi0 = rc.dec_cdf(g_t.stereo_s2) + 3 * (n / 5);
+    int ws0 = rc.dec_cdf(g_t.stereo_s3);
+    int wi1 = rc.dec_cdf(g_t.stereo_s2) + 3 * (n % 5);
+    int ws1 = rc.dec_cdf(g_t.stereo_s3);
+    int64_t w[2];
+    const int wis[2] = {wi0, wi1};
+    const int wss[2] = {ws0, ws1};
+    for (int k = 0; k < 2; k++) {
+      int64_t lo = g_t.stereo_w[wis[k]];
+      int64_t hi = g_t.stereo_w[wis[k] + 1];
+      w[k] = lo + (((hi - lo) * 6554) >> 16) * (wss[k] * 2 + 1);
+    }
+    s.stereo_weights[0] = (double)(w[0] - w[1]) / 8192.0;
+    s.stereo_weights[1] = (double)w[1] / 8192.0;
+    s.midonly = active1 == 0 ? rc.dec_cdf(g_t.mid_only) : 0;
+  }
+
+  int qoffset_high, sigtype;
+  bool voiced;
+  if (active) {
+    int ftype = rc.dec_cdf(g_t.ft_active);
+    qoffset_high = ftype & 1;
+    voiced = (ftype >> 1) != 0;
+    sigtype = voiced ? 2 : 1;
+  } else {
+    int ftype = rc.dec_cdf(g_t.ft_inactive);
+    qoffset_high = ftype & 1;
+    voiced = false;
+    sigtype = 0;
+  }
+
+  double gains[4];
+  int log_gain = frame.log_gain;
+  for (int i = 0; i < s.subframes; i++) {
+    if (i == 0 && (independent || !frame.coded)) {
+      int x = rc.dec_cdf(g_t.gain_high + sigtype * 9);
+      log_gain = (x << 3) | rc.dec_cdf(g_t.gain_low);
+      if (frame.coded && log_gain < frame.log_gain - 16)
+        log_gain = frame.log_gain - 16;
+    } else {
+      int delta = rc.dec_cdf(g_t.gain_delta);
+      int a = 2 * delta - 16;
+      int b = log_gain + delta - 4;
+      log_gain = a > b ? a : b;
+      if (log_gain < 0) log_gain = 0;
+      if (log_gain > 63) log_gain = 63;
+    }
+    frame.log_gain = log_gain;
+    int64_t lg = (((int64_t)log_gain * 0x1D1C71) >> 16) + 2090;
+    int ipart = (int)(lg >> 7);
+    int64_t fpart = lg & 127;
+    int64_t lingain =
+        (1ll << ipart) +
+        ((((-174 * fpart * (128 - fpart)) >> 16) + fpart) *
+         ((1ll << ipart) >> 7));
+    gains[i] = (double)lingain / 65536.0;
+  }
+
+  LpcOut lo;
+  decode_lpc(s, rc, frame, order, voiced, lo);
+
+  int64_t pitchlag[4] = {0, 0, 0, 0};
+  double ltptaps[4][LTP_ORDER];
+  memset(ltptaps, 0, sizeof ltptaps);
+  double ltpscale = 15565.0 / 16384.0;
+  if (voiced) {
+    bool lag_absolute = independent || !frame.prev_voiced;
+    int primarylag = 0;
+    if (!lag_absolute) {
+      int delta = rc.dec_cdf(g_t.pitch_delta);
+      if (delta)
+        primarylag = frame.primarylag + delta - 9;
+      else
+        lag_absolute = true;
+    }
+    if (lag_absolute) {
+      const int64_t* low_model =
+          (s.bandwidth == 0 ? g_t.pitch_low_nb
+                            : (s.bandwidth == 1 ? g_t.pitch_low_mb
+                                                : g_t.pitch_low_wb));
+      int highbits = rc.dec_cdf(g_t.pitch_high);
+      int lowbits = rc.dec_cdf(low_model);
+      primarylag = (int)(g_t.pitch_min[s.bandwidth] +
+                         highbits * g_t.pitch_scale[s.bandwidth] + lowbits);
+    }
+    frame.primarylag = primarylag;
+    const int64_t* offsets;
+    if (s.subframes == 2) {
+      if (s.bandwidth == 0)
+        offsets = g_t.off_nb10 + rc.dec_cdf(g_t.contour_nb10) * 2;
+      else
+        offsets = g_t.off_mw10 + rc.dec_cdf(g_t.contour_mw10) * 2;
+    } else {
+      if (s.bandwidth == 0)
+        offsets = g_t.off_nb20 + rc.dec_cdf(g_t.contour_nb20) * 4;
+      else
+        offsets = g_t.off_mw20 + rc.dec_cdf(g_t.contour_mw20) * 4;
+    }
+    int64_t lomin = g_t.pitch_min[s.bandwidth];
+    int64_t himax = g_t.pitch_max[s.bandwidth];
+    for (int i = 0; i < s.subframes; i++) {
+      int64_t v = primarylag + offsets[i];
+      if (v < lomin) v = lomin;
+      if (v > himax) v = himax;
+      pitchlag[i] = v;
+    }
+    const int64_t* fsel[3] = {g_t.ltp_sel0, g_t.ltp_sel1, g_t.ltp_sel2};
+    const int64_t* ftaps[3] = {g_t.taps0, g_t.taps1, g_t.taps2};
+    int ltpfilter = rc.dec_cdf(g_t.ltp_filter);
+    for (int i = 0; i < s.subframes; i++) {
+      int index = rc.dec_cdf(fsel[ltpfilter]);
+      for (int k = 0; k < LTP_ORDER; k++)
+        ltptaps[i][k] =
+            (double)ftaps[ltpfilter][index * LTP_ORDER + k] / 128.0;
+    }
+    if (independent)
+      ltpscale =
+          (double)g_t.ltp_scale_f[rc.dec_cdf(g_t.ltp_scale_idx)] / 16384.0;
+  }
+
+  int flength = s.flength;
+  double excitation[320];
+  decode_excitation(s, rc, qoffset_high, active ? 1 : 0, voiced ? 1 : 0,
+                    excitation);
+
+  if (lbrr) {
+    // parse-only: synthesis + output history skipped, all parse-
+    // visible state persists (libopus decode_indices semantics)
+    frame.prev_voiced = voiced;
+    frame.coded = true;
+    return;
+  }
+
+  double residual[SILK_MAX_LAG + 320];
+  memset(residual, 0, sizeof(double) * SILK_MAX_LAG);
+  memcpy(residual + SILK_MAX_LAG, excitation, sizeof(double) * flength);
+  double* dst = frame.output;
+  double* lpch = frame.lpc_history;
+  const int base = SILK_HISTORY;
+  for (int i = 0; i < s.subframes; i++) {
+    const double* coeff = (i < 2 && lo.has_leadin) ? lo.leadin : lo.lpc;
+    int r0 = SILK_MAX_LAG + i * sfl;
+    int d0 = base + i * sfl;
+    if (voiced) {
+      int out_end;
+      double rescale;
+      if (i < 2 || s.nlsf_interp_factor == 4) {
+        out_end = -i * sfl;
+        rescale = ltpscale;
+      } else {
+        out_end = -(i - 2) * sfl;
+        rescale = 1.0;
+      }
+      int start = -(int)pitchlag[i] - LTP_ORDER / 2;
+      for (int j = start; j < out_end; j++) {
+        double v = dst[d0 + j];
+        for (int k = 0; k < (s.wb ? 16 : 10); k++)
+          v -= coeff[k] * dst[d0 + j - 1 - k];
+        if (v < -1.0) v = -1.0;
+        if (v > 1.0) v = 1.0;
+        residual[r0 + j] = v * rescale / gains[i];
+      }
+      if (out_end) {
+        double rescale2 = gains[i - 1] / gains[i];
+        for (int j = out_end; j < 0; j++) residual[r0 + j] *= rescale2;
+      }
+      int lag = (int)pitchlag[i];
+      for (int j = 0; j < sfl; j++) {
+        double v = residual[r0 + j];
+        int off = r0 + j - lag + LTP_ORDER / 2;
+        for (int k = 0; k < LTP_ORDER; k++)
+          v += ltptaps[i][k] * residual[off - k];
+        residual[r0 + j] = v;
+      }
+    }
+    double g = gains[i];
+    int ord = s.wb ? 16 : 10;
+    for (int j = 0; j < sfl; j++) {
+      double v = residual[r0 + j] * g;
+      for (int k = 0; k < ord; k++) v += coeff[k] * lpch[d0 + j - 1 - k];
+      lpch[d0 + j] = v;
+      dst[d0 + j] = v < -1.0 ? -1.0 : (v > 1.0 ? 1.0 : v);
+    }
+  }
+  frame.prev_voiced = voiced;
+  memmove(frame.lpc_history, frame.lpc_history + flength,
+          sizeof(double) * SILK_HISTORY);
+  memmove(frame.output, frame.output + flength,
+          sizeof(double) * SILK_HISTORY);
+  frame.coded = true;
+}
+
+// opus_silk.py _unmix
+void unmix(SilkDec& s, int flen, double* out /* [flen][2] */) {
+  int base = SILK_HISTORY - flen - 2;
+  const double* mid = s.frames[0].output + base;
+  const double* side = s.frames[1].output + base;
+  int n1 = (int)g_t.stereo_interp_len[s.bandwidth];
+  double w0p = s.prev_stereo_weights[0], w1p = s.prev_stereo_weights[1];
+  double w0 = s.stereo_weights[0], w1 = s.stereo_weights[1];
+  for (int c = 0; c < flen; c++) {
+    double i0 = c < n1 ? w0p + c * (w0 - w0p) / n1 : w0;
+    double i1 = c < n1 ? w1p + c * (w1 - w1p) / n1 : w1;
+    double p0 = 0.25 * (mid[c] + 2.0 * mid[c + 1] + mid[c + 2]);
+    double m1 = mid[c + 1];
+    double s1 = side[c + 1];
+    double left = (1.0 + i1) * m1 + s1 + i0 * p0;
+    double right = (1.0 - i1) * m1 - s1 - i0 * p0;
+    out[c * 2] = left < -1.0 ? -1.0 : (left > 1.0 ? 1.0 : left);
+    out[c * 2 + 1] = right < -1.0 ? -1.0 : (right > 1.0 ? 1.0 : right);
+  }
+  s.prev_stereo_weights[0] = s.stereo_weights[0];
+  s.prev_stereo_weights[1] = s.stereo_weights[1];
+}
+
+// opus_silk.py decode_superframe
+long decode_superframe(SilkDec& s, RC& rc, int bandwidth, int coded_channels,
+                       int duration_ms, double* out) {
+  int nb_frames = 1 + (duration_ms > 20) + (duration_ms > 40);
+  s.subframes = duration_ms / nb_frames / 5;
+  s.sflength = 20 * (bandwidth + 2);
+  s.flength = s.sflength * s.subframes;
+  s.bandwidth = bandwidth;
+  s.wb = bandwidth == 2;
+  if (s.prev_channels < coded_channels) s.frames[1].reset();
+  s.prev_channels = coded_channels;
+
+  bool active[2][3];
+  bool redundancy[2] = {false, false};
+  for (int c = 0; c < coded_channels; c++) {
+    for (int j = 0; j < nb_frames; j++)
+      active[c][j] = rc.dec_bit_logp(1) != 0;
+    redundancy[c] = rc.dec_bit_logp(1) != 0;
+  }
+  bool lbrr[2][3];
+  memset(lbrr, 0, sizeof lbrr);
+  for (int c = 0; c < coded_channels; c++) {
+    if (redundancy[c]) {
+      if (nb_frames == 1) {
+        lbrr[c][0] = true;
+      } else {
+        // leading-0 cdf entry: dec_cdf returns the 1-based pattern
+        int flags = rc.dec_cdf(nb_frames == 2 ? g_t.lbrr40 : g_t.lbrr60);
+        for (int j = 0; j < nb_frames; j++)
+          lbrr[c][j] = ((flags >> j) & 1) != 0;
+      }
+    }
+  }
+  for (int j = 0; j < nb_frames; j++) {
+    for (int c = 0; c < coded_channels; c++) {
+      if (lbrr[c][j]) {
+        bool side_lbrr = coded_channels == 2 && lbrr[1][j];
+        int active1 = (c == 0 && !side_lbrr) ? 0 : 1;
+        int ind = !(j > 0 && lbrr[c][j - 1]);
+        decode_frame(s, rc, c, coded_channels, true, j, active1, true, ind);
+      }
+    }
+    s.midonly = 0;
+  }
+  int flen = s.flength;
+  for (int j = 0; j < nb_frames; j++) {
+    for (int c = 0; c < coded_channels; c++) {
+      if (c == 1 && s.midonly) {
+        if (s.frames[1].coded) s.frames[1].reset();
+        break;
+      }
+      int act1 = coded_channels == 2 ? (active[1][j] ? 1 : 0) : 1;
+      decode_frame(s, rc, c, coded_channels, active[c][j], j, act1, false,
+                   j == 0);
+    }
+    double* dst = out + (long)j * flen * coded_channels;
+    if (coded_channels == 2) {
+      unmix(s, flen, dst);
+    } else {
+      int base = SILK_HISTORY - flen - 2;
+      const double* src = s.frames[0].output + base;
+      for (int k = 0; k < flen; k++) dst[k] = src[k];
+    }
+    s.midonly = 0;
+  }
+  return (long)nb_frames * flen;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------ C API
+extern "C" {
+
+void skt_silk_table(const char* name, const int64_t* data, long n) {
+  g_t.raw[name] = std::vector<int64_t>(data, data + n);
+}
+
+int skt_silk_tables_done() { return g_t.finalize() ? 0 : 1; }
+
+void* skt_silk_new() {
+  if (!g_t.ready) return nullptr;
+  SilkDec* s = new SilkDec();
+  s->flush();
+  return s;
+}
+
+void skt_silk_free(void* h) { delete (SilkDec*)h; }
+
+void skt_silk_reset(void* h) { ((SilkDec*)h)->flush(); }
+
+// Decode one SILK superframe from an Opus frame payload.
+// out: [n, coded_ch] doubles (n = nb_frames * flength at the internal
+// rate).  info[0]=has_redundancy, info[1]=red_pos, info[2]=red byte
+// offset in frame, info[3]=red size; info[4..12] = final range-coder
+// state (offs, rem, end_offs, end_window, nend_bits, nbits_total,
+// rng, val, error) for the hybrid CELT continuation.
+// Returns n (samples per channel), or -1 on bad args.
+long skt_silk_decode(void* h, const uint8_t* frame, long len, int bw,
+                     int coded_ch, int duration_ms, int read_redundancy,
+                     double* out, long* info) {
+  if (!h || bw < 0 || bw > 2 || coded_ch < 1 || coded_ch > 2) return -1;
+  if (duration_ms != 10 && duration_ms != 20 && duration_ms != 40 &&
+      duration_ms != 60)
+    return -1;
+  SilkDec& s = *(SilkDec*)h;
+  RC rc;
+  rc.init(frame, len);
+  long n = decode_superframe(s, rc, bw, coded_ch, duration_ms, out);
+  info[0] = 0; info[1] = 0; info[2] = 0; info[3] = 0;
+  if (read_redundancy) {
+    // opus_core.py _silk_transition: >=17 bits of slack mean the
+    // trailing bytes carry a 5 ms CELT redundancy frame
+    long total = len * 8;
+    long tell = rc.tell();
+    if (tell + 17 <= total) {
+      int pos = rc.dec_bit_logp(1);
+      long red_size = len - ((tell + 7) >> 3);
+      long main_size = len - red_size;
+      if (red_size >= 1 && main_size >= 0) {
+        info[0] = 1;
+        info[1] = pos;
+        info[2] = main_size;
+        info[3] = red_size;
+      }
+    }
+  }
+  info[4] = rc.offs;
+  info[5] = rc.rem;
+  info[6] = rc.end_offs;
+  info[7] = (long)rc.end_window;
+  info[8] = rc.nend_bits;
+  info[9] = rc.nbits_total;
+  info[10] = (long)rc.rng;
+  info[11] = (long)rc.val;
+  info[12] = rc.error ? 1 : 0;
+  return n;
+}
+
+// Batched superframe decode over B independent stream handles (the
+// fleet's lockstep serving shape; one native call for the whole
+// batch).  frames are packed into buf at offs/lens; lanes with
+// valid=0 are skipped.  out is [B, max_n, Cmax]; n_out[b] receives
+// the per-lane sample count (or -1 on error).  info layout is the
+// same 13 longs per lane as skt_silk_decode.
+int skt_silk_decode_many(void** handles, int B, const uint8_t* buf,
+                         const long* offs, const long* lens,
+                         const int* bws, const int* coded,
+                         const int* dur_ms,
+                         const unsigned char* valid,
+                         int read_redundancy, int Cmax, long max_n,
+                         double* out, long* n_out, long* info) {
+  if (!g_t.ready) return -1;
+  int rc_all = 0;
+  std::vector<double> tmp;
+  for (int b = 0; b < B; b++) {
+    n_out[b] = -1;
+    if (!valid[b]) continue;
+    int C = coded[b] ? coded[b] : 1;
+    tmp.assign((size_t)max_n * C, 0.0);
+    long n = skt_silk_decode(handles[b], buf + offs[b], lens[b], bws[b],
+                             C, dur_ms[b], read_redundancy, tmp.data(),
+                             info + (size_t)b * 13);
+    n_out[b] = n;
+    if (n < 0) { rc_all = -2; continue; }
+    double* dst = out + (size_t)b * max_n * Cmax;
+    for (long i = 0; i < n && i < max_n; i++)
+      for (int c = 0; c < Cmax; c++)
+        dst[i * Cmax + c] = tmp[i * C + (c < C ? c : C - 1)];
+  }
+  return rc_all;
+}
+
+}  // extern "C"
