@@ -331,11 +331,67 @@ def fuzz_celt(data):
             ctypes.byref(sflag))
     lib.skt_celt_free(h)
 
+# -- SILK decode: serves untrusted voice packets (OpusDecoder default
+# stage).  Same table-push requirement as CELT.
+_silk_ready = False
+try:
+    lib.skt_silk_table.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long]
+    lib.skt_silk_tables_done.restype = ctypes.c_int
+    lib.skt_silk_new.restype = ctypes.c_void_p
+    lib.skt_silk_free.argtypes = [ctypes.c_void_p]
+    lib.skt_silk_decode.restype = ctypes.c_long
+    lib.skt_silk_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long)]
+    from soundkit_tpu.codecs.silk_native import _TABLE_KEYS as _SILK_KEYS
+    for _key in _SILK_KEYS:
+        _a = np.ascontiguousarray(np.asarray(_t[_key]).reshape(-1), np.int64)
+        lib.skt_silk_table(_key[5:].encode(),
+                           _a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                           _a.size)
+    _silk_ready = lib.skt_silk_tables_done() == 0
+except Exception as e:
+    print("silk fuzz disabled:", e)
+
+def _silk_frames():
+    import struct as _struct
+    data = open("/root/reference/testdata/opus/A_Tusk_is_used_to_make_costly_gifts.opus", "rb").read()
+    body = data[19:]
+    out = []
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = _struct.unpack_from("<H", body, pos)
+        p = body[pos + 2:pos + 2 + n]
+        if len(p) > 1:
+            out.append(p[1:])
+        pos += 2 + n
+    return out
+
+_SILK_CORPUS = _silk_frames() if _silk_ready else []
+
+def fuzz_silk(data):
+    if not _silk_ready or not _SILK_CORPUS:
+        return
+    h = lib.skt_silk_new()
+    out = np.zeros((3 * 320, 2), np.float64)
+    info = np.zeros(13, np.int64)
+    for _ in range(4):
+        frame = mutate(_SILK_CORPUS[rng.randrange(len(_SILK_CORPUS))])
+        lib.skt_silk_decode(
+            h, frame, len(frame), rng.randrange(3), rng.randrange(1, 3),
+            rng.choice([10, 20, 40, 60]), rng.randrange(2),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    lib.skt_silk_free(h)
+
 fns = {"aac": fuzz_aac, "mp3": fuzz_mp3, "flac": fuzz_flac,
        "gsm": fuzz_gsm, "alac": fuzz_alac, "flac_pack": fuzz_flac_pack,
-       "celt": fuzz_celt}
+       "celt": fuzz_celt, "silk": fuzz_silk}
 corpora["flac_pack"] = b"\x00" * 64  # plans are generated, not mutated
 corpora["celt"] = b"\x00" * 64       # frames come from _CELT_CORPUS
+corpora["silk"] = b"\x00" * 64       # frames come from _SILK_CORPUS
 for it in range(iters):
     kind = rng.choice(list(fns))
     fns[kind](mutate(corpora[kind]))
