@@ -66,40 +66,82 @@ def _levinson(ac: np.ndarray, order: int) -> np.ndarray:
     return a
 
 
+def _cheb_eval(c, K: int, x: float) -> float:
+    """C(x) = c[K] + 2*sum_{k=0}^{K-1} c[k]*T_{K-k}(x) via the
+    Chebyshev recurrence (pure arithmetic, no libm — the C++ port
+    evaluates the identical op sequence)."""
+    t_prev = 1.0
+    t_cur = x
+    acc = c[K] + 2.0 * c[K - 1] * x
+    for m in range(2, K + 1):
+        t_next = 2.0 * x * t_cur - t_prev
+        t_prev, t_cur = t_cur, t_next
+        acc += 2.0 * c[K - m] * t_cur
+    return acc
+
+
+_NLSF_GRID = 1024
+
+
 def _lpc_to_nlsf(a: np.ndarray, order: int) -> np.ndarray:
     """Prediction coeffs -> NLSF (Q15 normalized line spectral
-    frequencies, 0..32768) via the P/Q root decomposition.
+    frequencies, 0..32768) via the P/Q symmetric decomposition and a
+    deterministic cosine-grid sign scan + bisection in x = cos(w)
+    (the classic LSF root finder; deflation per the standard
+    P(z)=A(z)+z^-(N+1)A(1/z) construction).  No eigen solver — the
+    same arithmetic runs in the native port."""
+    K = order // 2
+    A = [1.0] + [-float(a[k]) for k in range(order)] + [0.0]
+    p = [0.0] * (K + 1)
+    q = [0.0] * (K + 1)
+    p[0] = 1.0
+    q[0] = 1.0
+    for k in range(1, K + 1):
+        p[k] = A[k] + A[order + 1 - k] - p[k - 1]
+        q[k] = A[k] - A[order + 1 - k] + q[k - 1]
 
-    A(z) = 1 - sum a_k z^-k; P(z) = A(z) + z^-(N+1) A(1/z) and
-    Q(z) = A(z) - z^-(N+1) A(1/z) have roots on the unit circle whose
-    interleaved angles are the LSFs.  Deflate the trivial roots at
-    z = -1 / z = +1 and take the angles with numpy's eigen root
-    finder (order <= 16, well within its accuracy)."""
-    A = np.concatenate([[1.0], -np.asarray(a[:order], dtype=np.float64)])
-    P = A + A[::-1]          # symmetric, root at z=-1
-    Q = A - A[::-1]          # antisymmetric, root at z=+1
-    P = np.polydiv(P, [1.0, 1.0])[0]
-    Q = np.polydiv(Q, [1.0, -1.0])[0]
-    ang = []
-    for poly in (P, Q):
-        r = np.roots(poly)
-        # unit-circle conjugate pairs: keep upper half plane
-        for z in r:
-            if z.imag > 1e-9:
-                ang.append(math.atan2(z.imag, z.real))
-            elif abs(z.imag) <= 1e-9 and z.real < 0:
-                # defensive: real root near -1 (should be deflated)
-                pass
-    ang.sort()
-    if len(ang) != order:
-        return np.array([])  # caller falls back to previous NLSF
-    nlsf = np.clip(np.round(np.array(ang) / math.pi * 32768.0),
+    roots = []  # (omega, which)
+    for which, c in ((0, p), (1, q)):
+        xs = _NLSF_COS_GRID
+        v_prev = _cheb_eval(c, K, xs[0])
+        found = []
+        for i in range(1, len(xs)):
+            v = _cheb_eval(c, K, xs[i])
+            if (v_prev < 0.0) != (v < 0.0) or v == 0.0:
+                lo_x, hi_x = xs[i - 1], xs[i]
+                lo_v = v_prev
+                for _ in range(46):
+                    mid = 0.5 * (lo_x + hi_x)
+                    mv = _cheb_eval(c, K, mid)
+                    if (lo_v < 0.0) != (mv < 0.0):
+                        hi_x = mid
+                    else:
+                        lo_x = mid
+                        lo_v = mv
+                found.append(0.5 * (lo_x + hi_x))
+            v_prev = v
+        if len(found) != K:
+            return np.array([])  # caller falls back to previous NLSF
+        roots.extend((math.acos(max(-1.0, min(1.0, x))), which)
+                     for x in found)
+    roots.sort()
+    # LSFs must interleave P,Q,P,Q,... in ascending frequency
+    if any(w != (i % 2) for i, (_, w) in enumerate(roots)):
+        return np.array([])
+    nlsf = np.clip(np.round(np.array([r for r, _ in roots])
+                            / math.pi * 32768.0),
                    1, 32767).astype(np.int64)
-    # enforce strictly increasing before codebook quantization
     for i in range(1, order):
         if nlsf[i] <= nlsf[i - 1]:
             nlsf[i] = nlsf[i - 1] + 1
     return nlsf
+
+
+# descending x = cos(w) grid, w uniform over (0, pi); computed once and
+# shared with the native port (pushed as a table) so both scan the
+# same points
+_NLSF_COS_GRID = [math.cos(math.pi * (i + 0.5) / _NLSF_GRID)
+                  for i in range(_NLSF_GRID)]
 
 
 def _cdf_cost_bits(cdf, sym: int) -> float:

@@ -597,7 +597,10 @@ def test_silk_encode_bandwidth_matrix():
     from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
 
     pcm = _speech_48k(3.0)
-    bars = {"nb": 9.0, "mb": 9.5, "wb": 12.0}   # measured 11.6/12.1/15.1
+    # measured 11.7/12.5/20.7 with the Chebyshev-bisection LSF
+    # converter (better spectral tracking at lower bitrate than the
+    # original eigen-root targets; wb gains +5 dB)
+    bars = {"nb": 9.0, "mb": 10.0, "wb": 16.0}
     for bw, br in (("nb", 20000), ("mb", 24000), ("wb", 28000)):
         enc = OpusSilkEncoder(bandwidth=bw, bit_rate=br)
         pkts = enc.push(pcm) + enc.flush()
@@ -612,7 +615,9 @@ def test_silk_encode_bandwidth_matrix():
         n = min(len(a), len(b))
         agree = 10 * np.log10(
             np.sum(b[:n] ** 2) / max(np.sum((a[:n] - b[:n]) ** 2), 1e-30))
-        assert agree > 120.0, f"{bw}: oracle agreement {agree:.1f} dB"
+        # sharper quantized filters leave poles nearer the unit
+        # circle, so decoder-vs-decoder float agreement sits ~110-130
+        assert agree > 100.0, f"{bw}: oracle agreement {agree:.1f} dB"
         snr = _mono_snr(pcm, b)
         assert snr > bars[bw], f"{bw}: speech snr {snr:.1f} dB"
 
@@ -662,7 +667,7 @@ def test_silk_encode_stereo_oracle_and_quality():
     n = min(len(a), len(b))
     e = a[:n] - b[:n]
     agree = 10 * np.log10(np.sum(b[:n] ** 2) / max(np.sum(e * e), 1e-30))
-    assert agree > 120.0, f"stereo oracle agreement {agree:.1f} dB"
+    assert agree > 100.0, f"stereo oracle agreement {agree:.1f} dB"
     snr_l = _mono_snr(mono, b[:, 0])
     snr_r = _mono_snr(R, b[:, 1])
     assert snr_l > 8.0 and snr_r > 8.0, (snr_l, snr_r)
