@@ -895,6 +895,14 @@ class OpusSilkEncoder:
         self.bit_rate = bit_rate
         self._enc = (SilkEncoder(bw) if channels == 1
                      else SilkStereoEncoder(bw))
+        # native frame encoder (byte-identical C++ port); falls back
+        # to the Python encoder when the library is unavailable
+        self._native = None
+        try:
+            from soundkit_tpu.codecs.silk_native import NativeSilkEncoder
+            self._native = NativeSilkEncoder(bw, channels)
+        except Exception:
+            self._native = None
         self.frame_size = 960            # 20 ms at 48 kHz
         self._toc = (self._CONFIGS[bw] << 3) | (4 if channels == 2 else 0)
         # anti-alias decimation FIR: Hamming-windowed sinc, linear
@@ -938,15 +946,19 @@ class OpusSilkEncoder:
         while len(self._pend) >= fl:
             frame = self._pend[:fl]
             self._pend = self._pend[fl:]
-            self._enc.target_pulse = float(
-                np.clip(3.0 * self._lambda, 0.6, 24.0))
-            rc = RangeEncoder(1275)
-            if self.channels == 1:
-                self._enc.encode_superframe(rc, frame[:, 0])
+            tp = float(np.clip(3.0 * self._lambda, 0.6, 24.0))
+            if self._native is not None:
+                payload = self._native.encode_frame(frame, tp)
             else:
-                self._enc.encode_superframe(rc, frame[:, 0], frame[:, 1])
-            rc.finalize()
-            payload = bytes(rc.buf[:rc.offs])
+                self._enc.target_pulse = tp
+                rc = RangeEncoder(1275)
+                if self.channels == 1:
+                    self._enc.encode_superframe(rc, frame[:, 0])
+                else:
+                    self._enc.encode_superframe(rc, frame[:, 0],
+                                                frame[:, 1])
+                rc.finalize()
+                payload = bytes(rc.buf[:rc.offs])
             out.append(bytes([self._toc]) + payload)
             bits = len(payload) * 8
             # feedback VBR loop: too many bits -> lower the pulse

@@ -196,3 +196,78 @@ def test_native_silk_batch_matches_single():
             assert float(np.max(np.abs(out[b, :n[b], 0]
                                        - ref[:, 0]))) < 1e-12
             assert tuple(int(x) for x in info[b, 4:13]) == st
+
+
+def test_native_silk_encoder_byte_identical():
+    """The C++ SILK frame encoder must produce byte-identical payloads
+    to the Python encoder across bandwidths (mono) and for stereo
+    mid/side, frame after frame (carried state included)."""
+    import ctypes
+
+    from soundkit_tpu.codecs.opus_enc_rc import RangeEncoder
+    from soundkit_tpu.codecs.opus_silk_enc import (SilkEncoder,
+                                                   SilkStereoEncoder)
+    from soundkit_tpu.codecs.silk_native import NativeSilkEncoder
+
+    rng = np.random.default_rng(1)
+    for bw in (0, 1, 2):
+        rate = (8000, 12000, 16000)[bw]
+        flen = 20 * (bw + 2) * 4
+        t = np.arange(rate * 2) / rate
+        x = (0.4 * np.sin(2 * np.pi * 170 * t)
+             * (1 + 0.6 * np.sin(2 * np.pi * 2.6 * t))
+             + 0.015 * rng.standard_normal(len(t)))
+        py = SilkEncoder(bw)
+        nat = NativeSilkEncoder(bw, 1)
+        for i in range(0, len(x) - flen, flen):
+            frame = np.ascontiguousarray(x[i:i + flen])
+            rc = RangeEncoder(1275)
+            py.target_pulse = 3.0
+            py.encode_superframe(rc, frame)
+            rc.finalize()
+            a = bytes(rc.buf[:rc.offs])
+            b = nat.encode_frame(frame.reshape(-1, 1), 3.0)
+            assert a == b, f"bw={bw} frame {i // flen}"
+    # stereo
+    rate, flen = 16000, 320
+    t = np.arange(rate * 2) / rate
+    base = (0.4 * np.sin(2 * np.pi * 170 * t)
+            * (1 + 0.6 * np.sin(2 * np.pi * 2.6 * t))
+            + 0.015 * rng.standard_normal(len(t)))
+    R = np.concatenate([np.zeros(8), 0.7 * base[:-8]])
+    py = SilkStereoEncoder(2)
+    nat = NativeSilkEncoder(2, 2)
+    for i in range(0, len(base) - flen, flen):
+        xl = np.ascontiguousarray(base[i:i + flen])
+        xr = np.ascontiguousarray(R[i:i + flen])
+        rc = RangeEncoder(1275)
+        py.target_pulse = 3.0
+        py.encode_superframe(rc, xl, xr)
+        rc.finalize()
+        a = bytes(rc.buf[:rc.offs])
+        b = nat.encode_frame(np.stack([xl, xr], 1), 3.0)
+        assert a == b, f"stereo frame {i // flen}"
+
+
+def test_opus_silk_encoder_native_end_to_end():
+    """The full 48 kHz packetizer with the native frame encoder must
+    emit byte-identical packets to the Python path (VBR rate loop
+    included) and be an order of magnitude faster."""
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    rng = np.random.default_rng(0)
+    t = np.arange(48000 * 2) / 48000.0
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)
+         * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         + 0.01 * rng.standard_normal(len(t)))
+    for ch in (1, 2):
+        pcm = (x.reshape(-1, 1) if ch == 1
+               else np.stack([x, 0.7 * x], 1))
+        nat = OpusSilkEncoder(bandwidth="wb", bit_rate=32000 * ch,
+                              channels=ch)
+        assert nat._native is not None
+        py = OpusSilkEncoder(bandwidth="wb", bit_rate=32000 * ch,
+                             channels=ch)
+        py._native = None
+        assert nat.push(pcm) == py.push(pcm)
+        assert nat.flush() == py.flush()
