@@ -234,8 +234,11 @@ class OpusEncoder:
     reference's pure-Rust path (soundkit-opus/src/lib.rs:96-293,
     Cargo.toml:11-14).  Packets are CELT fullband CBR and decode on
     any conformant decoder with zero codec delay (pre_skip=0).
-    ``mode="voice"`` (mono only) selects the owned SILK-layer encoder
-    instead (``opus_silk_enc.py``): NB/MB/WB VBR speech packets.
+    ``mode="voice"`` selects the owned SILK-layer encoder instead
+    (``opus_silk_enc.py``): NB/MB/WB VBR speech packets, mono or
+    stereo; ``voice_bandwidth="swb"/"fb"`` selects the owned HYBRID
+    mode (``opus_hybrid_enc.py``, SILK-WB low band + CELT band-17+
+    high band on one coder, CBR).
     Other sample rates, and ``backend="libopus"``, use the libopus
     shim (pre_skip=312, the shim's reported lookahead).
     """
@@ -246,6 +249,21 @@ class OpusEncoder:
         self.sample_rate = sample_rate
         self.channels = channels
         if (backend == "owned" and sample_rate == 48000
+                and mode == "voice" and channels in (1, 2)
+                and voice_bandwidth in ("swb", "fb")):
+            from soundkit_tpu.codecs.opus_hybrid_enc import (
+                OpusHybridEncoder,
+            )
+
+            self._own: Optional[object] = OpusHybridEncoder(
+                bandwidth=voice_bandwidth, bit_rate=bit_rate,
+                channels=channels,
+            )
+            self._enc = None
+            self.frame_size = self._own.frame_size
+            self.pre_skip = 0
+            self.backend = "owned-hybrid"
+        elif (backend == "owned" and sample_rate == 48000
                 and mode == "voice" and channels in (1, 2)):
             from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
 

@@ -671,3 +671,100 @@ def test_silk_encode_stereo_oracle_and_quality():
     snr_l = _mono_snr(mono, b[:, 0])
     snr_r = _mono_snr(R, b[:, 1])
     assert snr_l > 8.0 and snr_r > 8.0, (snr_l, snr_r)
+
+
+def test_hybrid_encode_swb_fb():
+    """Owned hybrid encode (SILK-WB + CELT start band 17 on one
+    coder): CBR packets with hybrid TOCs, decodable by the oracle and
+    our own decoder, with quality above the WB-only SILK ceiling."""
+    import ctypes
+
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.opus_core import OpusDecoder, parse_packet
+    from soundkit_tpu.codecs.opus_hybrid_enc import OpusHybridEncoder
+
+    pcm = _speech_48k(2.0)
+    # add a strong 9 kHz component SILK-WB cannot represent
+    t = np.arange(len(pcm)) / 48000.0
+    hi = 0.08 * np.sin(2 * np.pi * 9000 * t) * np.abs(
+        np.sin(2 * np.pi * 3 * t))
+    x = np.clip(pcm + hi, -1, 1)
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_decoder_create.restype = ctypes.c_void_p
+    op.opus_decoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    op.opus_decode_float.restype = ctypes.c_int
+    op.opus_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
+
+    for bw, br, cfg in (("swb", 32000, 13), ("fb", 40000, 15)):
+        enc = OpusHybridEncoder(bandwidth=bw, bit_rate=br)
+        pkts = enc.push(x.reshape(-1, 1)) + enc.flush()
+        kbps = np.mean([len(p) for p in pkts]) * 8 / 0.02 / 1000
+        # near-CBR: the SILK pulse floor can push hot content up to
+        # ~30% above target (opus_hybrid_enc docstring)
+        assert br / 1000 * 0.8 < kbps < br / 1000 * 1.4, \
+            f"{bw}: rate at {kbps:.1f}"
+        for p in pkts:
+            toc, _ = parse_packet(p)
+            assert toc.mode == "hybrid" and toc.config == cfg
+
+        # libopus (normative) accepts and decodes the stream
+        err = ctypes.c_int(0)
+        lod = ctypes.c_void_p(
+            op.opus_decoder_create(48000, 1, ctypes.byref(err)))
+        lib_out = []
+        for p in pkts:
+            buf = np.zeros(5760, dtype=np.float32)
+            n = op.opus_decode_float(
+                lod, p, len(p),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                5760, 0)
+            assert n == 960
+            lib_out.append(buf[:n].astype(np.float64))
+        b = np.concatenate(lib_out)
+
+        # our own decoder agrees with the oracle (median frame)
+        own = OpusDecoder(1)
+        av = AvDecoder("opus", extradata=_opus_head_raw(1))
+        per = []
+        for p in pkts:
+            a = own.decode_packet(p).reshape(-1)
+            r = np.asarray(av.push(p), dtype=np.float64).reshape(-1)
+            m = min(len(a), len(r))
+            sig = float(np.sum(r[:m] ** 2))
+            if sig > 1e-12:
+                e = float(np.sum((a[:m] - r[:m]) ** 2))
+                per.append(10 * np.log10(sig / max(e, 1e-30)))
+        # decoder-vs-decoder float spread widens on hot hybrid
+        # frames (sharp quantized filters); three-way arbitration vs
+        # fixed-point libopus shows all decoders agree within the
+        # usual float/fixed tolerance on the outliers
+        assert np.median(per) > 50.0
+        assert min(per) > 15.0
+
+        snr = _mono_snr(x, b)
+        assert snr > 10.0, f"{bw}: speech snr {snr:.1f} dB"
+
+
+def test_opus_encoder_hybrid_routing():
+    from soundkit_tpu.codecs.encoders import OpusEncoder
+    from soundkit_tpu.codecs.opus_core import parse_packet
+
+    enc = OpusEncoder(48000, 1, 32000, mode="voice",
+                      voice_bandwidth="swb")
+    assert enc.backend == "owned-hybrid"
+    pcm = _speech_48k(0.5)
+    pkts = enc.encode_i16_packets(pcm) + enc.flush_packets()
+    assert pkts and all(
+        parse_packet(p)[0].mode == "hybrid" for p in pkts)
+    # stereo hybrid: valid packets with the stereo TOC flag
+    enc2 = OpusEncoder(48000, 2, 48000, mode="voice",
+                       voice_bandwidth="fb")
+    assert enc2.backend == "owned-hybrid"
+    st = np.stack([pcm, 0.7 * pcm], 1).reshape(-1)
+    pkts2 = enc2.encode_i16_packets(st) + enc2.flush_packets()
+    tocs = [parse_packet(p)[0] for p in pkts2]
+    assert all(t.mode == "hybrid" and t.stereo for t in tocs)
