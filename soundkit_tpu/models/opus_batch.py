@@ -492,3 +492,106 @@ class BatchedCeltDecoder:
                     k = self.FRAME - lengths[i, b]
                     out[i, b, :, : self.FRAME - k] = host[i - r0, b][:, k:]
         return out, lengths
+
+
+class BatchedSilkDecoder:
+    """Lockstep multi-stream SILK-voice decoder.
+
+    One native batch call per round (silk_parse.cpp
+    skt_silk_decode_many: range decode + LTP/LPC synthesis for all B
+    lanes) followed by per-lane oracle-matched resampling to 48 kHz
+    on the host.  The LP layer is per-sample sequential IIR work that
+    belongs on the host (docs/DEVICE_KERNELS.md); batching amortizes
+    the per-packet Python overhead that dominated per-stream replay.
+
+    Serves 20 ms code-0 SILK packets at a constant per-lane bandwidth
+    (the shape of real voice streams); bandwidth switches, multi-frame
+    packets and hybrid/CELT modes are the caller's reroute cases.
+
+    Reference role: soundkit-opus/src/lib.rs per-pipeline decode.
+    """
+
+    FRAME = 960
+
+    def __init__(self, num_streams: int, channels: int = 2):
+        from soundkit_tpu.codecs.silk_native import NativeSilkBatch
+
+        self.B = num_streams
+        self.C = channels
+        self.sample_rate = 48000
+        self._batch = NativeSilkBatch(num_streams, channels)
+        # per lane: queued (frame_bytes, coded_channels) + fixed bw
+        self._packets: List[List[tuple]] = [[] for _ in range(num_streams)]
+        self.bw = [None] * num_streams
+        self._resamp = [None] * num_streams
+        self._skip = [0] * num_streams
+        self._gain = [1.0] * num_streams
+
+    def configure_lane(self, b: int, pre_skip: int = 0,
+                       gain_q8: int = 0) -> None:
+        self._skip[b] = pre_skip
+        self._gain[b] = (10.0 ** (gain_q8 / (20.0 * 256.0))
+                        if gain_q8 else 1.0)
+
+    def reset_lane(self, b: int) -> None:
+        self._batch.reset_lane(b)
+        self._packets[b] = []
+        self.bw[b] = None
+        self._resamp[b] = None
+        self._skip[b] = 0
+        self._gain[b] = 1.0
+
+    def lane_ready(self, b: int) -> int:
+        return len(self._packets[b])
+
+    def push_packet(self, b: int, frame: bytes, bandwidth: int,
+                    coded: int) -> None:
+        """Queue one SILK frame payload (no TOC).  The caller
+        validates mode/duration/framing; the first packet pins the
+        lane's bandwidth."""
+        if self.bw[b] is None:
+            self.bw[b] = bandwidth
+            rate = (8000, 12000, 16000)[bandwidth]
+            from soundkit_tpu.utils.swr import SilkResampler
+
+            self._resamp[b] = SilkResampler(rate, bandwidth, self.C)
+        self._packets[b].append((frame, coded))
+
+    def decode_ready(self, max_packets: Optional[int] = None):
+        """Decode lockstep rounds.  Returns (pcm [rounds, B, C, 960]
+        host f32 with valid samples at the END of each slot, lengths
+        [rounds, B] i32)."""
+        counts = [len(p) for p in self._packets]
+        n = max(counts) if counts else 0
+        if max_packets is not None:
+            n = min(n, max_packets)
+        pcm = np.zeros((n, self.B, self.C, self.FRAME), np.float32)
+        lengths = np.zeros((n, self.B), np.int32)
+        for i in range(n):
+            frames = [b""] * self.B
+            bws = np.zeros(self.B, np.int32)
+            coded = np.ones(self.B, np.int32)
+            valid = np.zeros(self.B, np.uint8)
+            for b in range(self.B):
+                if not self._packets[b]:
+                    continue
+                frames[b], coded[b] = self._packets[b].pop(0)
+                bws[b] = self.bw[b]
+                valid[b] = 1
+            out16, nsamp, _info = self._batch.decode_many(
+                frames, bws, coded, [20] * self.B, valid)
+            for b in range(self.B):
+                if not valid[b] or nsamp[b] < 0:
+                    continue
+                up = out16[b, : nsamp[b]]
+                out48 = self._resamp[b].process(up, self.FRAME)
+                if self._gain[b] != 1.0:
+                    out48 = out48 * np.float32(self._gain[b])
+                m = out48.shape[0]
+                k = min(self._skip[b], m)
+                self._skip[b] -= k
+                m -= k
+                if m > 0:
+                    pcm[i, b, :, self.FRAME - m:] = out48[k:].T
+                lengths[i, b] = m
+        return pcm, lengths

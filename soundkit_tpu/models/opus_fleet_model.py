@@ -1,20 +1,28 @@
-"""Ogg-Opus fleet group: per-lane Ogg demux + batched device CELT.
+"""Ogg-Opus fleet group: per-lane Ogg demux + two batched engines.
 
-Extends the serving fleet's batched coverage to Ogg-Opus music
-streams: each lane demuxes its Ogg pages on the host
-(codecs/opus.OggOpusDemuxer), validates every packet's TOC, and
-queues CELT 20 ms packets into the shared ``BatchedCeltDecoder``
-(device IMDCT/comb/de-emphasis over all lanes per round, C++ range
-decode/PVQ host stage).
+Extends the serving fleet's batched coverage to Ogg-Opus streams:
+each lane demuxes its Ogg pages on the host
+(codecs/opus.OggOpusDemuxer), validates every packet's TOC, and is
+classified by its first audio packet:
 
-Streams the CELT model cannot serve raise :class:`OpusLaneUnsupported`
-out of ``push`` so the fleet reroutes them to a per-stream host
-pipeline by replaying the stream's raw bytes (the same pattern as the
-Vorbis topology reroute).  Because a mode switch can appear at ANY
-packet (not just the headers), ``lane_configured`` stays False so the
-fleet retains each Opus lane's raw bytes for the lane's lifetime —
-the price of guaranteed bit-equal reroutes; speech streams reroute at
-their first audio packet, and real Ogg music streams are CELT-only.
+- CELT 20 ms (music) lanes queue into the shared
+  ``BatchedCeltDecoder`` (device IMDCT/comb/de-emphasis over all
+  lanes per round, C++ range decode/PVQ host stage);
+- SILK 20 ms (voice) lanes queue into ``BatchedSilkDecoder`` (one
+  C++ skt_silk_decode_many call per round + per-lane oracle-matched
+  resampling).  Its host PCM is scattered into the CELT engine's
+  device array per round, so the fleet's device_out/i16 collect path
+  is identical for both.
+
+Streams neither engine can serve (hybrid, multi-frame packets,
+mid-stream bandwidth or mode switches) raise
+:class:`OpusLaneUnsupported` out of ``push`` so the fleet reroutes
+them to a per-stream host pipeline by replaying the stream's raw
+bytes (the same pattern as the Vorbis topology reroute).  Because a
+mode switch can appear at ANY packet (not just the headers),
+``lane_configured`` stays False so the fleet retains each Opus
+lane's raw bytes for the lane's lifetime — the price of guaranteed
+bit-equal reroutes.
 
 Reference role: soundkit-ogg-opus decode inside the per-stream
 pipeline (soundkit-decoder/src/lib.rs spawn paths), re-split so the
@@ -27,26 +35,37 @@ from typing import List, Optional
 import numpy as np
 
 from soundkit_tpu.codecs.opus import OggOpusDemuxer
-from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
+from soundkit_tpu.models.opus_batch import (
+    BatchedCeltDecoder,
+    BatchedSilkDecoder,
+)
 
 
 class OpusLaneUnsupported(Exception):
-    """This stream needs the host pipeline (SILK/hybrid/odd framing);
-    the fleet replays its raw bytes into a per-stream decoder."""
+    """This stream needs the host pipeline (hybrid/odd framing/mode
+    switches); the fleet replays its raw bytes into a per-stream
+    decoder."""
 
 
-def _toc_servable(packet: bytes, channels: int) -> bool:
+def _classify(packet: bytes, channels: int):
+    """(kind, toc, frame) for a servable packet, else (None, ..)."""
     from soundkit_tpu.codecs.opus_core import parse_packet
 
     if not packet:
-        return False
+        return None, None, None
     try:
         toc, frames = parse_packet(packet)
     except Exception:
-        return False
+        return None, None, None
     coded = 2 if toc.stereo else 1
-    return (toc.mode == "celt" and toc.frame_duration == 20
-            and len(frames) == 1 and coded <= channels)
+    if (toc.frame_duration != 20 or len(frames) != 1
+            or coded > channels):
+        return None, None, None
+    if toc.mode == "celt":
+        return "celt", toc, frames[0]
+    if toc.mode == "silk":
+        return "silk", toc, frames[0]
+    return None, None, None
 
 
 class BatchedOggOpusDecoder:
@@ -58,6 +77,12 @@ class BatchedOggOpusDecoder:
         self.B = num_streams
         self.C = channels
         self._celt = BatchedCeltDecoder(num_streams, channels)
+        try:
+            self._silk: Optional[BatchedSilkDecoder] = \
+                BatchedSilkDecoder(num_streams, channels)
+        except Exception:
+            self._silk = None  # no native lib: voice lanes reroute
+        self._kind: List[Optional[str]] = [None] * num_streams
         self._demux: List[OggOpusDemuxer] = [
             OggOpusDemuxer() for _ in range(num_streams)
         ]
@@ -65,6 +90,9 @@ class BatchedOggOpusDecoder:
 
     def reset_lane(self, b: int) -> None:
         self._celt.reset_lane(b)
+        if self._silk is not None:
+            self._silk.reset_lane(b)
+        self._kind[b] = None
         self._demux[b] = OggOpusDemuxer()
         self._queued[b] = 0
 
@@ -78,6 +106,8 @@ class BatchedOggOpusDecoder:
         return 48000 if self._demux[b].head is not None else None
 
     def lane_ready(self, b: int) -> int:
+        if self._kind[b] == "silk":
+            return self._silk.lane_ready(b)
         return len(self._celt._packets[b])
 
     def push(self, b: int, data: bytes) -> None:
@@ -90,10 +120,32 @@ class BatchedOggOpusDecoder:
             self._celt.configure_lane(
                 b, dm.head.pre_skip, dm.head.output_gain
             )
+            if self._silk is not None:
+                self._silk.configure_lane(
+                    b, dm.head.pre_skip, dm.head.output_gain
+                )
         for pkt in pkts:
-            if not _toc_servable(pkt, self.C):
-                raise OpusLaneUnsupported("non-CELT/non-20ms packet")
-            self._celt.push_packet(b, pkt)
+            kind, toc, frame = _classify(pkt, self.C)
+            if kind is None:
+                raise OpusLaneUnsupported("non-20ms/hybrid packet")
+            if self._kind[b] is None:
+                if kind == "silk" and self._silk is None:
+                    raise OpusLaneUnsupported("no native silk batch")
+                self._kind[b] = kind
+            if kind != self._kind[b]:
+                raise OpusLaneUnsupported("mid-stream mode switch")
+            if kind == "celt":
+                self._celt.push_packet(b, pkt)
+            else:
+                # a SILK packet with trailing CELT redundancy only
+                # appears at mode/bandwidth switches; the switch
+                # packet itself triggers the reroute below, and the
+                # replay decodes the redundancy exactly
+                bw0 = self._silk.bw[b]
+                if bw0 is not None and toc.bandwidth != bw0:
+                    raise OpusLaneUnsupported("silk bandwidth switch")
+                self._silk.push_packet(b, frame, toc.bandwidth,
+                                       2 if toc.stereo else 1)
             self._queued[b] += 1
 
     def decode_batches(self, n: int, device_out: bool = False):
@@ -103,5 +155,45 @@ class BatchedOggOpusDecoder:
         when ``device_out``, valid samples at the END of each slot;
         host array otherwise, valid samples at the START), lengths
         [rounds, B] int32."""
-        return self._celt.decode_ready(max_packets=n,
-                                       device_out=device_out)
+        # dispatch the device CELT rounds first (async), then decode
+        # the SILK lanes on the host while the device works
+        cpcm, clen = self._celt.decode_ready(max_packets=n,
+                                             device_out=device_out)
+        if self._silk is None:
+            return cpcm, clen
+        spcm, slen = self._silk.decode_ready(max_packets=n)
+        rc, rs = clen.shape[0], slen.shape[0]
+        R = max(rc, rs)
+        if R == 0:
+            return cpcm, clen
+        lengths = np.zeros((R, self.B), np.int32)
+        lengths[:rc] = clen
+        if rs:
+            lengths[:rs] += slen
+        silk_lanes = [b for b in range(self.B)
+                      if self._kind[b] == "silk"
+                      and rs and slen[:, b].any()]
+        if device_out:
+            import jax.numpy as jnp
+
+            if rc < R:
+                pad = jnp.zeros((R - rc, self.B, self.C, self.FRAME),
+                                jnp.float32)
+                cpcm = (jnp.concatenate([cpcm, pad], axis=0)
+                        if rc else pad)
+            if silk_lanes:
+                idx = np.asarray(silk_lanes)
+                host = np.zeros((R, len(idx), self.C, self.FRAME),
+                                np.float32)
+                host[:rs] = spcm[:, idx]
+                cpcm = cpcm.at[:, idx].set(jnp.asarray(host))
+            return cpcm, lengths
+        out = np.zeros((R, self.B, self.C, self.FRAME), np.float32)
+        out[:rc] = cpcm
+        for b in silk_lanes:
+            for i in range(rs):
+                m = int(slen[i, b])
+                if m > 0:
+                    # host convention: valid samples at the START
+                    out[i, b, :, :m] = spcm[i, b, :, self.FRAME - m:]
+        return out, lengths

@@ -437,10 +437,11 @@ def test_fleet_ogg_opus_fixture_batched_matches_host(testdata):
     assert err < 5e-3, f"max err {err}"
 
 
-def test_fleet_ogg_opus_silk_reroutes_to_fallback(testdata):
-    """A SILK Ogg-Opus stream (the raw-framing speech fixture,
-    re-wrapped in Ogg pages) can't ride the CELT group: it must
-    reroute to the host fallback via byte replay and still decode."""
+def test_fleet_ogg_opus_silk_fixture_served_in_lane(testdata):
+    """The SILK-WB speech fixture (re-wrapped in Ogg pages) rides the
+    batched opus group's silk engine — voice streams no longer
+    reroute — and matches the host pipeline decode."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
     from soundkit_tpu.simple import OpusDeboxer
 
     raw = (testdata / "opus" / f"{CLIP}.opus").read_bytes()
@@ -457,13 +458,134 @@ def test_fleet_ogg_opus_silk_reroutes_to_fallback(testdata):
                                header_type=4 if i == len(pkts) - 1 else 0))
     wire = b"".join(pages)
 
+    ref = OggOpusDecoder().decode_f32(wire).reshape(-1, 1).T
+
     fleet = StreamFleet(capacity_per_group=2)
     for i in range(0, len(wire), 4093):
         fleet.push("s", wire[i : i + 4093])
     fleet.end_stream("s")
-    assert "s" not in fleet._lanes  # rerouted out of the lane
-    assert "s" in fleet._fallback
+    assert "s" in fleet._lanes and fleet._lanes["s"].group == "opus"
     out = fleet.collect()
     pcm = out["s"]
-    assert pcm.shape[-1] > 20000
-    assert float(np.sqrt(np.mean(pcm**2))) > 1e-4
+    m = min(pcm.shape[1], ref.shape[1])
+    assert m > 20000
+    assert np.abs(pcm[:, :m] - ref[:, :m]).max() < 1e-4
+
+
+def _make_ogg_opus_voice(seconds=1.2, seed=5, channels=1):
+    """A SILK-WB Ogg-Opus voice stream from the owned encoder."""
+    import struct
+
+    from soundkit_tpu.codecs.opus_silk_enc import OpusSilkEncoder
+
+    rng = np.random.default_rng(seed)
+    n = int(48000 * seconds)
+    t = np.arange(n) / 48000.0
+    f0 = 130 + 30 * np.sin(2 * np.pi * 2.3 * t)
+    phs = np.cumsum(2 * np.pi * f0 / 48000.0)
+    base = (0.35 * np.sin(phs) + 0.18 * np.sin(2 * phs)) * (
+        0.35 + 0.65 * np.abs(np.sin(2 * np.pi * 2.8 * t)))
+    base = base + 0.01 * rng.standard_normal(n)
+    if channels == 2:
+        pcm = np.stack([base, 0.7 * base], axis=1)
+    else:
+        pcm = base.reshape(-1, 1)
+    enc = OpusSilkEncoder(bandwidth="wb", bit_rate=24000 * channels,
+                          channels=channels)
+    pkts = enc.push(pcm) + enc.flush()
+    head = (b"OpusHead" + bytes([1, channels]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 2) + b"sk" + struct.pack("<I", 0)
+    serial = 0x4242
+    pages = [_ogg_page([head], serial, 0, 0, header_type=2),
+             _ogg_page([tags], serial, 1, 0)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += 960
+        pages.append(_ogg_page([p], serial, 2 + i, g,
+                               header_type=4 if i == len(pkts) - 1 else 0))
+    return b"".join(pages), pkts
+
+
+def test_batched_silk_decoder_matches_host():
+    """BatchedSilkDecoder lanes equal the single-stream host decode
+    (same native LP stage, same resampler)."""
+    from soundkit_tpu.codecs.opus_core import OpusDecoder, parse_packet
+    from soundkit_tpu.models.opus_batch import BatchedSilkDecoder
+
+    _, pkts = _make_ogg_opus_voice()
+    B = 4
+    dec = BatchedSilkDecoder(B, channels=2)
+    for b in range(B):
+        for p in pkts[: 20 + b * 5]:  # ragged lanes
+            toc, frames = parse_packet(p)
+            dec.push_packet(b, frames[0], toc.bandwidth,
+                            2 if toc.stereo else 1)
+    pcm, lengths = dec.decode_ready()
+    host = OpusDecoder(2)
+    ref = [host.decode_packet(p) for p in pkts]
+    for b in range(B):
+        k = 20 + b * 5
+        for i in range(lengths.shape[0]):
+            if i >= k:
+                assert lengths[i, b] == 0
+                continue
+            m = int(lengths[i, b])
+            assert m == ref[i].shape[0]
+            got = pcm[i, b, :, 960 - m:]
+            err = np.abs(got - ref[i].T.astype(np.float32)).max()
+            assert err < 1e-5, (b, i, err)
+
+
+def test_fleet_routes_ogg_opus_voice_to_batched_group():
+    """SILK voice Ogg-Opus streams ride the batched opus group's
+    silk engine (no host reroute) and match the host decode."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+
+    wire, pkts = _make_ogg_opus_voice()
+    assert len(pkts) > 20
+
+    ref_dec = OggOpusDecoder()
+    ref = ref_dec.decode_f32(wire).reshape(-1, 1).T
+
+    fleet = StreamFleet(capacity_per_group=2)
+    for sid in ("v1", "v2"):
+        for i in range(0, len(wire), 4093):
+            fleet.push(sid, wire[i : i + 4093])
+        fleet.end_stream(sid)
+    assert fleet._lanes["v1"].group == "opus"
+    grp = fleet._groups["opus"]._model
+    assert grp._kind[fleet._lanes["v1"].index] == "silk"
+    out = fleet.collect()
+    assert set(out) >= {"v1", "v2"}
+    for sid in ("v1", "v2"):
+        got = out[sid]
+        m = min(got.shape[1], ref.shape[1])
+        assert m > 40000
+        err = np.abs(got[:, :m] - ref[:, :m]).max()
+        assert err < 1e-4, f"{sid}: max err {err}"
+
+
+def test_fleet_mixed_voice_and_music_opus_lanes():
+    """CELT and SILK lanes share one opus group; both match hosts."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+
+    mwire, _ = _make_ogg_opus_celt()
+    vwire, _ = _make_ogg_opus_voice(channels=2)
+    refs = {
+        "m": OggOpusDecoder().decode_f32(mwire).reshape(-1, 2).T,
+        "v": OggOpusDecoder().decode_f32(vwire).reshape(-1, 2).T,
+    }
+    fleet = StreamFleet(capacity_per_group=4)
+    fleet.push("m", mwire)
+    fleet.push("v", vwire)
+    fleet.end_stream("m")
+    fleet.end_stream("v")
+    out = fleet.collect()
+    for sid in ("m", "v"):
+        got = out[sid]
+        ref = refs[sid]
+        m = min(got.shape[1], ref.shape[1])
+        assert m > 40000
+        err = np.abs(got[:, :m] - ref[:, :m]).max()
+        assert err < 5e-3, f"{sid}: max err {err}"
