@@ -234,6 +234,46 @@ def bench_opus(passes):
     return st
 
 
+def bench_opus_voice(passes):
+    """Batched SILK voice serving: one native skt_silk_decode_many
+    call per round + per-lane resamplers (host engine; no device
+    round-trip — voice serving is host-bound by design)."""
+    import struct
+
+    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.models.opus_batch import BatchedSilkDecoder
+
+    B = 256
+    raw = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
+    body = raw[19:]
+    items = []
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        toc, frames = parse_packet(body[pos + 2 : pos + 2 + n])
+        items.append((frames[0], toc.bandwidth,
+                      2 if toc.stereo else 1))
+        pos += 2 + n
+    model = BatchedSilkDecoder(B, channels=1)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            for f, bw, coded in items:
+                model.push_packet(b, f, bw, coded)
+        pcm, lens = model.decode_ready()
+        el = time.perf_counter() - t0
+        return _xrt(B * pcm.shape[0] * 0.02, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mode"] = "voice (SILK-WB), host engine"
+    return st
+
+
 def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0):
     from soundkit_tpu.models.telephony_batch import BatchedTelephonyDecoder
 
@@ -317,6 +357,7 @@ def main():
         "flac_encode": lambda: bench_flac_encode(args.passes),
         "vorbis": lambda: bench_vorbis(args.passes),
         "opus": lambda: bench_opus(args.passes),
+        "opus_voice": lambda: bench_opus_voice(args.passes),
         "g711_mulaw": lambda: bench_telephony(
             "g711_mulaw", "g711_ulaw", ".ulaw", 8000.0, args.passes),
         "g722": lambda: bench_telephony("g722", "g722", ".g722", 16000.0, args.passes),
