@@ -302,6 +302,56 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0)
     return st
 
 
+def bench_fleet_device(passes):
+    """Mixed-codec fleet, device-resident serving mode.
+
+    collect(device_out=True): PCM stays on device for a downstream
+    device consumer (the transcode chain), so the pass pays dispatch +
+    compute but not the d2h PCM egress that hard-caps the fetching
+    fleet at ~73x (13 MB/s tunnel / 176.4 kB/s per 44.1k stereo i16
+    stream).  block_until_ready on every staged batch keeps the timing
+    honest."""
+    import jax
+    from soundkit_tpu.models.fleet import StreamFleet
+
+    aac = (GOLDEN / "aac" / f"{CLIP}_encoded.aac").read_bytes()
+    mp3 = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
+    flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
+    opus = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+
+    CAP = 32  # production-sized groups: dispatch count is independent
+    # of lane count, so wider groups amortise it (4 x 32 = 128 streams)
+
+    def one_pass():
+        fleet = StreamFleet(capacity_per_group=CAP, out_bits=16)
+        t0 = time.perf_counter()
+        for i in range(CAP):
+            fleet.push(f"a{i}", aac)
+            fleet.push(f"m{i}", mp3)
+            fleet.push(f"f{i}", flac)
+            fleet.push(f"o{i}", opus)
+            fleet.end_stream(f"a{i}")
+            fleet.end_stream(f"m{i}")
+            fleet.end_stream(f"f{i}")
+            fleet.end_stream(f"o{i}")
+        out = fleet.collect(device_out=True)
+        for rec in out.values():
+            if rec.device is not None:
+                jax.block_until_ready(rec.device)
+        el = time.perf_counter() - t0
+        secs = 0.0
+        for sid, rec in out.items():
+            r = rec.rate or 16000
+            secs += rec.samples / r
+        return _xrt(secs, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["streams"] = 4 * CAP
+    st["mode"] = "device-resident (no PCM egress)"
+    return st
+
+
 def bench_fleet(passes):
     """Mixed-codec fleet smoke throughput (aac+mp3+flac+opus lanes)."""
     from soundkit_tpu.models.fleet import StreamFleet
@@ -364,6 +414,7 @@ def main():
         "g726_32": lambda: bench_telephony(
             "g726_32", "g726", "_32.g726", 8000.0, args.passes),
         "fleet_mixed": lambda: bench_fleet(args.passes),
+        "fleet_mixed_device": lambda: bench_fleet_device(args.passes),
     }
     only = [f for f in args.formats.split(",") if f]
     results = {}

@@ -34,6 +34,76 @@ class _Lane:
     produced: int = 0  # batches decoded for this lane so far
 
 
+def _slice_lane_host(kind, arr, lane, k, meta, out_bits):
+    """Slice one lane's valid PCM out of a fetched group batch.
+
+    ``arr`` is the host copy of the staged [n, B, ...] group output;
+    returns [C, samples] (or None when an opus lane produced nothing).
+    Shared by the fetching ``collect()`` and the device-resident
+    ``FleetLaneOutput.fetch()`` so both modes are bit-identical."""
+    if kind == "opus":
+        parts = []
+        for r in range(k):
+            m = int(meta[r][lane])
+            if m > 0:
+                parts.append(arr[r, lane, :, arr.shape[-1] - m:])
+        return np.concatenate(parts, axis=1) if parts else None
+    if kind == "flac":
+        parts = []
+        for f in range(k):
+            mt = meta[f][lane]
+            ch = max(int(mt[1]), 1)
+            sl = arr[f, lane, :ch, : mt[0]]
+            if out_bits == 16:
+                parts.append(sl)  # already exact int16
+            else:
+                parts.append(sl.astype(np.float32) / 32768.0)
+        return np.concatenate(parts, axis=1)
+    lanes = arr[:k, lane]  # [k, C, S]
+    return np.transpose(lanes, (1, 0, 2)).reshape(lanes.shape[1], -1)
+
+
+@dataclass
+class FleetLaneOutput:
+    """One stream's newly produced PCM, left ON DEVICE.
+
+    Returned by ``StreamFleet.collect(device_out=True)``.  The d2h
+    fetch of decoded PCM is the fleet's throughput ceiling on thin
+    links (~13 MB/s on the dev tunnel caps 44.1 kHz stereo i16 serving
+    at ~73x aggregate realtime, regardless of compute) — a consumer
+    that keeps post-processing on device (resampler, mixer, encoder:
+    the transcode chain) should never pay it.  ``device`` is the
+    group's staged [n, B, ...] batch (shared by every lane of the
+    group); ``samples`` counts this stream's valid samples per channel
+    without any transfer.  ``fetch()`` materialises the host PCM,
+    bit-identical to plain ``collect()`` (one shared fetch per group).
+    Host-produced streams (vorbis ragged lanes, pipeline fallbacks)
+    carry their PCM in ``host`` directly."""
+
+    kind: str
+    samples: int
+    rate: Optional[int]
+    device: object = None
+    lane: int = -1
+    frames: int = 0
+    meta: object = None
+    out_bits: int = 32
+    host: Optional[np.ndarray] = None
+    _cache: Optional[dict] = None
+
+    def fetch(self) -> Optional[np.ndarray]:
+        if self.host is not None:
+            return self.host
+        if "arr" not in self._cache:
+            from soundkit_tpu.utils.wire import from_device_chunked
+
+            self._cache["arr"] = from_device_chunked(self.device)
+        return _slice_lane_host(
+            self.kind, self._cache["arr"], self.lane, self.frames,
+            self.meta, self.out_bits,
+        )
+
+
 class _BatchedGroup:
     """Wraps one batched model with lane allocation/recycling."""
 
@@ -276,7 +346,7 @@ class StreamFleet:
             ).astype(np.int16)
         return pcm
 
-    def collect(self) -> Dict[str, np.ndarray]:
+    def collect(self, device_out: bool = False):
         """Decode every group and return newly produced PCM per stream.
 
         Two-phase: every group's device program dispatches first
@@ -284,8 +354,14 @@ class StreamFleet:
         bottleneck on the d2h tunnel, so no group's compute waits
         behind another group's transfer.  With ``out_bits=16`` the
         quantization to int16 happens on device before the fetch
-        (half the wire bytes)."""
-        out: Dict[str, np.ndarray] = {}
+        (half the wire bytes).
+
+        ``device_out=True`` skips the fetch entirely and returns
+        ``{stream_id: FleetLaneOutput}`` with each lane group's PCM
+        left on device — the serving mode for device-resident
+        consumers (see FleetLaneOutput); otherwise returns
+        ``{stream_id: np.ndarray [C, samples]}``."""
+        out: Dict[str, object] = {}
         for sid in self._retired:
             self._rates.pop(sid, None)
         self._retired = []
@@ -310,7 +386,14 @@ class StreamFleet:
                 for sid, ln in active.items():
                     pcm = per_lane[ln.index]
                     if pcm.shape[-1]:
-                        out[sid] = self._host_out(pcm.astype(np.float32))
+                        hostpcm = self._host_out(pcm.astype(np.float32))
+                        if device_out:
+                            out[sid] = FleetLaneOutput(
+                                kind="vorbis", samples=hostpcm.shape[-1],
+                                rate=self.sample_rate(sid), host=hostpcm,
+                            )
+                        else:
+                            out[sid] = hostpcm
                         ln.produced += 1
                 continue
             if kind == "opus":
@@ -346,52 +429,40 @@ class StreamFleet:
                 staged.append((kind, active, ready_before, n, pcm, None))
 
         for kind, active, ready_before, n, dev, metas in staged:
-            if kind == "opus":
-                pcm = self._fetch(dev)  # [n, B, C, 960], valid at END
-                lengths = metas
+            if device_out:
+                cache: dict = {}
                 for sid, ln in active.items():
                     k = min(ready_before[sid], n)
                     if k == 0:
                         continue
-                    parts = []
-                    for r in range(k):
-                        m = int(lengths[r][ln.index])
-                        if m > 0:
-                            parts.append(
-                                pcm[r, ln.index, :, pcm.shape[-1] - m:]
-                            )
-                    if parts:
-                        out[sid] = np.concatenate(parts, axis=1)
+                    if kind == "opus":
+                        cnt = sum(int(metas[r][ln.index]) for r in range(k))
+                    elif kind == "flac":
+                        cnt = sum(
+                            int(metas[f][ln.index][0]) for f in range(k)
+                        )
+                    else:
+                        cnt = k * int(dev.shape[-1])
+                    rec = FleetLaneOutput(
+                        kind=kind, samples=cnt, rate=self.sample_rate(sid),
+                        device=dev, lane=ln.index, frames=k, meta=metas,
+                        out_bits=self.out_bits, _cache=cache,
+                    )
+                    if cnt > 0:
+                        out[sid] = rec
                     ln.produced += k
                 continue
-            if kind == "flac":
-                samples = self._fetch(dev)  # [n, B, 2, stride] int
-                for sid, ln in active.items():
-                    k = min(ready_before[sid], n)
-                    if k == 0:
-                        continue
-                    parts = []
-                    for f in range(k):
-                        meta = metas[f][ln.index]
-                        ch = max(int(meta[1]), 1)
-                        sl = samples[f, ln.index, :ch, : meta[0]]
-                        if self.out_bits == 16:
-                            parts.append(sl)  # already exact int16
-                        else:
-                            parts.append(sl.astype(np.float32) / 32768.0)
-                    out[sid] = np.concatenate(parts, axis=1)
-                    ln.produced += k
-            else:
-                pcm = self._fetch(dev)
-                for sid, ln in active.items():
-                    k = min(ready_before[sid], n)
-                    if k == 0:
-                        continue
-                    lanes = pcm[:k, ln.index]  # [k, C, S]
-                    out[sid] = np.transpose(lanes, (1, 0, 2)).reshape(
-                        lanes.shape[1], -1
-                    )
-                    ln.produced += k
+            arr = self._fetch(dev)
+            for sid, ln in active.items():
+                k = min(ready_before[sid], n)
+                if k == 0:
+                    continue
+                pcm = _slice_lane_host(
+                    kind, arr, ln.index, k, metas, self.out_bits
+                )
+                if pcm is not None:
+                    out[sid] = pcm
+                ln.produced += k
 
         # fallback streams: whatever their host decoders produced
         for sid, parts in list(self._pending_out.items()):
@@ -400,7 +471,14 @@ class StreamFleet:
                 padded = [
                     np.pad(p, ((0, maxc - p.shape[0]), (0, 0))) for p in parts
                 ]
-                out[sid] = self._host_out(np.concatenate(padded, axis=1))
+                pcm = self._host_out(np.concatenate(padded, axis=1))
+                if device_out:
+                    out[sid] = FleetLaneOutput(
+                        kind="host", samples=pcm.shape[-1],
+                        rate=self._rates.get(sid), host=pcm,
+                    )
+                else:
+                    out[sid] = pcm
                 self._pending_out[sid] = []
 
         # recycle lanes of ended, fully drained streams — and drop all

@@ -589,3 +589,48 @@ def test_fleet_mixed_voice_and_music_opus_lanes():
         assert m > 40000
         err = np.abs(got[:, :m] - ref[:, :m]).max()
         assert err < 5e-3, f"{sid}: max err {err}"
+
+
+def test_fleet_device_out_collect_matches_host_collect(media, testdata):
+    """collect(device_out=True) leaves group PCM on device: sample
+    counts are known without any transfer, and fetch() materialises
+    PCM bit-identical to the plain collect() path (the reference
+    pipeline always hands PCM to the caller; the device-resident mode
+    is the TPU serving analog where a downstream device stage consumes
+    it — d2h egress caps 44.1k stereo i16 serving at ~73x aggregate
+    realtime on the dev tunnel regardless of compute)."""
+    from soundkit_tpu.models.fleet import FleetLaneOutput
+
+    opus = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+
+    def load(fleet):
+        fleet.push("a1", media["aac"])
+        fleet.push("m1", media["mp3"])
+        fleet.push("f1", media["flac"])
+        fleet.push("o1", opus)
+        fleet.push("w1", media["wav"])  # host fallback lane
+        for sid in ("a1", "m1", "f1", "o1", "w1"):
+            fleet.end_stream(sid)
+
+    host_fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    load(host_fleet)
+    ref = host_fleet.collect()
+
+    dev_fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    load(dev_fleet)
+    out = dev_fleet.collect(device_out=True)
+
+    assert set(out) == set(ref)
+    kinds = {sid: rec.kind for sid, rec in out.items()}
+    assert kinds == {"a1": "aac", "m1": "mp3", "f1": "flac",
+                     "o1": "opus", "w1": "host"}
+    for sid, rec in out.items():
+        assert isinstance(rec, FleetLaneOutput)
+        assert rec.samples == ref[sid].shape[-1]
+        assert rec.rate == host_fleet.sample_rate(sid) or rec.rate
+        got = rec.fetch()
+        assert got.dtype == ref[sid].dtype
+        np.testing.assert_array_equal(got, ref[sid])
+    # lane streams share one staged batch: the group fetch is memoised
+    assert out["a1"].device is not None
+    assert out["a1"]._cache is not None and "arr" in out["a1"]._cache
