@@ -94,6 +94,8 @@ class FleetLaneOutput:
     def fetch(self) -> Optional[np.ndarray]:
         if self.host is not None:
             return self.host
+        if self._cache is None:
+            self._cache = {}
         if "arr" not in self._cache:
             from soundkit_tpu.utils.wire import from_device_chunked
 
@@ -448,7 +450,11 @@ class StreamFleet:
                         device=dev, lane=ln.index, frames=k, meta=metas,
                         out_bits=self.out_bits, _cache=cache,
                     )
-                    if cnt > 0:
+                    # match plain collect()'s key set: opus lanes that
+                    # produced nothing are skipped there (slice returns
+                    # None), every other kind emits (flac can emit a
+                    # zero-length array)
+                    if cnt > 0 or kind != "opus":
                         out[sid] = rec
                     ln.produced += k
                 continue

@@ -627,7 +627,7 @@ def test_fleet_device_out_collect_matches_host_collect(media, testdata):
     for sid, rec in out.items():
         assert isinstance(rec, FleetLaneOutput)
         assert rec.samples == ref[sid].shape[-1]
-        assert rec.rate == host_fleet.sample_rate(sid) or rec.rate
+        assert rec.rate and rec.rate == host_fleet.sample_rate(sid)
         got = rec.fetch()
         assert got.dtype == ref[sid].dtype
         np.testing.assert_array_equal(got, ref[sid])
