@@ -217,6 +217,14 @@ class _NativeCeltStream:
         return np.concatenate(outs, axis=0)
 
 
+# replay-history bound: trim to _HISTORY_KEEP packets once the buffer
+# crosses _HISTORY_CAP (amortized O(1) per packet, O(1) steady-state
+# memory per stream).  96 packets of 20 ms = ~2 s of warmup tail, far
+# beyond CELT/SILK state memory (see _OpusCore._trim_history).
+_HISTORY_CAP = 256
+_HISTORY_KEEP = 96
+
+
 class _OpusCore:
     """Shared packet decode with OpusHead config.
 
@@ -241,6 +249,7 @@ class _OpusCore:
 
             self._own = _Own(head.channels)
             self._history: List[bytes] = []
+            self._dropped = 0  # raw 48k samples of trimmed prefix
             self._emitted = 0
             self._skip = head.pre_skip
             self._gain = (
@@ -263,7 +272,8 @@ class _OpusCore:
         out = (
             np.concatenate(parts) if parts else np.zeros(0, dtype=np.float32)
         )
-        drop = self._emitted * self.channels
+        emitted_before = max(0, self._dropped - self.head.pre_skip)
+        drop = max(0, self._emitted - emitted_before) * self.channels
         return out[drop:] if drop else out
 
     def _post(self, pcm) -> np.ndarray:
@@ -300,14 +310,35 @@ class _OpusCore:
             self._fast = False
             return None
 
+    def _trim_history(self) -> None:
+        """Bound the replay buffer: O(1) steady-state memory per lane.
+
+        Decoder state memory is short (CELT: one frame of overlap, two
+        frames of energy carry, ~1 period of postfilter history; SILK:
+        two frames of LPC/LTP state), so a replay from the retained
+        tail converges to the full-history decode long before the tail
+        ends — the replayed prefix output is discarded anyway (only
+        not-yet-emitted samples are returned).  Dropped packets are
+        accounted by their TOC duration so the skip/emitted arithmetic
+        stays aligned without decoding them."""
+        from soundkit_tpu.codecs.opus_core import packet_duration_48k
+
+        if len(self._history) <= _HISTORY_CAP:
+            return
+        cut = self._history[: len(self._history) - _HISTORY_KEEP]
+        self._history = self._history[len(cut):]
+        self._dropped += sum(packet_duration_48k(p) for p in cut)
+
     def _replay_own(self) -> np.ndarray:
-        """Rebuild the Python decoder's state from the full packet
+        """Rebuild the Python decoder's state from the retained packet
         history (the fast path fed none of it) and return only the
-        samples not yet emitted."""
+        samples not yet emitted.  When the history was trimmed the
+        rebuilt state is converged-from-tail rather than bit-exact —
+        inaudible after the >1 s warmup the retained tail provides."""
         from soundkit_tpu.codecs.opus_core import OpusDecoder as _Own
 
         own = _Own(self.channels)
-        skip = self.head.pre_skip
+        skip = max(0, self.head.pre_skip - self._dropped)
         chunks = []
         for p in self._history:
             out = np.asarray(own.decode_packet(p), np.float32).reshape(-1)
@@ -323,7 +354,9 @@ class _OpusCore:
         )
         self._own = own
         self._skip = skip
-        drop = self._emitted * self.channels
+        # post-skip samples produced by trimmed-away prefix packets
+        emitted_before = max(0, self._dropped - self.head.pre_skip)
+        drop = max(0, self._emitted - emitted_before) * self.channels
         new = flat[drop:] if drop else flat
         self._emitted += new.shape[0] // self.channels
         return new
@@ -333,6 +366,7 @@ class _OpusCore:
             from soundkit_tpu.codecs.opus_core import OpusUnsupported
 
             self._history.append(packet)
+            self._trim_history()
             if self._fast is not False:
                 pcm = self._try_fast(packet)
                 if pcm is not None:

@@ -142,6 +142,21 @@ def parse_packet(data: bytes) -> tuple:
     return toc, frames
 
 
+def packet_duration_48k(data: bytes) -> int:
+    """Per-channel sample count a packet decodes to at 48 kHz.
+
+    Deterministic from the TOC alone (RFC 6716 §3.1: frame count x
+    frame duration); 0 for packets that don't parse.  Used by the
+    replay-history trimming in codecs/opus.py to account for dropped
+    prefix packets without decoding them.
+    """
+    try:
+        toc, frames = parse_packet(data)
+    except Exception:
+        return 0
+    return int(len(frames) * toc.frame_duration * 48)
+
+
 class OpusDecoder:
     """Owned Opus packet decoder (48 kHz float output).
 

@@ -634,3 +634,75 @@ def test_silk_bandwidth_switch_vs_oracle():
             worst = min(worst, 10 * np.log10(sig / max(e, 1e-30)))
     assert worst > 80.0, f"worst packet {worst:.1f} dB"
     assert 10 * np.log10(den / max(num, 1e-30)) > 100.0
+
+
+@pytest.mark.slow
+def test_history_trim_bounded_memory_and_replay():
+    """The replay history is O(1) per stream: a long CELT stream on
+    the native fast path keeps at most _HISTORY_CAP packets buffered,
+    and a forced transition to the Python decoder after the cap still
+    reconstructs converged state from the retained tail (the >=2 s
+    warmup dwarfs CELT's state memory: one overlap frame, two energy
+    frames, ~1 postfilter period)."""
+    from soundkit_tpu.codecs.opus import (
+        _HISTORY_CAP,
+        _HISTORY_KEEP,
+        _OpusCore,
+    )
+    from soundkit_tpu.codecs.opus_celt_enc import OpusCeltEncoder
+
+    rng = np.random.default_rng(3)
+    n = 48000 * 9  # 9 s = 450 packets of 20 ms > _HISTORY_CAP
+    t = np.arange(n) / 48000.0
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * t)
+           * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+           + 0.03 * rng.standard_normal(n)).astype(np.float32)
+    enc = OpusCeltEncoder(channels=1, bit_rate=64000)
+    pkts = []
+    for i in range(0, n, 960):
+        pkts.extend(enc.push(pcm[i:i + 960]))
+    assert len(pkts) > _HISTORY_CAP + 60
+
+    head = OpusHead.parse(
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00"
+    )
+    split = len(pkts) - 40  # transition happens late, after trimming
+
+    core = _OpusCore(head)
+    max_hist = 0
+    outs = []
+    for p in pkts[:split]:
+        outs.append(core.decode_packet_f32(p))
+        max_hist = max(max_hist, len(core._history))
+    assert core._fast not in (None, False), "fast path must be engaged"
+    assert max_hist <= _HISTORY_CAP, f"history grew to {max_hist}"
+    assert len(core._history) <= _HISTORY_CAP
+    assert core._dropped > 0, "prefix must have been trimmed"
+
+    # force the fast path to bail exactly at `split`, like a packet
+    # the native CELT stream cannot serve would
+    def bail(pkt, _core=core):
+        _core._fast = False
+        return None
+
+    core._try_fast = bail
+    for p in pkts[split:]:
+        outs.append(core.decode_packet_f32(p))
+    got = np.concatenate(outs)
+
+    ref_dec = OpusDecoder(1)
+    ref = np.concatenate(
+        [np.asarray(ref_dec.decode_packet(p), np.float32).reshape(-1)
+         for p in pkts]
+    )
+    assert got.shape == ref.shape
+    # post-transition samples: converged-from-tail replay vs the
+    # uncapped all-Python decode
+    tail_got = got[split * 960:].astype(np.float64)
+    tail_ref = ref[split * 960:].astype(np.float64)
+    err = tail_got - tail_ref
+    snr = 10 * np.log10(
+        np.sum(tail_ref ** 2) / max(np.sum(err ** 2), 1e-30)
+    )
+    assert snr > 40.0, f"trimmed replay convergence {snr:.1f} dB"
