@@ -274,10 +274,16 @@ def bench_opus_voice(passes):
     return st
 
 
-def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0):
+def bench_telephony(codec, fixture_dir, ext, rate, passes, B=1024,
+                    device_out=False):
+    """Fetching mode is d2h-bound on the dev tunnel: B lanes of
+    8/16 kHz i16 PCM meet the ~13 MB/s egress cap at ~820x (8 kHz) /
+    ~410x (16 kHz) aggregate regardless of compute.  device_out=True
+    measures the serving configuration where a downstream device
+    stage consumes the PCM (the kernels themselves are wire+dispatch
+    bound, far past the cap)."""
     from soundkit_tpu.models.telephony_batch import BatchedTelephonyDecoder
 
-    B = 256
     data = (TESTDATA / fixture_dir / f"{CLIP}{ext}").read_bytes()
     model = BatchedTelephonyDecoder(codec, B)
 
@@ -286,12 +292,16 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0)
         for b in range(B):
             model.push(b, data)
         total = 0
+        last = None
         while True:
-            pcm, lens = model.decode_step()
+            pcm, lens = model.decode_step(device_out=device_out)
             got = int(np.asarray(lens).sum())
             if got == 0:
                 break
             total += got
+            last = pcm
+        if device_out and last is not None:
+            last.block_until_ready()
         el = time.perf_counter() - t0
         return _xrt(total / rate, el)
 
@@ -299,6 +309,8 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, samples_per_code=1.0)
     st = _passes_stats(one_pass, passes)
     st["B"] = B
     st["mb"] = round(B * len(data) / 1e6, 2)
+    if device_out:
+        st["mode"] = "device-resident (no PCM egress)"
     return st
 
 
@@ -413,6 +425,12 @@ def main():
         "g722": lambda: bench_telephony("g722", "g722", ".g722", 16000.0, args.passes),
         "g726_32": lambda: bench_telephony(
             "g726_32", "g726", "_32.g726", 8000.0, args.passes),
+        "g711_mulaw_device": lambda: bench_telephony(
+            "g711_mulaw", "g711_ulaw", ".ulaw", 8000.0, args.passes,
+            device_out=True),
+        "g726_32_device": lambda: bench_telephony(
+            "g726_32", "g726", "_32.g726", 8000.0, args.passes,
+            device_out=True),
         "fleet_mixed": lambda: bench_fleet(args.passes),
         "fleet_mixed_device": lambda: bench_fleet_device(args.passes),
     }

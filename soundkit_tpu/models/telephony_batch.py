@@ -42,23 +42,57 @@ class BatchedTelephonyDecoder:
         self._queues: List[bytearray] = [bytearray() for _ in range(num_streams)]
         self._g726_rate: Optional[G726Rate] = None
 
+        # packed wire: [codes u8 B*chunk][counts i32 B] in ONE uint8
+        # buffer (each separate jnp.asarray costs ~90us of issue
+        # overhead on the tunnel; int32 codes + bool mask was 5 bytes
+        # of h2d per 1-byte code).  The validity mask is rebuilt on
+        # device from the per-lane code counts.
+        self._off_counts = (num_streams * chunk_codes + 3) & ~3
+        self._wire_total = self._off_counts + 4 * num_streams
+
+        def unpack(buf):
+            import jax.numpy as jnp
+            from jax import lax
+
+            B, chunk = self.B, self.chunk
+            raw = lax.slice(buf, (0,), (B * chunk,))
+            codes = lax.bitcast_convert_type(raw, jnp.uint8)
+            codes = codes.reshape(B, chunk).astype(jnp.int32)
+            cr = lax.slice(
+                buf, (self._off_counts,), (self._off_counts + 4 * B,)
+            )
+            counts = lax.bitcast_convert_type(
+                cr.reshape(B, 4), jnp.int32
+            ).reshape(B)
+            valid = (
+                jnp.arange(chunk, dtype=jnp.int32)[None, :]
+                < counts[:, None]
+            )
+            return codes, valid
+
         if codec.startswith("g711"):
             is_alaw = codec.endswith("alaw")
             self._state = None
-            self._step = jax.jit(
-                lambda codes, valid: jax.numpy.where(
-                    valid,
-                    companding.decode_alaw(codes) if is_alaw else companding.decode_mulaw(codes),
-                    0,
-                )
-            )
+
+            def step_g711(buf):
+                import jax.numpy as jnp
+
+                codes, valid = unpack(buf)
+                pcm = (companding.decode_alaw(codes) if is_alaw
+                       else companding.decode_mulaw(codes))
+                return jnp.where(valid, pcm, 0)
+
+            self._step = jax.jit(step_g711)
             self.samples_per_code = 1
             self.sample_rate = 8000
         elif codec == "g722":
             self._state = g722_ops.g722_init_state(num_streams)
-            self._step = jax.jit(
-                lambda codes, valid, st: g722_ops.g722_decode_scan(codes, st, valid)
-            )
+
+            def step_g722(buf, st):
+                codes, valid = unpack(buf)
+                return g722_ops.g722_decode_scan(codes, st, valid)
+
+            self._step = jax.jit(step_g722)
             self.samples_per_code = 2
             self.sample_rate = 16000
         else:
@@ -66,48 +100,54 @@ class BatchedTelephonyDecoder:
             self._g726_rate = {2: G726Rate.RATE_16000, 3: G726Rate.RATE_24000,
                                4: G726Rate.RATE_32000, 5: G726Rate.RATE_40000}[bits]
             self._state = adpcm.g726_init_state(num_streams)
-            self._step = jax.jit(
-                lambda codes, valid, st, _b=bits: adpcm.g726_decode_scan(codes, st, _b, valid)
-            )
+
+            def step_g726(buf, st, _b=bits):
+                codes, valid = unpack(buf)
+                return adpcm.g726_decode_scan(codes, st, _b, valid)
+
+            self._step = jax.jit(step_g726)
             self.samples_per_code = 1  # one code = one sample
             self.sample_rate = 8000
 
     def push(self, stream_idx: int, data: bytes) -> None:
         self._queues[stream_idx].extend(data)
 
-    def decode_step(self) -> Tuple[np.ndarray, np.ndarray]:
+    def decode_step(self, device_out: bool = False):
         """Decode up to chunk codes per stream.
 
         Returns (pcm [B, chunk*samples_per_code] i16, lengths [B]):
-        lengths in produced samples per stream.
-        """
+        lengths in produced samples per stream.  ``device_out=True``
+        leaves the PCM on device for a downstream device consumer —
+        the d2h egress of full PCM is the throughput wall on thin
+        links (~13 MB/s on the dev tunnel caps 8 kHz i16 fetching at
+        ~820x aggregate; see CLAUDE.md)."""
         import jax.numpy as jnp
 
-        codes = np.zeros((self.B, self.chunk), dtype=np.int32)
-        valid = np.zeros((self.B, self.chunk), dtype=bool)
+        # FRESH buffer per step (transfers may read the host buffer
+        # asynchronously after dispatch; never pool wire buffers)
+        buf = np.zeros(self._wire_total, dtype=np.uint8)
+        codes = buf[: self.B * self.chunk].reshape(self.B, self.chunk)
+        counts = buf[self._off_counts:].view("<i4")
         lens = np.zeros(self.B, dtype=np.int64)
         for i, q in enumerate(self._queues):
-            n = self._prepare_lane(i, q, codes, valid)
+            n = self._prepare_lane(i, q, codes)
+            counts[i] = n
             lens[i] = n * self.samples_per_code
         if self.codec.startswith("g711"):
-            pcm = self._step(jnp.asarray(codes), jnp.asarray(valid))
+            pcm = self._step(jnp.asarray(buf))
         else:
-            pcm, self._state = self._step(
-                jnp.asarray(codes), jnp.asarray(valid), self._state
-            )
-        return np.asarray(pcm), lens
+            pcm, self._state = self._step(jnp.asarray(buf), self._state)
+        if device_out:
+            return pcm, lens
+        from soundkit_tpu.utils.wire import from_device_chunked
 
-    def _prepare_lane(self, i, q, codes, valid) -> int:
-        if self.codec.startswith("g711"):
+        return from_device_chunked(pcm), lens
+
+    def _prepare_lane(self, i, q, codes) -> int:
+        """Fill lane i's uint8 code row; returns the code count."""
+        if self.codec.startswith("g711") or self.codec == "g722":
             n = min(len(q), self.chunk)
             codes[i, :n] = np.frombuffer(bytes(q[:n]), dtype=np.uint8)
-            valid[i, :n] = True
-            del q[:n]
-            return n
-        if self.codec == "g722":
-            n = min(len(q), self.chunk)
-            codes[i, :n] = np.frombuffer(bytes(q[:n]), dtype=np.uint8)
-            valid[i, :n] = True
             del q[:n]
             return n
         rate = self._g726_rate
@@ -119,7 +159,6 @@ class BatchedTelephonyDecoder:
         if g:
             cs = unpack_codes(bytes(q[:nbytes]), rate.bits_per_sample, G726Packing.LEFT)
             codes[i, : len(cs)] = cs
-            valid[i, : len(cs)] = True
             del q[:nbytes]
             return len(cs)
         return 0
