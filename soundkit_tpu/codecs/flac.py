@@ -172,3 +172,72 @@ class FlacPartsStream:
                 f"frame exceeds parts stride {self.stride} or has >2 channels"
             )
         return meta, resw, coef
+
+
+class FlacSegsStream:
+    """Segment-wire FLAC stream for the device-Rice split.
+
+    The host only WALKS the bitstream (skt_flac_next_segs): the wire
+    ships the raw frame bytes plus a table of Rice/fixed-width coding
+    spans, and the device decodes the residual payloads itself
+    (ops/flac_rice.py) before running LPC reconstruction.  This drops
+    the per-frame h2d wire from 4 B/sample of int32 residual plane to
+    the compressed frame bytes (~0.4-2 B/sample).
+
+    ``next()`` returns either
+      ("segs", meta, coef, warm, xmeta, segs[n,4], frame_bytes) or
+      ("parts", meta, resw, coef)  — rare shapes the segment wire
+        cannot carry (>32-bit reads, oversized frames), exported via
+        skt_flac_export_parts_last so nothing is ever re-decoded,
+    or None when more input is needed.
+    """
+
+    SEG_CAP = 8192
+    MAX_FRAME_BYTES = 65536
+
+    def __init__(self, stride: int = 4608) -> None:
+        self._lib = load()
+        self._h = self._lib.skt_flac_new()
+        self.stride = stride
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.skt_flac_free(self._h)
+            self._h = None
+
+    def feed(self, chunk: bytes) -> None:
+        if self._lib.skt_flac_feed(self._h, chunk, len(chunk)) != 0:
+            raise FlacError(self._lib.skt_flac_error(self._h).decode())
+
+    def next(self):
+        meta = np.zeros(12, dtype=np.int32)
+        coef = np.zeros((2, 32), dtype=np.int32)
+        warm = np.zeros((2, 32), dtype=np.int32)
+        xmeta = np.zeros(8, dtype=np.int32)
+        segs = np.zeros((self.SEG_CAP, 4), dtype=np.int32)
+        fbytes = np.zeros(self.MAX_FRAME_BYTES, dtype=np.uint8)
+        rc = self._lib.skt_flac_next_segs(
+            self._h, meta, coef.reshape(-1), warm.reshape(-1), xmeta,
+            segs.reshape(-1), fbytes, self.stride, self.SEG_CAP,
+            self.MAX_FRAME_BYTES,
+        )
+        if rc == 0:
+            return None
+        if rc == -1:
+            raise FlacError(self._lib.skt_flac_error(self._h).decode())
+        if rc == -2:
+            resw = np.zeros((2, self.stride), dtype=np.int32)
+            rc2 = self._lib.skt_flac_export_parts_last(
+                self._h, meta, resw.reshape(-1), coef.reshape(-1),
+                self.stride,
+            )
+            if rc2 != 1:
+                raise FlacError(
+                    f"frame exceeds parts stride {self.stride} or has "
+                    f">2 channels"
+                )
+            return "parts", meta, resw, coef
+        n = int(xmeta[4])
+        nb = int(xmeta[5])
+        return ("segs", meta, coef, warm, xmeta, segs[:n].copy(),
+                bytes(fbytes[:nb]))

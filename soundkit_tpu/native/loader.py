@@ -71,6 +71,16 @@ def load() -> ctypes.CDLL:
     i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
     lib.skt_flac_next_parts.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_long]
     lib.skt_flac_next_parts.restype = ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    lib.skt_flac_next_segs.argtypes = [
+        ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p, u8p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+    ]
+    lib.skt_flac_next_segs.restype = ctypes.c_int
+    lib.skt_flac_export_parts_last.argtypes = [
+        ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_long,
+    ]
+    lib.skt_flac_export_parts_last.restype = ctypes.c_int
 
     # avshim
     lib.skt_av_open.restype = ctypes.c_void_p

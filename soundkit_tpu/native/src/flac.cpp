@@ -176,6 +176,19 @@ struct FrameInfo {
     size_t frame_bytes = 0;  // total encoded size incl. crc16
 };
 
+// one device-decodable bitstream span: `n` codes starting at frame-
+// relative `bitoff`.  k >= 0 = Rice parameter; k < 0 = fixed-width
+// signed reads of (-k - 1) bits (escape partitions, verbatim).
+// `steps` = device scan iterations needed (n + one extra per 24-zero
+// unary window skip, matching ops/flac_rice.py).
+struct Seg {
+    uint32_t bitoff;
+    int32_t k;
+    uint32_t n;
+    uint32_t steps;
+    uint32_t dest;  // sample index within the subframe plane
+};
+
 // decoded subframe structure for the device-export mode
 struct SubframeParts {
     int type = 0;        // 0 const, 1 verbatim, 2 fixed, 3 lpc
@@ -186,10 +199,16 @@ struct SubframeParts {
     std::vector<int32_t> warmup;     // order entries (fixed/lpc)
     std::vector<int32_t> residual;   // block_size - order entries
     std::vector<int32_t> verbatim;   // const(1)/verbatim(block) raw
+    std::vector<Seg> segs;           // device-Rice wire (segment mode)
 };
 
+// default span length cap for the device-Rice wire: segments longer
+// than this are split so the device scan stays short (the scan length
+// is the max `steps` across a batch)
+constexpr uint32_t SEG_LEN_CAP = 144;
+
 void read_residual(BitReader& br, uint32_t block_size, uint32_t order,
-                   std::vector<int32_t>& out) {
+                   std::vector<int32_t>& out, SubframeParts* rec = nullptr) {
     uint32_t method = br.read_bits(2);
     if (method > 1) throw BadStream{"bad residual method"};
     unsigned plen = method == 0 ? 4 : 5;
@@ -205,14 +224,36 @@ void read_residual(BitReader& br, uint32_t block_size, uint32_t order,
         uint32_t param = br.read_bits(plen);
         if (param == escape) {
             uint32_t raw = br.read_bits(5);
-            for (uint32_t i = 0; i < count; ++i)
-                out.push_back(raw ? br.read_signed(raw) : 0);
+            uint32_t left = count;
+            while (left) {
+                uint32_t take = rec ? std::min(left, SEG_LEN_CAP) : left;
+                uint32_t off = (uint32_t)(br.byte_pos() * 8 + br.bit_offset());
+                uint32_t dest = order + (uint32_t)out.size();
+                for (uint32_t i = 0; i < take; ++i)
+                    out.push_back(raw ? br.read_signed(raw) : 0);
+                if (rec)
+                    rec->segs.push_back(
+                        {off, -(int32_t)raw - 1, take, take, dest});
+                left -= take;
+            }
         } else {
-            for (uint32_t i = 0; i < count; ++i) {
-                uint32_t q = br.read_unary();
-                uint32_t r = param ? br.read_bits(param) : 0;
-                uint32_t zz = (q << param) | r;
-                out.push_back((int32_t)(zz >> 1) ^ -(int32_t)(zz & 1));
+            uint32_t left = count;
+            while (left) {
+                uint32_t take = rec ? std::min(left, SEG_LEN_CAP) : left;
+                uint32_t off = (uint32_t)(br.byte_pos() * 8 + br.bit_offset());
+                uint32_t dest = order + (uint32_t)out.size();
+                uint32_t steps = take;
+                for (uint32_t i = 0; i < take; ++i) {
+                    uint32_t q = br.read_unary();
+                    uint32_t r = param ? br.read_bits(param) : 0;
+                    uint32_t zz = (q << param) | r;
+                    out.push_back((int32_t)(zz >> 1) ^ -(int32_t)(zz & 1));
+                    steps += q / 24;  // device 24-zero window skips
+                }
+                if (rec)
+                    rec->segs.push_back(
+                        {off, (int32_t)param, take, steps, dest});
+                left -= take;
             }
         }
     }
@@ -239,9 +280,20 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
     } else if (type == 1) {  // VERBATIM
         sf.type = 1;
         sf.verbatim.resize(block_size);
-        for (uint32_t i = 0; i < block_size; ++i) {
-            sf.verbatim[i] = br.read_signed(ebps);
-            samples[i] = sf.verbatim[i];
+        uint32_t done = 0;
+        while (done < block_size) {
+            uint32_t take = reconstruct ? block_size - done
+                                        : std::min(block_size - done,
+                                                   SEG_LEN_CAP);
+            uint32_t off = (uint32_t)(br.byte_pos() * 8 + br.bit_offset());
+            for (uint32_t i = done; i < done + take; ++i) {
+                sf.verbatim[i] = br.read_signed(ebps);
+                samples[i] = sf.verbatim[i];
+            }
+            if (!reconstruct)
+                sf.segs.push_back(
+                    {off, -(int32_t)ebps - 1, take, take, done});
+            done += take;
         }
     } else if (type >= 8 && type <= 12) {  // FIXED order 0-4
         uint32_t order = type - 8;
@@ -253,7 +305,8 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
             sf.warmup[i] = br.read_signed(ebps);
             samples[i] = sf.warmup[i];
         }
-        read_residual(br, block_size, order, sf.residual);
+        read_residual(br, block_size, order, sf.residual,
+                      reconstruct ? nullptr : &sf);
         if (reconstruct) {
             const int64_t* s = samples.data();
             for (uint32_t i = order; i < block_size; ++i) {
@@ -285,7 +338,8 @@ void decode_subframe(BitReader& br, uint32_t block_size, uint32_t bps,
         sf.shift = shift;
         sf.coeffs.resize(order);
         for (uint32_t i = 0; i < order; ++i) sf.coeffs[i] = br.read_signed(prec);
-        read_residual(br, block_size, order, sf.residual);
+        read_residual(br, block_size, order, sf.residual,
+                      reconstruct ? nullptr : &sf);
         if (reconstruct) {
             for (uint32_t i = order; i < block_size; ++i) {
                 int64_t acc = 0;
@@ -330,6 +384,7 @@ struct FlacDecoder {
     // scratch for device-export mode
     std::vector<SubframeParts> last_parts;
     FrameInfo last_frame;
+    std::vector<uint8_t> last_bytes;  // raw frame bytes (segment wire)
 
     void compact() {
         if (consumed > (1u << 20)) {
@@ -478,6 +533,9 @@ struct FlacDecoder {
                         out.push_back((int32_t)chan[c][i]);
             }
 
+            if (export_parts)
+                last_bytes.assign(buf.begin() + consumed,
+                                  buf.begin() + consumed + fi.frame_bytes);
             consumed += fi.frame_bytes;
             samples_decoded += fi.block_size;
             last_frame = fi;
@@ -572,21 +630,13 @@ int skt_flac_feed(void* h, const uint8_t* data, long len) {
     }
 }
 
-// 1 = frame exported, 0 = need more data, -1 = bad stream,
-// -2 = frame does not fit (block > stride or >2 channels)
-int skt_flac_next_parts(void* h, int32_t* meta, int32_t* resw,
-                        int32_t* coef, long stride) {
+// export the already-decoded last frame as the residual-plane wire:
+// 1 ok, -2 = frame does not fit (block > stride or >2 channels)
+static int export_parts_of_last(FlacDecoder* d, int32_t* meta, int32_t* resw,
+                                int32_t* coef, long stride) {
     static const int32_t FIXED_COEFS[5][4] = {
         {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
         {3, -3, 1, 0}, {4, -6, 4, -1}};
-    auto* d = (FlacDecoder*)h;
-    try {
-        if (!d->header_done && !d->parse_header()) return 0;
-        if (!d->decode_frame(true)) return 0;
-    } catch (BadStream& e) {
-        snprintf(d->error, sizeof d->error, "%s", e.msg);
-        return -1;
-    }
     const FrameInfo& fi = d->last_frame;
     long bs = (long)fi.block_size;
     if (fi.channels > 2 || bs > stride) return -2;
@@ -626,6 +676,126 @@ int skt_flac_next_parts(void* h, int32_t* meta, int32_t* resw,
     }
     meta[10] = meta[11] = 0;
     return 1;
+}
+
+// 1 = frame exported, 0 = need more data, -1 = bad stream,
+// -2 = frame does not fit (block > stride or >2 channels)
+int skt_flac_next_parts(void* h, int32_t* meta, int32_t* resw,
+                        int32_t* coef, long stride) {
+    auto* d = (FlacDecoder*)h;
+    try {
+        if (!d->header_done && !d->parse_header()) return 0;
+        if (!d->decode_frame(true)) return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+    return export_parts_of_last(d, meta, resw, coef, stride);
+}
+
+// ---- device-Rice split: the segment wire ----
+//
+// The device decodes the Rice/fixed-width residual payloads itself
+// (ops/flac_rice.py SIMD bitstream interpreter); the host walk only
+// locates them.  Wire per frame:
+//   meta int32[12]: as the parts wire (const/verbatim export order 0)
+//   coef int32[2*32], warm int32[2*32]: LPC coefficients + warmup
+//   xmeta int32[8]: c0_const, c0_val, c1_const, c1_val, n_segs,
+//                   frame_bytes, max_steps, 0
+//   segs int32[seg_cap*4]: per segment (bitoff, k, n, dest) with
+//        k >= 0 Rice / k < 0 fixed-width (-k-1 bits); dest indexes the
+//        [2*stride] residual plane (c*stride + position)
+//   fbytes uint8[max_frame_bytes]: the raw frame
+//
+// 1 = exported, 0 = need data, -1 = bad stream, -2 = frame decoded but
+// does not fit this wire (caller exports it via
+// skt_flac_export_parts_last instead)
+int skt_flac_next_segs(void* h, int32_t* meta, int32_t* coef, int32_t* warm,
+                       int32_t* xmeta, int32_t* segs, uint8_t* fbytes,
+                       long stride, long seg_cap, long max_frame_bytes) {
+    static const int32_t FIXED_COEFS[5][4] = {
+        {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
+        {3, -3, 1, 0}, {4, -6, 4, -1}};
+    auto* d = (FlacDecoder*)h;
+    try {
+        if (!d->header_done && !d->parse_header()) return 0;
+        if (!d->decode_frame(true)) return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+    const FrameInfo& fi = d->last_frame;
+    long bs = (long)fi.block_size;
+    if (fi.channels > 2 || bs > stride) return -2;
+    if ((long)d->last_bytes.size() > max_frame_bytes) return -2;
+    long total_segs = 0;
+    for (uint32_t c = 0; c < fi.channels; ++c)
+        total_segs += (long)d->last_parts[c].segs.size();
+    if (total_segs > seg_cap) return -2;
+    for (uint32_t c = 0; c < fi.channels; ++c)
+        for (const Seg& s : d->last_parts[c].segs)
+            if (s.k < 0 && -s.k - 1 > 32) return -2;  // >32-bit reads
+
+    meta[0] = (int32_t)fi.block_size;
+    meta[1] = (int32_t)fi.channels;
+    meta[2] = (int32_t)fi.channel_assignment;
+    meta[3] = (int32_t)fi.bits_per_sample;
+    int32_t max_steps = 0;
+    long si = 0;
+    for (uint32_t c = 0; c < 2; ++c) {
+        int32_t* cf = coef + c * 32;
+        int32_t* wm = warm + c * 32;
+        memset(cf, 0, 32 * 4);
+        memset(wm, 0, 32 * 4);
+        xmeta[2 * c] = 0;
+        xmeta[2 * c + 1] = 0;
+        int order = 0, shift = 0, wasted = 0;
+        if (c < fi.channels) {
+            const SubframeParts& sf = d->last_parts[c];
+            wasted = sf.wasted;
+            if (sf.type == 0) {  // constant: no segments, value in xmeta
+                xmeta[2 * c] = 1;
+                xmeta[2 * c + 1] = sf.verbatim[0];
+            } else {
+                if (sf.type >= 2) {
+                    order = sf.order;
+                    shift = sf.type == 2 ? 0 : sf.shift;
+                    if (sf.type == 2)
+                        for (int k = 0; k < order; ++k)
+                            cf[k] = FIXED_COEFS[order][k];
+                    else
+                        for (int k = 0; k < order; ++k) cf[k] = sf.coeffs[k];
+                    for (int n = 0; n < order; ++n) wm[n] = sf.warmup[n];
+                }
+                for (const Seg& s : sf.segs) {
+                    segs[si * 4 + 0] = (int32_t)s.bitoff;
+                    segs[si * 4 + 1] = s.k;
+                    segs[si * 4 + 2] = (int32_t)s.n;
+                    segs[si * 4 + 3] = (int32_t)((long)c * stride + s.dest);
+                    if ((int32_t)s.steps > max_steps)
+                        max_steps = (int32_t)s.steps;
+                    ++si;
+                }
+            }
+        }
+        meta[4 + (int)c * 3 + 0] = order;
+        meta[4 + (int)c * 3 + 1] = shift;
+        meta[4 + (int)c * 3 + 2] = wasted;
+    }
+    meta[10] = meta[11] = 0;
+    xmeta[4] = (int32_t)si;
+    xmeta[5] = (int32_t)d->last_bytes.size();
+    xmeta[6] = max_steps;
+    xmeta[7] = 0;
+    memcpy(fbytes, d->last_bytes.data(), d->last_bytes.size());
+    return 1;
+}
+
+// export the frame most recently decoded by skt_flac_next_segs via the
+// residual-plane wire (the -2 fallback): 1 ok, -2 doesn't fit
+int skt_flac_export_parts_last(void* h, int32_t* meta, int32_t* resw,
+                               int32_t* coef, long stride) {
+    return export_parts_of_last((FlacDecoder*)h, meta, resw, coef, stride);
 }
 
 }  // extern "C"
