@@ -122,7 +122,7 @@ def bench_mp3(passes):
 def bench_flac(passes):
     from soundkit_tpu.models.flac_batch import BatchedFlacDecoder
 
-    B = 64
+    B = 256
     data = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
     model = BatchedFlacDecoder(B)
 

@@ -208,6 +208,68 @@ class NativeSilkBatch:
             info.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
         return out, n_out, info
 
+    def parse_many(self, frames, bws, coded, durations, valid):
+        """Parse-export for the device LTP/LPC split: walk every
+        lane's single-frame (10/20 ms) payload, export the synthesis
+        inputs and the final range-coder state (hybrid continuation),
+        and leave synthesis + output history to the device kernel
+        (ops/silk_batch.py).
+
+        Returns a dict of per-lane arrays (layout documented at
+        native/src/silk_parse.cpp skt_silk_parse_many)."""
+        lib = self._lib
+        if not hasattr(lib, "_skt_silk_parse_ready"):
+            dp = ctypes.POINTER(ctypes.c_double)
+            ip = ctypes.POINTER(ctypes.c_int)
+            lp = ctypes.POINTER(ctypes.c_long)
+            lib.skt_silk_parse_many.restype = ctypes.c_int
+            lib.skt_silk_parse_many.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+                ctypes.c_char_p, lp, lp, ip, ip, ip,
+                ctypes.POINTER(ctypes.c_ubyte),
+                dp, dp, dp, dp, dp, dp, ip, ip, lp, lp]
+            lib._skt_silk_parse_ready = True
+        B = self.B
+        buf = b"".join(f for f, v in zip(frames, valid) if v)
+        offs = np.zeros(B, dtype=np.int64)
+        lens = np.zeros(B, dtype=np.int64)
+        pos = 0
+        for b in range(B):
+            if valid[b]:
+                offs[b] = pos
+                lens[b] = len(frames[b])
+                pos += lens[b]
+        bws_a = np.ascontiguousarray(bws, dtype=np.int32)
+        coded_a = np.ascontiguousarray(coded, dtype=np.int32)
+        dur_a = np.ascontiguousarray(durations, dtype=np.int32)
+        valid_a = np.ascontiguousarray(valid, dtype=np.uint8)
+        r = {
+            "exc": np.zeros((B, 2, 320), np.float64),
+            "gains": np.zeros((B, 2, 4), np.float64),
+            "coef": np.zeros((B, 2, 2, 16), np.float64),
+            "ltp": np.zeros((B, 2, 4, 5), np.float64),
+            "ltpscale": np.zeros((B, 2), np.float64),
+            "stereo_w": np.zeros((B, 4), np.float64),
+            "lags": np.zeros((B, 2, 4), np.int32),
+            "flags": np.zeros((B, 12), np.int32),
+            "n": np.zeros(B, np.int64),
+            "info": np.zeros((B, 13), np.int64),
+        }
+        d = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_double))
+        i = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_int))
+        l = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_long))
+        lib.skt_silk_parse_many(
+            self._handles, B, buf, l(offs), l(lens), i(bws_a),
+            i(coded_a), i(dur_a),
+            valid_a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            d(r["exc"]), d(r["gains"]), d(r["coef"]), d(r["ltp"]),
+            d(r["ltpscale"]), d(r["stereo_w"]), i(r["lags"]),
+            i(r["flags"]), l(r["n"]), l(r["info"]))
+        return r
+
 
 class NativeSilkEncoder:
     """Native SILK frame encoder (mono or stereo), byte-identical to

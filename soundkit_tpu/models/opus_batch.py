@@ -595,3 +595,156 @@ class BatchedSilkDecoder:
                     pcm[i, b, :, self.FRAME - m:] = out48[k:].T
                 lengths[i, b] = m
         return pcm, lengths
+
+
+class BatchedSilkDeviceDecoder:
+    """Lockstep multi-stream SILK-voice decoder, synthesis on device.
+
+    Round-4 split of :class:`BatchedSilkDecoder` (VERDICT #4): the
+    native walk (silk_parse.cpp ``skt_silk_parse_many``) range-decodes
+    every lane's frame and exports the synthesis inputs; the
+    per-sample LTP/LPC recursion, stereo unmix and oracle-matched
+    48 kHz resample run as ONE jitted step over ``[B, 2, ...]`` lanes
+    with carried device state (ops/silk_batch.py) — host output
+    agrees with the host engine to ~110 dB (f32 serving) and to the
+    f32 resampler's own arithmetic noise in f64
+    (tests/test_silk_device.py).
+
+    Serves 20 ms single-frame SILK packets (mono or stereo coding may
+    vary per packet; midonly handled in-lane) at a constant per-lane
+    bandwidth.  Bandwidth switches / multi-frame packets remain the
+    caller's reroute cases.
+
+    Slot convention: every decoded round yields one 960-sample slot
+    per lane with valid samples at the END; a lane's FIRST slot has
+    ``960 - lead`` valid samples, where ``lead`` is the bandwidth's
+    stream-start resampler offset (silk_batch.lead_invalid — NB 23,
+    MB/WB 0).  Lengths are computed host-side (no device sync).
+
+    Reference role: soundkit-opus/src/lib.rs per-pipeline decode.
+    """
+
+    FRAME = 960
+
+    def __init__(self, num_streams: int, channels: int = 2):
+        from soundkit_tpu.codecs.silk_native import NativeSilkBatch
+        from soundkit_tpu.ops import silk_batch as _sb
+
+        self.B = num_streams
+        self.C = channels
+        self.sample_rate = 48000
+        self._sb = _sb
+        self._batch = NativeSilkBatch(num_streams, channels)
+        self._packets: List[List[tuple]] = [[] for _ in range(num_streams)]
+        self.bw = [None] * num_streams
+        self._fresh = np.ones(num_streams, bool)
+        self._skip = [0] * num_streams
+        self._gain = np.ones(num_streams, np.float32)
+        self._state = {}  # bw -> (out_hist, lpch_tail, rs_tail) device
+
+    def configure_lane(self, b: int, pre_skip: int = 0,
+                       gain_q8: int = 0) -> None:
+        self._skip[b] = pre_skip
+        self._gain[b] = np.float32(
+            10.0 ** (gain_q8 / (20.0 * 256.0)) if gain_q8 else 1.0)
+
+    def reset_lane(self, b: int) -> None:
+        self._batch.reset_lane(b)
+        self._packets[b] = []
+        self.bw[b] = None
+        self._fresh[b] = True  # the step zeroes this lane's state
+        self._skip[b] = 0
+        self._gain[b] = np.float32(1.0)
+
+    def lane_ready(self, b: int) -> int:
+        return len(self._packets[b])
+
+    def push_packet(self, b: int, frame: bytes, bandwidth: int,
+                    coded: int) -> None:
+        """Queue one 20 ms SILK frame payload (no TOC); the first
+        packet pins the lane's bandwidth."""
+        if self.bw[b] is None:
+            self.bw[b] = bandwidth
+        self._packets[b].append((frame, coded))
+
+    def _group_state(self, bw: int):
+        if bw not in self._state:
+            import jax.numpy as jnp
+
+            self._state[bw] = tuple(
+                jnp.asarray(s)
+                for s in self._sb.init_state(self.B, bw, np.float32))
+        return self._state[bw]
+
+    def decode_ready(self, max_packets: Optional[int] = None,
+                     device_out: bool = False):
+        """Decode lockstep rounds.  Returns (pcm [rounds, B, C, 960]
+        with valid samples at the END of each slot — a device f32
+        array when ``device_out``, host f32 otherwise — and lengths
+        [rounds, B] i32)."""
+        import jax.numpy as jnp
+
+        sb = self._sb
+        B, C = self.B, self.C
+        counts = [len(p) for p in self._packets]
+        n = max(counts) if counts else 0
+        if max_packets is not None:
+            n = min(n, max_packets)
+        lengths = np.zeros((n, B), np.int32)
+        rounds = []
+        for i in range(n):
+            frames = [b""] * B
+            bws = np.zeros(B, np.int32)
+            coded = np.ones(B, np.int32)
+            valid = np.zeros(B, np.uint8)
+            for b in range(B):
+                if not self._packets[b]:
+                    continue
+                frames[b], coded[b] = self._packets[b].pop(0)
+                bws[b] = self.bw[b]
+                valid[b] = 1
+            p = self._batch.parse_many(frames, bws, coded,
+                                       [20] * B, valid)
+            ok = valid.astype(bool) & (p["n"] > 0)
+            y_total = None
+            for bw in sorted({int(b_) for b_ in bws[ok]}):
+                g = ok & (bws == bw)
+                state = self._group_state(bw)
+                fresh = (self._fresh & g).astype(np.float32)
+                f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+                y, *state = sb.silk_round(
+                    bw, C == 2,
+                    f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
+                    np.ascontiguousarray(p["flags"][:, 7:9]),
+                    np.ascontiguousarray(p["flags"][:, 5:7]),
+                    p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
+                    np.ascontiguousarray(p["flags"][:, 9:11]),
+                    (p["flags"][:, 2] == 2).astype(np.int32),
+                    np.ascontiguousarray(p["flags"][:, 4]),
+                    f32(p["stereo_w"]), self._gain, g, fresh,
+                    *state)
+                self._state[bw] = tuple(state)
+                y_total = y if y_total is None else y_total + y
+            if y_total is None:
+                y_total = jnp.zeros((B, 2, self.FRAME), jnp.float32)
+            rounds.append(y_total[:, :C] if C < 2 else y_total)
+            # host-side length bookkeeping: first slot is short by the
+            # bandwidth's stream-start offset, then pre-skip consumes
+            for b in range(B):
+                if not ok[b]:
+                    continue
+                m = self.FRAME
+                if self._fresh[b]:
+                    m -= sb.lead_invalid(int(bws[b]))
+                    self._fresh[b] = False
+                k = min(self._skip[b], m)
+                self._skip[b] -= k
+                lengths[i, b] = m - k
+        if not rounds:
+            shape = (0, B, C, self.FRAME)
+            return (jnp.zeros(shape, jnp.float32) if device_out
+                    else np.zeros(shape, np.float32)), lengths
+        pcm = jnp.stack(rounds)
+        if device_out:
+            return pcm, lengths
+        return np.asarray(pcm), lengths

@@ -597,11 +597,29 @@ void decode_excitation(SilkDec& s, RC& rc, int qoffset_high, int active,
   for (int i = shellblocks * 16; i < s.flength; i++) out[i] = 0.0;
 }
 
+// Per-channel synthesis parameters for the device LTP/LPC split
+// (ops/silk_batch.py): everything decode_frame's synthesis block
+// consumes, so the [B]-lane device scan can reproduce it exactly.
+struct SynthParams {
+  double exc[320];
+  double gains[4];
+  double leadin[16], lpc[16];
+  int has_leadin;
+  int voiced;
+  int64_t pitchlag[4];
+  double ltptaps[4][LTP_ORDER];
+  double ltpscale;
+  int coded;  // this channel carried a frame this superframe
+};
+
 // opus_silk.py _decode_frame (incl. the LBRR condCoding + parse-state
-// rules validated against libopus this round)
+// rules validated against libopus this round).  With ``sp`` set the
+// synthesis block is skipped and its inputs are exported instead —
+// all parse-visible state (log_gain, nlsf, lpc, primarylag,
+// prev_voiced) still advances, exactly like the LBRR parse-only path.
 void decode_frame(SilkDec& s, RC& rc, int channel, int coded_channels,
                   bool active, int frame_num, int active1, bool lbrr,
-                  int independent) {
+                  int independent, SynthParams* sp = nullptr) {
   SilkFrame& frame = s.frames[channel];
   int order = s.wb ? 16 : 10;
   int sfl = s.sflength;
@@ -736,6 +754,24 @@ void decode_frame(SilkDec& s, RC& rc, int channel, int coded_channels,
   if (lbrr) {
     // parse-only: synthesis + output history skipped, all parse-
     // visible state persists (libopus decode_indices semantics)
+    frame.prev_voiced = voiced;
+    frame.coded = true;
+    return;
+  }
+  if (sp) {
+    // device-synthesis split: export the synthesis inputs, advance
+    // the parse state, leave output/lpc history to the device
+    memcpy(sp->exc, excitation, sizeof(double) * flength);
+    for (int i = flength; i < 320; i++) sp->exc[i] = 0.0;
+    memcpy(sp->gains, gains, sizeof gains);
+    memcpy(sp->leadin, lo.leadin, sizeof lo.leadin);
+    memcpy(sp->lpc, lo.lpc, sizeof lo.lpc);
+    sp->has_leadin = lo.has_leadin ? 1 : 0;
+    sp->voiced = voiced ? 1 : 0;
+    memcpy(sp->pitchlag, pitchlag, sizeof pitchlag);
+    memcpy(sp->ltptaps, ltptaps, sizeof ltptaps);
+    sp->ltpscale = ltpscale;
+    sp->coded = 1;
     frame.prev_voiced = voiced;
     frame.coded = true;
     return;
@@ -891,6 +927,71 @@ long decode_superframe(SilkDec& s, RC& rc, int bandwidth, int coded_channels,
   return (long)nb_frames * flen;
 }
 
+// opus_silk.py decode_superframe, parse-export variant for the
+// device LTP/LPC split: single-frame (10/20 ms) packets only; fills
+// sp[0..coded_channels) with the synthesis inputs, advances every
+// parse-visible state, and leaves synthesis + output history to the
+// device kernel (ops/silk_batch.py).  stereo_out = [w0_prev, w1_prev,
+// w0_cur, w1_cur] captured before the prev update.  Returns flength
+// (samples per channel at the internal rate) or -1 on bad args.
+long parse_superframe(SilkDec& s, RC& rc, int bandwidth,
+                      int coded_channels, int duration_ms,
+                      SynthParams sp[2], double stereo_out[4],
+                      int* midonly_out, int* side_reset_out) {
+  if (duration_ms != 10 && duration_ms != 20) return -1;
+  s.subframes = duration_ms / 5;
+  s.sflength = 20 * (bandwidth + 2);
+  s.flength = s.sflength * s.subframes;
+  s.bandwidth = bandwidth;
+  s.wb = bandwidth == 2;
+  *side_reset_out = 0;
+  if (s.prev_channels < coded_channels) {
+    s.frames[1].reset();
+    *side_reset_out = 1;
+  }
+  s.prev_channels = coded_channels;
+  sp[0].coded = 0;
+  sp[1].coded = 0;
+
+  bool active[2];
+  bool redundancy[2] = {false, false};
+  for (int c = 0; c < coded_channels; c++) {
+    active[c] = rc.dec_bit_logp(1) != 0;
+    redundancy[c] = rc.dec_bit_logp(1) != 0;
+  }
+  for (int c = 0; c < coded_channels; c++) {
+    if (redundancy[c]) {
+      bool side_lbrr = coded_channels == 2 && redundancy[1];
+      int active1 = (c == 0 && !side_lbrr) ? 0 : 1;
+      decode_frame(s, rc, c, coded_channels, true, 0, active1, true, 1);
+    }
+  }
+  s.midonly = 0;
+  for (int c = 0; c < coded_channels; c++) {
+    if (c == 1 && s.midonly) {
+      if (s.frames[1].coded) {
+        s.frames[1].reset();
+        *side_reset_out = 1;
+      }
+      break;
+    }
+    int act1 = coded_channels == 2 ? (active[1] ? 1 : 0) : 1;
+    decode_frame(s, rc, c, coded_channels, active[c], 0, act1, false, 1,
+                 &sp[c]);
+  }
+  stereo_out[0] = s.prev_stereo_weights[0];
+  stereo_out[1] = s.prev_stereo_weights[1];
+  stereo_out[2] = s.stereo_weights[0];
+  stereo_out[3] = s.stereo_weights[1];
+  *midonly_out = s.midonly;
+  if (coded_channels == 2) {
+    s.prev_stereo_weights[0] = s.stereo_weights[0];
+    s.prev_stereo_weights[1] = s.stereo_weights[1];
+  }
+  s.midonly = 0;
+  return s.flength;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------ C API
@@ -991,6 +1092,91 @@ int skt_silk_decode_many(void** handles, int B, const uint8_t* buf,
     for (long i = 0; i < n && i < max_n; i++)
       for (int c = 0; c < Cmax; c++)
         dst[i * Cmax + c] = tmp[i * C + (c < C ? c : C - 1)];
+  }
+  return rc_all;
+}
+
+// Batched parse-export for the device LTP/LPC split: one call walks
+// every lane's single-frame (10/20 ms) SILK payload, exporting the
+// synthesis inputs (ops/silk_batch.py consumes them) and the final
+// range-coder state (hybrid CELT continuation).  Per-lane layout:
+//   exc      [B, 2, 320] f64      excitation at the internal rate
+//   gains    [B, 2, 4]   f64
+//   coef     [B, 2, 2, 16] f64    [leadin, lpc]
+//   ltp      [B, 2, 4, 5] f64
+//   ltpscale [B, 2]      f64
+//   stereo_w [B, 4]      f64      [w0_prev, w1_prev, w0, w1]
+//   lags     [B, 2, 4]   i32
+//   flags    [B, 12]     i32      0 flength, 1 order, 2 coded_ch,
+//     3 midonly, 4 side_reset, 5/6 voiced ch0/1, 7/8 has_leadin,
+//     9/10 frame-coded ch0/1, 11 reserved
+//   info     [B, 13]     i64      rc state as skt_silk_decode
+// n_out[b] = flength or -1.  Lanes with valid=0 are untouched.
+int skt_silk_parse_many(void** handles, int B, const uint8_t* buf,
+                        const long* offs, const long* lens,
+                        const int* bws, const int* coded,
+                        const int* dur_ms, const unsigned char* valid,
+                        double* exc, double* gains, double* coef,
+                        double* ltp, double* ltpscale, double* stereo_w,
+                        int* lags, int* flags, long* n_out, long* info) {
+  if (!g_t.ready) return -1;
+  int rc_all = 0;
+  for (int b = 0; b < B; b++) {
+    if (!valid[b]) continue;
+    n_out[b] = -1;
+    int C = coded[b] ? coded[b] : 1;
+    if (bws[b] < 0 || bws[b] > 2 || C > 2) { rc_all = -2; continue; }
+    SilkDec& s = *(SilkDec*)handles[b];
+    RC rc;
+    rc.init(buf + offs[b], lens[b]);
+    SynthParams sp[2];
+    memset(sp, 0, sizeof sp);
+    double sw[4] = {0, 0, 0, 0};
+    int midonly = 0, side_reset = 0;
+    long n = parse_superframe(s, rc, bws[b], C, dur_ms[b], sp, sw,
+                              &midonly, &side_reset);
+    n_out[b] = n;
+    if (n < 0) { rc_all = -2; continue; }
+    for (int c = 0; c < 2; c++) {
+      memcpy(exc + ((size_t)b * 2 + c) * 320, sp[c].exc,
+             sizeof(double) * 320);
+      memcpy(gains + ((size_t)b * 2 + c) * 4, sp[c].gains,
+             sizeof(double) * 4);
+      memcpy(coef + (((size_t)b * 2 + c) * 2 + 0) * 16, sp[c].leadin,
+             sizeof(double) * 16);
+      memcpy(coef + (((size_t)b * 2 + c) * 2 + 1) * 16, sp[c].lpc,
+             sizeof(double) * 16);
+      memcpy(ltp + ((size_t)b * 2 + c) * 20, sp[c].ltptaps,
+             sizeof(double) * 20);
+      ltpscale[(size_t)b * 2 + c] = sp[c].ltpscale;
+      for (int i = 0; i < 4; i++)
+        lags[((size_t)b * 2 + c) * 4 + i] = (int)sp[c].pitchlag[i];
+    }
+    memcpy(stereo_w + (size_t)b * 4, sw, sizeof sw);
+    int* fl = flags + (size_t)b * 12;
+    fl[0] = (int)n;
+    fl[1] = s.wb ? 16 : 10;
+    fl[2] = C;
+    fl[3] = midonly;
+    fl[4] = side_reset;
+    fl[5] = sp[0].voiced;
+    fl[6] = sp[1].voiced;
+    fl[7] = sp[0].has_leadin;
+    fl[8] = sp[1].has_leadin;
+    fl[9] = sp[0].coded;
+    fl[10] = sp[1].coded;
+    fl[11] = 0;
+    long* li = info + (size_t)b * 13;
+    li[0] = 0; li[1] = 0; li[2] = 0; li[3] = 0;
+    li[4] = rc.offs;
+    li[5] = rc.rem;
+    li[6] = rc.end_offs;
+    li[7] = (long)rc.end_window;
+    li[8] = rc.nend_bits;
+    li[9] = rc.nbits_total;
+    li[10] = (long)rc.rng;
+    li[11] = (long)rc.val;
+    li[12] = rc.error ? 1 : 0;
   }
   return rc_all;
 }
