@@ -274,6 +274,109 @@ def bench_opus_voice(passes):
     return st
 
 
+def bench_opus_voice_device(passes, B=256):
+    """Device SILK voice serving (round-4 split): one native
+    skt_silk_parse_many walk per round, LTP/LPC synthesis + resample
+    as one jitted step over all lanes, PCM device-resident."""
+    import struct
+
+    import jax
+
+    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.models.opus_batch import BatchedSilkDeviceDecoder
+
+    raw = (TESTDATA / "opus" / f"{CLIP}.opus").read_bytes()
+    body = raw[19:]
+    items = []
+    pos = 0
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        toc, frames = parse_packet(body[pos + 2 : pos + 2 + n])
+        items.append((frames[0], toc.bandwidth,
+                      2 if toc.stereo else 1))
+        pos += 2 + n
+    model = BatchedSilkDeviceDecoder(B, channels=1)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            for f, bw, coded in items:
+                model.push_packet(b, f, bw, coded)
+        pcm, lens = model.decode_ready(device_out=True)
+        jax.block_until_ready(pcm)
+        el = time.perf_counter() - t0
+        return _xrt(B * pcm.shape[0] * 0.02, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mode"] = "voice (SILK-WB), device engine, device-resident"
+    return st
+
+
+def bench_opus_hybrid(passes, B=256):
+    """Device hybrid serving: SILK walk + CELT continuation parse on
+    the host, both synthesis halves summed on device."""
+    import ctypes
+
+    import jax
+
+    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.models.opus_batch import BatchedHybridDecoder
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_encoder_create.restype = ctypes.c_void_p
+    op.opus_encoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    op.opus_encode_float.restype = ctypes.c_int
+    op.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(op.opus_encoder_create(
+        48000, 1, 2048, ctypes.byref(err)))
+    for req, v in ((4024, 3001), (4002, 32000)):
+        assert op.opus_encoder_ctl(enc, req, v) == 0
+    rng = np.random.default_rng(7)
+    n = 48000 * 3
+    t = np.arange(n) / 48000.0
+    sig = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.15 * np.sin(2 * np.pi * 9000 * t)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    items = []
+    for i in range(0, n - 960, 960):
+        buf = ctypes.create_string_buffer(4000)
+        r = op.opus_encode_float(
+            enc, np.ascontiguousarray(sig[i:i + 960, None]).ctypes
+            .data_as(ctypes.POINTER(ctypes.c_float)), 960, buf, 4000)
+        toc, frames = parse_packet(buf.raw[:r])
+        if toc.mode == "hybrid":
+            items.append((frames[0], toc.bandwidth,
+                          2 if toc.stereo else 1))
+    model = BatchedHybridDecoder(B, channels=1)
+
+    def one_pass():
+        for b in range(B):
+            model.reset_lane(b)
+        t0 = time.perf_counter()
+        for b in range(B):
+            for f, bw, coded in items:
+                model.push_packet(b, f, bw, coded)
+        pcm, lens = model.decode_ready(device_out=True)
+        jax.block_until_ready(pcm)
+        el = time.perf_counter() - t0
+        return _xrt(B * pcm.shape[0] * 0.02, el)
+
+    one_pass()
+    st = _passes_stats(one_pass, passes)
+    st["B"] = B
+    st["mode"] = "hybrid (SILK-WB + CELT), device-resident"
+    return st
+
+
 def bench_telephony(codec, fixture_dir, ext, rate, passes, B=1024,
                     device_out=False):
     """Fetching mode is d2h-bound on the dev tunnel: B lanes of
@@ -420,6 +523,8 @@ def main():
         "vorbis": lambda: bench_vorbis(args.passes),
         "opus": lambda: bench_opus(args.passes),
         "opus_voice": lambda: bench_opus_voice(args.passes),
+        "opus_voice_device": lambda: bench_opus_voice_device(args.passes),
+        "opus_hybrid": lambda: bench_opus_hybrid(args.passes),
         "g711_mulaw": lambda: bench_telephony(
             "g711_mulaw", "g711_ulaw", ".ulaw", 8000.0, args.passes),
         "g722": lambda: bench_telephony("g722", "g722", ".g722", 16000.0, args.passes),

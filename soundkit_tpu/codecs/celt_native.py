@@ -188,6 +188,58 @@ class NativeCeltBatch:
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return freq, comb, sflag, ok
 
+    def parse_many_cont(self, frames, starts, ends, coded, valid,
+                        rc_init, frame_size: int = FRAME):
+        """Hybrid continuation: each lane's range coder is seeded from
+        the SILK stage's exported state (silk parse_many info[:, 4:13])
+        over the same frame bytes, parsing from per-lane start band.
+
+        Returns (freq [B, C, frame_size] f64, comb [B, 16] f64,
+        sflag [B] i32, ok [B] i32, red [B] i32) — lanes whose packet
+        carries hybrid mode-transition redundancy come back red=1 /
+        ok=-90 unparsed (the caller reroutes them)."""
+        lib = self._lib
+        if not hasattr(lib, "_skt_celt_cont_ready"):
+            lib.skt_celt_parse_many_cont.restype = ctypes.c_int
+            lib._skt_celt_cont_ready = True
+        B, C = self.B, self.C
+        buf = b"".join(f for f, v in zip(frames, valid) if v)
+        offs = np.zeros(B, dtype=np.int64)
+        lens = np.zeros(B, dtype=np.int64)
+        pos = 0
+        for b in range(B):
+            if valid[b]:
+                offs[b] = pos
+                lens[b] = len(frames[b])
+                pos += lens[b]
+        starts_a = np.ascontiguousarray(starts, dtype=np.int32)
+        ends_a = np.ascontiguousarray(ends, dtype=np.int32)
+        coded_a = np.ascontiguousarray(coded, dtype=np.int32)
+        valid_a = np.ascontiguousarray(valid, dtype=np.uint8)
+        rc_a = np.ascontiguousarray(rc_init, dtype=np.int64)
+        assert rc_a.shape == (B, 9)
+        freq = np.zeros((B, C, frame_size), dtype=np.float64)
+        comb = np.zeros((B, 16), dtype=np.float64)
+        sflag = np.zeros(B, dtype=np.int32)
+        ok = np.zeros(B, dtype=np.int32)
+        red = np.zeros(B, dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.skt_celt_parse_many_cont(
+            self._handles, B, buf,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            starts_a.ctypes.data_as(ip),
+            ends_a.ctypes.data_as(ip),
+            coded_a.ctypes.data_as(ip),
+            valid_a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            rc_a.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            frame_size, C,
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sflag.ctypes.data_as(ip), ok.ctypes.data_as(ip),
+            red.ctypes.data_as(ip))
+        return freq, comb, sflag, ok, red
+
 
 class NativeCeltEncoder:
     """One stream's CELT encode state (mirrors CeltEncoder

@@ -748,3 +748,184 @@ class BatchedSilkDeviceDecoder:
         if device_out:
             return pcm, lengths
         return np.asarray(pcm), lengths
+
+
+class BatchedHybridDecoder:
+    """Lockstep multi-stream hybrid-Opus decoder, both halves on device.
+
+    A hybrid packet codes SILK-WB (low band) and CELT from start band
+    17 (high band) on ONE shared range coder (opus_core.py
+    _decode_hybrid_frame).  Per round: the native SILK walk
+    (skt_silk_parse_many, forced WB) exports the synthesis inputs plus
+    the final coder state; the native CELT walk continues from that
+    state (skt_celt_parse_many_cont, start band 17) and exports
+    denormalized spectra; the device runs the SILK LTP/LPC scan +
+    48 kHz resample (ops/silk_batch.py) and the CELT synthesis
+    (ops/celt_batch.py) and sums them — WB slots align sample-exact
+    (lead_invalid = 0).
+
+    Packets carrying hybrid mode-transition redundancy are flagged by
+    the native walk (red=1): real encoders attach redundancy only to
+    mode-transition packets, which the fleet already reroutes at push
+    (kind mismatch), so in-lane this only fires when a stream STARTS
+    on a transition packet — the lane freezes (length 0) and the next
+    push raises OpusLaneUnsupported so the standard byte-replay
+    reroute serves the stream.
+
+    Reference role: soundkit-opus/src/lib.rs per-pipeline decode.
+    """
+
+    FRAME = 960
+
+    def __init__(self, num_streams: int, channels: int = 2):
+        from soundkit_tpu.codecs.celt_native import NativeCeltBatch
+        from soundkit_tpu.codecs.opus_celt import tables as celt_tables
+        from soundkit_tpu.codecs.silk_native import NativeSilkBatch
+        from soundkit_tpu.ops import silk_batch as _sb
+        from soundkit_tpu.ops.celt_batch import HIST
+
+        self.B = num_streams
+        self.C = channels
+        self.sample_rate = 48000
+        self._sb = _sb
+        self._silk = NativeSilkBatch(num_streams, channels)
+        self._celt = NativeCeltBatch(num_streams, channels)
+        self._band_end = celt_tables()["celt_band_end"].astype(int)
+        self._hist_len = HIST
+        self._packets: List[List[tuple]] = [[] for _ in range(num_streams)]
+        self._fresh = np.ones(num_streams, bool)
+        self._skip = [0] * num_streams
+        self._gain = np.ones(num_streams, np.float32)
+        self._error: List[Optional[str]] = [None] * num_streams
+        self._silk_state = None  # (out_hist, lpch_tail, rs_tail), WB
+        self._celt_state = None  # (ola, hist, emph) device f32
+
+    def configure_lane(self, b: int, pre_skip: int = 0,
+                       gain_q8: int = 0) -> None:
+        self._skip[b] = pre_skip
+        self._gain[b] = np.float32(
+            10.0 ** (gain_q8 / (20.0 * 256.0)) if gain_q8 else 1.0)
+
+    def reset_lane(self, b: int) -> None:
+        self._silk.reset_lane(b)
+        self._celt.reset_lane(b)
+        self._packets[b] = []
+        self._fresh[b] = True  # steps zero this lane's device state
+        self._skip[b] = 0
+        self._gain[b] = np.float32(1.0)
+        self._error[b] = None
+
+    def lane_error(self, b: int) -> Optional[str]:
+        return self._error[b]
+
+    def lane_ready(self, b: int) -> int:
+        return len(self._packets[b])
+
+    def push_packet(self, b: int, frame: bytes, bandwidth: int,
+                    coded: int) -> None:
+        """Queue one 20 ms hybrid frame payload (no TOC); bandwidth is
+        the TOC index (3 = SWB, 4 = FB) driving the CELT band end."""
+        self._packets[b].append(
+            (frame, int(self._band_end[bandwidth]), coded))
+
+    def _states(self):
+        import jax.numpy as jnp
+
+        if self._silk_state is None:
+            self._silk_state = tuple(
+                jnp.asarray(s)
+                for s in self._sb.init_state(self.B, 2, np.float32))
+        if self._celt_state is None:
+            self._celt_state = (
+                jnp.zeros((self.B, self.C, 120), jnp.float32),
+                jnp.zeros((self.B, self.C, self._hist_len), jnp.float32),
+                jnp.zeros((self.B, self.C), jnp.float32),
+            )
+        return self._silk_state, self._celt_state
+
+    def decode_ready(self, max_packets: Optional[int] = None,
+                     device_out: bool = False):
+        """Decode lockstep rounds.  Returns (pcm [rounds, B, C, 960]
+        with valid samples at the END of each slot — device f32 when
+        ``device_out``, host f32 otherwise — and lengths [rounds, B])."""
+        import jax.numpy as jnp
+
+        sb = self._sb
+        B, C = self.B, self.C
+        counts = [len(p) for p in self._packets]
+        n = max(counts) if counts else 0
+        if max_packets is not None:
+            n = min(n, max_packets)
+        lengths = np.zeros((n, B), np.int32)
+        rounds = []
+        step = _celt_multi_step()
+        for i in range(n):
+            frames = [b""] * B
+            ends = np.zeros(B, np.int32)
+            coded = np.ones(B, np.int32)
+            valid = np.zeros(B, np.uint8)
+            for b in range(B):
+                if not self._packets[b] or self._error[b]:
+                    continue
+                frames[b], ends[b], coded[b] = self._packets[b].pop(0)
+                valid[b] = 1
+            p = self._silk.parse_many(frames, [2] * B, coded,
+                                      [20] * B, valid)
+            freq, comb, sflag, ok, red = self._celt.parse_many_cont(
+                frames, [17] * B, ends, coded, valid,
+                p["info"][:, 4:13])
+            for b in np.flatnonzero(valid.astype(bool)
+                                    & (np.asarray(ok) != 0)):
+                self._error[int(b)] = (
+                    "hybrid transition redundancy" if red[b]
+                    else f"celt continuation parse failed ({ok[b]})")
+                self._packets[int(b)] = []
+            g = valid.astype(bool) & (p["n"] > 0) & (ok == 0)
+            fresh = (self._fresh & g).astype(np.float32)
+            (sst, cst) = self._states()
+            f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+            sy, *sst = sb.silk_round(
+                2, C == 2,
+                f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
+                np.ascontiguousarray(p["flags"][:, 7:9]),
+                np.ascontiguousarray(p["flags"][:, 5:7]),
+                p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
+                np.ascontiguousarray(p["flags"][:, 9:11]),
+                (p["flags"][:, 2] == 2).astype(np.int32),
+                np.ascontiguousarray(p["flags"][:, 4]),
+                f32(p["stereo_w"]), self._gain, g, fresh, *sst)
+            self._silk_state = tuple(sst)
+            # celt half: fold the lane gain into the spectra (linear
+            # chain) and zero fresh lanes' carried state
+            freq = np.asarray(freq, np.float32) * self._gain[
+                :, None, None]
+            ola, hist, emph = cst
+            if fresh.any():
+                keep = jnp.asarray(1.0 - fresh, jnp.float32)
+                ola = ola * keep[:, None, None]
+                hist = hist * keep[:, None, None]
+                emph = emph * keep[:, None]
+            cpcm, ola, hist, emph = step(
+                jnp.asarray(freq[None]), jnp.asarray(sflag[None]),
+                jnp.asarray(comb[None], jnp.float32),
+                jnp.asarray(g[None]), ola, hist, emph)
+            self._celt_state = (ola, hist, emph)
+            rounds.append(sy[:, :C] + cpcm[0])
+            for b in range(B):
+                if not g[b]:
+                    continue
+                m = self.FRAME
+                if self._fresh[b]:
+                    m -= sb.lead_invalid(2)  # 0 at WB by measurement
+                    self._fresh[b] = False
+                k = min(self._skip[b], m)
+                self._skip[b] -= k
+                lengths[i, b] = m - k
+        if not rounds:
+            shape = (0, B, C, self.FRAME)
+            return (jnp.zeros(shape, jnp.float32) if device_out
+                    else np.zeros(shape, np.float32)), lengths
+        pcm = jnp.stack(rounds)
+        if device_out:
+            return pcm, lengths
+        return np.asarray(pcm), lengths

@@ -1,4 +1,4 @@
-"""Ogg-Opus fleet group: per-lane Ogg demux + two batched engines.
+"""Ogg-Opus fleet group: per-lane Ogg demux + three batched engines.
 
 Extends the serving fleet's batched coverage to Ogg-Opus streams:
 each lane demuxes its Ogg pages on the host
@@ -8,14 +8,19 @@ classified by its first audio packet:
 - CELT 20 ms (music) lanes queue into the shared
   ``BatchedCeltDecoder`` (device IMDCT/comb/de-emphasis over all
   lanes per round, C++ range decode/PVQ host stage);
-- SILK 20 ms (voice) lanes queue into ``BatchedSilkDecoder`` (one
-  C++ skt_silk_decode_many call per round + per-lane oracle-matched
-  resampling).  Its host PCM is scattered into the CELT engine's
-  device array per round, so the fleet's device_out/i16 collect path
-  is identical for both.
+- SILK 20 ms (voice) lanes queue into ``BatchedSilkDeviceDecoder``
+  (one C++ skt_silk_parse_many walk per round, LTP/LPC synthesis +
+  unmix + 48 kHz resample on device — ops/silk_batch.py);
+- hybrid 20 ms lanes queue into ``BatchedHybridDecoder`` (the SILK
+  walk's exported coder state seeds the CELT continuation parse;
+  both synthesis halves run on device and sum).
 
-Streams neither engine can serve (hybrid, multi-frame packets,
-mid-stream bandwidth or mode switches) raise
+All three emit device-resident [rounds, B, C, 960] slots with valid
+samples at the END and lane-disjoint zeros elsewhere, so the fleet's
+device_out/i16 collect path is a pure add across engines.
+
+Streams no engine serves (multi-frame packets, mid-stream SILK
+bandwidth or mode switches, transition-redundancy starts) raise
 :class:`OpusLaneUnsupported` out of ``push`` so the fleet reroutes
 them to a per-stream host pipeline by replaying the stream's raw
 bytes (the same pattern as the Vorbis topology reroute).  Because a
@@ -37,7 +42,8 @@ import numpy as np
 from soundkit_tpu.codecs.opus import OggOpusDemuxer
 from soundkit_tpu.models.opus_batch import (
     BatchedCeltDecoder,
-    BatchedSilkDecoder,
+    BatchedHybridDecoder,
+    BatchedSilkDeviceDecoder,
 )
 
 
@@ -65,6 +71,8 @@ def _classify(packet: bytes, channels: int):
         return "celt", toc, frames[0]
     if toc.mode == "silk":
         return "silk", toc, frames[0]
+    if toc.mode == "hybrid":
+        return "hybrid", toc, frames[0]
     return None, None, None
 
 
@@ -78,10 +86,15 @@ class BatchedOggOpusDecoder:
         self.C = channels
         self._celt = BatchedCeltDecoder(num_streams, channels)
         try:
-            self._silk: Optional[BatchedSilkDecoder] = \
-                BatchedSilkDecoder(num_streams, channels)
+            self._silk: Optional[BatchedSilkDeviceDecoder] = \
+                BatchedSilkDeviceDecoder(num_streams, channels)
         except Exception:
             self._silk = None  # no native lib: voice lanes reroute
+        try:
+            self._hyb: Optional[BatchedHybridDecoder] = \
+                BatchedHybridDecoder(num_streams, channels)
+        except Exception:
+            self._hyb = None
         self._kind: List[Optional[str]] = [None] * num_streams
         self._demux: List[OggOpusDemuxer] = [
             OggOpusDemuxer() for _ in range(num_streams)
@@ -92,6 +105,8 @@ class BatchedOggOpusDecoder:
         self._celt.reset_lane(b)
         if self._silk is not None:
             self._silk.reset_lane(b)
+        if self._hyb is not None:
+            self._hyb.reset_lane(b)
         self._kind[b] = None
         self._demux[b] = OggOpusDemuxer()
         self._queued[b] = 0
@@ -108,6 +123,8 @@ class BatchedOggOpusDecoder:
     def lane_ready(self, b: int) -> int:
         if self._kind[b] == "silk":
             return self._silk.lane_ready(b)
+        if self._kind[b] == "hybrid":
+            return self._hyb.lane_ready(b)
         return len(self._celt._packets[b])
 
     def push(self, b: int, data: bytes) -> None:
@@ -127,15 +144,27 @@ class BatchedOggOpusDecoder:
         for pkt in pkts:
             kind, toc, frame = _classify(pkt, self.C)
             if kind is None:
-                raise OpusLaneUnsupported("non-20ms/hybrid packet")
+                raise OpusLaneUnsupported("non-20ms/multiframe packet")
             if self._kind[b] is None:
                 if kind == "silk" and self._silk is None:
                     raise OpusLaneUnsupported("no native silk batch")
+                if kind == "hybrid" and self._hyb is None:
+                    raise OpusLaneUnsupported("no native hybrid batch")
                 self._kind[b] = kind
             if kind != self._kind[b]:
                 raise OpusLaneUnsupported("mid-stream mode switch")
             if kind == "celt":
                 self._celt.push_packet(b, pkt)
+            elif kind == "hybrid":
+                # a transition-redundancy packet at stream START is
+                # flagged by the engine at decode time; reroute the
+                # lane on its next push (real encoders attach
+                # redundancy only to transition packets, which the
+                # mode-switch guard above reroutes before decode)
+                if self._hyb.lane_error(b):
+                    raise OpusLaneUnsupported(self._hyb.lane_error(b))
+                self._hyb.push_packet(b, frame, toc.bandwidth,
+                                      2 if toc.stereo else 1)
             else:
                 # a SILK packet with trailing CELT redundancy only
                 # appears at mode/bandwidth switches; the switch
@@ -154,46 +183,50 @@ class BatchedOggOpusDecoder:
         Returns (pcm, lengths): pcm [rounds, B, C, 960] (device array
         when ``device_out``, valid samples at the END of each slot;
         host array otherwise, valid samples at the START), lengths
-        [rounds, B] int32."""
-        # dispatch the device CELT rounds first (async), then decode
-        # the SILK lanes on the host while the device works
-        cpcm, clen = self._celt.decode_ready(max_packets=n,
-                                             device_out=device_out)
-        if self._silk is None:
-            return cpcm, clen
-        spcm, slen = self._silk.decode_ready(max_packets=n)
-        rc, rs = clen.shape[0], slen.shape[0]
-        R = max(rc, rs)
+        [rounds, B] int32.
+
+        All three engines produce lane-disjoint device slots with
+        zeros elsewhere, so the device combine is a pure add — no
+        scatters, no host staging."""
+        # dispatch every engine's device rounds (async) before any
+        # combine/fetch work
+        parts = [self._celt.decode_ready(max_packets=n,
+                                         device_out=device_out)]
+        if self._silk is not None:
+            parts.append(self._silk.decode_ready(
+                max_packets=n, device_out=device_out))
+        if self._hyb is not None:
+            parts.append(self._hyb.decode_ready(
+                max_packets=n, device_out=device_out))
+        R = max(lens.shape[0] for _, lens in parts)
         if R == 0:
-            return cpcm, clen
+            return parts[0]
         lengths = np.zeros((R, self.B), np.int32)
-        lengths[:rc] = clen
-        if rs:
-            lengths[:rs] += slen
-        silk_lanes = [b for b in range(self.B)
-                      if self._kind[b] == "silk"
-                      and rs and slen[:, b].any()]
+        for _, lens in parts:
+            lengths[: lens.shape[0]] += lens
         if device_out:
             import jax.numpy as jnp
 
-            if rc < R:
-                pad = jnp.zeros((R - rc, self.B, self.C, self.FRAME),
-                                jnp.float32)
-                cpcm = (jnp.concatenate([cpcm, pad], axis=0)
-                        if rc else pad)
-            if silk_lanes:
-                idx = np.asarray(silk_lanes)
-                host = np.zeros((R, len(idx), self.C, self.FRAME),
-                                np.float32)
-                host[:rs] = spcm[:, idx]
-                cpcm = cpcm.at[:, idx].set(jnp.asarray(host))
-            return cpcm, lengths
+            total = None
+            for pcm, lens in parts:
+                r = lens.shape[0]
+                if r == 0:
+                    continue
+                if r < R:
+                    pcm = jnp.concatenate(
+                        [pcm, jnp.zeros((R - r, self.B, self.C,
+                                         self.FRAME), jnp.float32)],
+                        axis=0)
+                total = pcm if total is None else total + pcm
+            return total, lengths
         out = np.zeros((R, self.B, self.C, self.FRAME), np.float32)
-        out[:rc] = cpcm
-        for b in silk_lanes:
-            for i in range(rs):
-                m = int(slen[i, b])
-                if m > 0:
-                    # host convention: valid samples at the START
-                    out[i, b, :, :m] = spcm[i, b, :, self.FRAME - m:]
+        cpcm, clen = parts[0]
+        out[: clen.shape[0]] = cpcm  # celt host slots: valid at START
+        for pcm, lens in parts[1:]:
+            # silk/hybrid host slots carry valid samples at the END;
+            # convert to the host START convention lane-wise
+            for i in range(lens.shape[0]):
+                for b in np.flatnonzero(lens[i]):
+                    m = int(lens[i, b])
+                    out[i, b, :, :m] = pcm[i, b, :, self.FRAME - m:]
         return out, lengths

@@ -2625,6 +2625,18 @@ struct Parser {
   int parse_frame(const uint8_t* data, int64_t len, int frame_size,
                   int start, int end, int C, double* freq_out,
                   double* comb_out, int* sflag_out) {
+    RC rc;
+    rc.init(data, len);
+    return parse_frame_rc(rc, frame_size, start, end, C, freq_out,
+                          comb_out, sflag_out);
+  }
+
+  // same, continuing from a seeded range coder (the hybrid path: the
+  // SILK layer decoded the low band from this coder already —
+  // opus_core.py _decode_hybrid_frame)
+  int parse_frame_rc(RC& rc, int frame_size, int start, int end, int C,
+                     double* freq_out, double* comb_out,
+                     int* sflag_out) {
     int LM;
     switch (frame_size) {
       case 120: LM = 0; break;
@@ -2637,8 +2649,6 @@ struct Parser {
     int N = frame_size;
     int M = 1 << LM;
     const int64_t* eBands = t.eBands;
-    RC rc;
-    rc.init(data, len);
     int64_t total = rc.total_bits();
 
     int tell = rc.tell();
@@ -2876,6 +2886,66 @@ int skt_celt_parse_many(void** handles, int B, const uint8_t* buf,
     double* fo = freq + (size_t)b * Cmax * frame_size;
     int r = p.parse_frame(buf + offs[b], lens[b], frame_size, 0, ends[b],
                           C, fo, comb + (size_t)b * 16, sflag + b);
+    if (r == 0 && C < Cmax)
+      for (int c = C; c < Cmax; c++)
+        std::memcpy(fo + (size_t)c * frame_size, fo,
+                    frame_size * sizeof(double));
+    ok[b] = r;
+    if (r != 0) rc_all = r;
+  }
+  return rc_all;
+}
+
+// Hybrid-continuation lockstep batch: like skt_celt_parse_many, but
+// each lane's range coder is SEEDED from the SILK stage's exported
+// state (rc_init[b*9..]: offs, rem, end_offs, end_window, nend_bits,
+// nbits_total, rng, val, error — silk_parse.cpp info[4..12] layout)
+// over the SAME frame bytes, and the frame parses from per-lane
+// start band (17 for hybrid).  Before the CELT frame, the hybrid
+// redundancy flag is read exactly as opus_core.py
+// _decode_hybrid_frame does (tell+37 guard, logp 12); lanes with
+// redundancy set red[b]=1 and ok[b]=-90 WITHOUT parsing — the caller
+// reroutes them (transition packets carry the redundancy).
+int skt_celt_parse_many_cont(void** handles, int B, const uint8_t* buf,
+                             const long* offs, const long* lens,
+                             const int* starts, const int* ends,
+                             const int* coded,
+                             const unsigned char* valid,
+                             const long* rc_init, int frame_size,
+                             int Cmax, double* freq, double* comb,
+                             int* sflag, int* ok, int* red) {
+  if (!g_tables.ready) return -1;
+  int rc_all = 0;
+  for (int b = 0; b < B; b++) {
+    ok[b] = -100;
+    red[b] = 0;
+    if (!valid[b]) continue;
+    Celt* st = (Celt*)handles[b];
+    Parser p(st);
+    int C = coded[b] ? coded[b] : st->channels;
+    RC rc;
+    rc.buf = buf + offs[b];
+    rc.storage = lens[b];
+    const long* ri = rc_init + (size_t)b * 9;
+    rc.offs = ri[0];
+    rc.rem = (int)ri[1];
+    rc.end_offs = ri[2];
+    rc.end_window = (uint64_t)ri[3];
+    rc.nend_bits = (int)ri[4];
+    rc.nbits_total = (int)ri[5];
+    rc.rng = (uint32_t)ri[6];
+    rc.val = (uint32_t)ri[7];
+    rc.error = ri[8] != 0;
+    rc.ext = 0;
+    if (rc.tell() + 37 <= rc.total_bits() && rc.dec_bit_logp(12)) {
+      red[b] = 1;
+      ok[b] = -90;
+      rc_all = rc_all ? rc_all : -90;
+      continue;
+    }
+    double* fo = freq + (size_t)b * Cmax * frame_size;
+    int r = p.parse_frame_rc(rc, frame_size, starts[b], ends[b], C, fo,
+                             comb + (size_t)b * 16, sflag + b);
     if (r == 0 && C < Cmax)
       for (int c = C; c < Cmax; c++)
         std::memcpy(fo + (size_t)c * frame_size, fo,

@@ -566,6 +566,88 @@ def test_fleet_routes_ogg_opus_voice_to_batched_group():
         assert err < 1e-4, f"{sid}: max err {err}"
 
 
+def _make_ogg_opus_hybrid(seconds=1.5, channels=1, bitrate=32000):
+    """A hybrid (SILK-WB + CELT high band) Ogg-Opus stream via
+    libopus (the owned encoder has no hybrid mode)."""
+    import ctypes
+    import struct
+
+    op = ctypes.CDLL("libopus.so.0")
+    op.opus_encoder_create.restype = ctypes.c_void_p
+    op.opus_encoder_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    op.opus_encode_float.restype = ctypes.c_int
+    op.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    err = ctypes.c_int(0)
+    enc = ctypes.c_void_p(op.opus_encoder_create(
+        48000, channels, 2048, ctypes.byref(err)))
+    for req, v in ((4024, 3001), (4002, bitrate)):  # VOICE, bitrate
+        assert op.opus_encoder_ctl(enc, req, v) == 0
+    rng = np.random.default_rng(13)
+    n = int(48000 * seconds)
+    t = np.arange(n) / 48000.0
+    sig = (0.4 * np.sin(2 * np.pi * 220 * t)
+           * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+           + 0.15 * np.sin(2 * np.pi * 9000 * t)
+           + 0.02 * rng.standard_normal(n))
+    if channels == 2:
+        x = np.stack([sig, np.roll(sig, 7) * 0.8], 1).astype(np.float32)
+    else:
+        x = sig[:, None].astype(np.float32)
+    pkts = []
+    for i in range(0, n - 960, 960):
+        buf = ctypes.create_string_buffer(4000)
+        r = op.opus_encode_float(
+            enc, np.ascontiguousarray(x[i:i + 960]).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)), 960, buf, 4000)
+        pkts.append(buf.raw[:r])
+    head = (b"OpusHead" + bytes([1, channels]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 2) + b"sk" + struct.pack("<I", 0)
+    serial = 0x4887
+    pages = [_ogg_page([head], serial, 0, 0, header_type=2),
+             _ogg_page([tags], serial, 1, 0)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += 960
+        pages.append(_ogg_page([p], serial, 2 + i, g,
+                               header_type=4 if i == len(pkts) - 1 else 0))
+    return b"".join(pages), pkts
+
+
+def test_fleet_hybrid_opus_lanes_served_in_group():
+    """Hybrid Opus streams ride the batched opus group's hybrid engine
+    in-lane (VERDICT r3 missing #2: no more per-stream replay) and
+    match the host pipeline decode."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+    from soundkit_tpu.codecs.opus_core import parse_packet
+
+    wire, pkts = _make_ogg_opus_hybrid()
+    toc, _ = parse_packet(pkts[0])
+    assert toc.mode == "hybrid"  # libopus stayed in hybrid
+
+    ref = OggOpusDecoder().decode_f32(wire).reshape(-1, 1).T
+
+    fleet = StreamFleet(capacity_per_group=2)
+    for sid in ("h1", "h2"):
+        for i in range(0, len(wire), 4093):
+            fleet.push(sid, wire[i : i + 4093])
+        fleet.end_stream(sid)
+    assert fleet._lanes["h1"].group == "opus"
+    grp = fleet._groups["opus"]._model
+    assert grp._kind[fleet._lanes["h1"].index] == "hybrid"
+    out = fleet.collect()
+    for sid in ("h1", "h2"):
+        got = out[sid]
+        m = min(got.shape[1], ref.shape[1])
+        assert m > 40000
+        err = np.abs(got[:, :m] - ref[:, :m]).max()
+        assert err < 1e-4, f"{sid}: max err {err}"
+
+
 def test_fleet_mixed_voice_and_music_opus_lanes():
     """CELT and SILK lanes share one opus group; both match hosts."""
     from soundkit_tpu.codecs.opus import OggOpusDecoder
