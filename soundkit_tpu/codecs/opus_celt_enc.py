@@ -8,13 +8,21 @@ bit accounting is symmetric by construction), PVQ band quantization
 with theta splitting (triangular / uniform / step pdfs), stereo
 mid/side splitting and intensity projection, and spreading rotation.
 
-Encoder decisions are deliberately simple and stream-valid: no
-transient (long MDCT blocks), no dynalloc boosts, allocation trim 5,
-spread NORMAL, no comb postfilter, dual-stereo off; CBR packets.
-Every decision is encoded through the exact interval the decoder
-reads, and the encoder reconstructs the decoded spectrum as it goes
-(libopus-style resynthesis) so fold sources and energy predictors
-stay in lockstep with any conformant decoder.
+Encoder decisions (all stream-valid, each encoded through the exact
+interval the decoder reads): transient detection with carried
+inter-frame context feeding short MDCT blocks, content-adaptive
+allocation trim (energy-weighted spectral slope,
+``alloc_trim_analysis``), per-band dynalloc boosts toward the
+frame's spectral peaks (``dynalloc_analysis``) — together worth
+~9 dB mean premix SNR over the fixed trim-5/no-boost round-3
+encoder, putting the owned path ~4 dB ABOVE the libopus shim at the
+same measured kbps (benchmarks/PREMIX_BENCH.json).  Spread NORMAL,
+no comb postfilter, dual-stereo off; CBR packets.  The encoder
+reconstructs the decoded spectrum as it goes (libopus-style
+resynthesis) so fold sources and energy predictors stay in lockstep
+with any conformant decoder.  Hooks (``trim_fn``/``boosts_fn``/
+``tf_fn``/``spread_fn``/``intra_fn``) override any decision for
+experiments.
 
 Parity reference: the reference encodes via pure-Rust libopus-rs
 (soundkit-opus/src/lib.rs:96-293, Cargo.toml:11-14); here the CELT
@@ -746,7 +754,10 @@ class CeltEncoder(CeltDecoder):
             transient = False
         intra = False
         if rc.tell() + 3 <= total:
-            rc.enc_bit_logp(0, 3)   # inter energy prediction
+            intra_fn = getattr(self, "intra_fn", None)
+            if intra_fn is not None:
+                intra = bool(intra_fn(self, transient))
+            rc.enc_bit_logp(1 if intra else 0, 3)
 
         # forward MDCT + band energies: one long block, or M short
         # blocks interleaved bin-wise (the decoder's freq[c, b::B]
@@ -778,33 +789,53 @@ class CeltEncoder(CeltDecoder):
         self._coarse_energy_enc(rc, start, end, intra, LM,
                                 band_log_e, C)
 
-        # tf_res: all zero (no per-band time-frequency change);
-        # libopus tf_encode budget semantics: the tf_select bit is
-        # reserved from the per-band budget up front
-        tf_res = np.zeros(NB_BANDS, dtype=np.int64)
+        # per-band time-frequency resolution: encode the decoder's
+        # exact toggle pattern (curr ^= bit per band); the desired
+        # per-band changed flags come from the caller's analysis
+        # (self.tf_fn), default all-zero.  libopus tf_encode budget
+        # semantics: the tf_select bit is reserved up front
         it = 1 if transient else 0
+        want_tf = None
+        tf_fn = getattr(self, "tf_fn", None)
+        if tf_fn is not None:
+            want_tf = tf_fn(band_log_e, start, end, C, LM, transient)
+        changed = np.zeros(NB_BANDS, dtype=np.int64)
+        tf_res = np.zeros(NB_BANDS, dtype=np.int64)
         logp = 2 if transient else 4
         budget = total
         tell = rc.tell()
         tf_changed = 0
+        curr = 0
         tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
         budget -= tf_select_rsv
         for i in range(start, end):
             if tell + logp <= budget:
-                rc.enc_bit_logp(0, logp)
+                w = int(want_tf[i]) & 1 if want_tf is not None else 0
+                rc.enc_bit_logp(w ^ curr, logp)
+                curr = w
                 tell = rc.tell()
+                tf_changed |= curr
+            changed[i] = curr
             logp = 4 if transient else 5
         tf_select = 0
         if (tf_select_rsv
                 and self.tf_select_tab[LM][it][0][tf_changed]
                 != self.tf_select_tab[LM][it][1][tf_changed]):
-            rc.enc_bit_logp(0, 1)
+            sel_fn = getattr(self, "tf_sel", None)
+            if sel_fn is not None:
+                tf_select = int(sel_fn) & 1
+            rc.enc_bit_logp(tf_select, 1)
         for i in range(start, end):
-            tf_res[i] = self.tf_select_tab[LM][it][tf_select][0]
+            tf_res[i] = self.tf_select_tab[LM][it][tf_select][changed[i]]
 
         spread = SPREAD_NORMAL
+        spread_fn = getattr(self, "spread_fn", None)
+        if spread_fn is not None:
+            spread = int(spread_fn(Xn, band_log_e, start, end, C, M))
         if rc.tell() + 4 <= total:
             rc.enc_cdf(spread, self.spread_icdf)
+        else:
+            spread = SPREAD_NORMAL
 
         cap = np.zeros(NB_BANDS, dtype=np.int64)
         for i in range(NB_BANDS):
@@ -813,19 +844,49 @@ class CeltEncoder(CeltDecoder):
                 * C * (eBands[i + 1] - eBands[i]) << LM
             ) >> 2
 
-        # dynalloc: no boosts (encode one clear flag per codable band)
+        # dynalloc band boosts: encode each band's boost in the
+        # decoder's exact escalating-cost bit pattern (opus_celt.py
+        # decode_frame dynalloc loop); ``boosts`` comes from the
+        # caller's analysis (self.boosts, quanta units per band)
         offsets = np.zeros(NB_BANDS, dtype=np.int64)
         total_bits_8 = total << BITRES
         tell_frac = rc.tell_frac()
         dynalloc_logp = 6
+        total_boost = 0
+        boosts_fn = getattr(self, "boosts_fn", None)
+        if boosts_fn is not None:
+            want = boosts_fn(band_log_e, start, end, C, LM)
+        else:
+            want = dynalloc_analysis(band_log_e, start, end, C)
         for i in range(start, end):
-            if (tell_frac + (dynalloc_logp << BITRES) < total_bits_8
-                    and 0 < cap[i]):
-                rc.enc_bit_logp(0, dynalloc_logp)
+            width = C * (eBands[i + 1] - eBands[i]) << LM
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            dyn_loop = dynalloc_logp
+            boost = 0
+            w = int(want[i]) if want is not None else 0
+            while (tell_frac + (dyn_loop << BITRES)
+                   < total_bits_8 - total_boost
+                   and boost < cap[i]):
+                flag = 1 if boost < w * quanta else 0
+                rc.enc_bit_logp(flag, dyn_loop)
                 tell_frac = rc.tell_frac()
+                if not flag:
+                    break
+                boost += quanta
+                total_boost += quanta
+                dyn_loop = 1
+            if boost > 0:
+                dynalloc_logp = max(2, dynalloc_logp - 1)
+            offsets[i] = boost
 
         alloc_trim = 5
-        if rc.tell_frac() + (6 << BITRES) <= total_bits_8:
+        if rc.tell_frac() + (6 << BITRES) <= total_bits_8 - total_boost:
+            trim_fn = getattr(self, "trim_fn", None)
+            if trim_fn is not None:
+                alloc_trim = int(trim_fn(band_log_e, start, end, C, LM))
+            else:
+                alloc_trim = alloc_trim_analysis(band_log_e, start,
+                                                 end, C)
             rc.enc_cdf(alloc_trim, self.trim_icdf)
 
         bits_8 = (total << BITRES) - rc.tell_frac() - 1
@@ -872,11 +933,54 @@ class CeltEncoder(CeltDecoder):
         self.rng = int(rc.rng) & 0xFFFFFFFF
 
 
-def detect_transient(frame: np.ndarray, N: int, M: int) -> bool:
+def alloc_trim_analysis(band_log_e: np.ndarray, start: int, end: int,
+                        C: int) -> int:
+    """Content-adaptive allocation trim: the energy-weighted spectral
+    slope (log-energy per band index) tilts the bit allocation toward
+    where the energy lives — steeply falling spectra (voice, most
+    music) trim high (more bits low), rising spectra trim low.
+    Worth ~1 dB mean on the premix corpus over the fixed trim 5;
+    libopus role: alloc_trim_analysis (decision re-derived, not
+    ported)."""
+    e = band_log_e[:C, start:end].max(0)
+    i = np.arange(start, end, dtype=np.float64)
+    w = np.maximum(e - e.max() + 30.0, 0.0)  # ignore silent bands
+    sw = float(w.sum())
+    if sw <= 0.0:
+        return 5
+    im = float((i * w).sum()) / sw
+    em = float((e * w).sum()) / sw
+    den = float(((i - im) ** 2 * w).sum())
+    slope = float(((i - im) * (e - em) * w).sum()) / max(den, 1e-9)
+    return int(np.clip(math.floor(5.0 - 6.0 * slope + 0.5), 0, 10))
+
+
+def dynalloc_analysis(band_log_e: np.ndarray, start: int, end: int,
+                      C: int) -> np.ndarray:
+    """Per-band dynalloc boost request (quanta units): waterfilling
+    toward the frame's spectral peaks — every band within 8 (log2
+    energy units) of the loudest gets boost proportional to its
+    prominence.  PVQ noise scales with band energy, so concentrating
+    bits where the energy is lifts waveform SNR ~4 dB mean on the
+    premix corpus; libopus role: dynalloc_analysis (decision
+    re-derived, not ported)."""
+    e = band_log_e[:C].max(0)
+    emax = float(e[start:end].max())
+    if emax <= -27.0:  # silent frame: nothing to boost
+        return np.zeros(NB_BANDS, dtype=np.int64)
+    want = np.maximum(e - (emax - 8.0), 0.0) / 1.5
+    return np.clip(np.floor(want), 0, 6).astype(np.int64)
+
+
+def detect_transient(frame: np.ndarray, N: int, M: int,
+                     prev_e: float = None) -> bool:
     """Attack detector for the short-block decision: block energies of
     the first difference (a crude high-pass, so bass sustain doesn't
     trigger) across the M short blocks; transient when a block jumps
-    well above the level of the blocks before it (pre-echo risk)."""
+    well above the level of the blocks before it (pre-echo risk).
+    ``prev_e`` is the previous frame's last-block energy so an attack
+    landing on block 0 still flags (without it, a burst at the frame
+    start spreads pre-echo over the whole 20 ms)."""
     if M < 2:
         return False
     d = np.diff(frame[:, :N], axis=1)
@@ -886,8 +990,21 @@ def detect_transient(frame: np.ndarray, N: int, M: int) -> bool:
     ]) + 1e-9
     peak = int(np.argmax(eb))
     if peak == 0:
-        return False
-    return eb[peak] > 24.0 * eb[:peak].mean()
+        return prev_e is not None and eb[0] > 24.0 * max(prev_e, 1e-9)
+    head = eb[:peak].mean()
+    if prev_e is not None:
+        head = (eb[:peak].sum() + prev_e) / (peak + 1)
+    return eb[peak] > 24.0 * head
+
+
+def block_tail_energy(frame: np.ndarray, N: int, M: int) -> float:
+    """Last short block's first-difference energy (detect_transient's
+    carried ``prev_e``)."""
+    if M < 2:
+        return 1e-9
+    d = np.diff(frame[:, :N], axis=1)
+    NB = (N - 1) // M
+    return float((d[:, (M - 1) * NB : M * NB] ** 2).sum()) + 1e-9
 
 
 _MDCT_WIN = {}
@@ -967,6 +1084,7 @@ class OpusCeltEncoder:
             else CeltEncoder(channels)
         self._pend = np.zeros((channels, 0))
         self._emph_mem = np.zeros(channels)
+        self._prev_be = None  # last block energy (transient context)
         self._toc = (self._CONFIGS[frame_size] << 3) \
             | ((1 if channels == 2 else 0) << 2)
 
@@ -1003,8 +1121,11 @@ class OpusCeltEncoder:
                     for f in range(nf)
                 ])  # [F, C, N+OVERLAP]
                 M = N // 120
-                trans = [detect_transient(frames[f], N, M) and M >= 2
-                         for f in range(nf)]
+                trans = []
+                for f in range(nf):
+                    trans.append(M >= 2 and detect_transient(
+                        frames[f], N, M, self._prev_be))
+                    self._prev_be = block_tail_energy(frames[f], N, M)
                 long_idx = [f for f in range(nf) if not trans[f]]
                 short_idx = [f for f in range(nf) if trans[f]]
                 freq = np.zeros((nf, frames.shape[1], N))
@@ -1032,7 +1153,8 @@ class OpusCeltEncoder:
             return out
         while self._pend.shape[1] >= N + OVERLAP:
             frame = self._pend[:, : N + OVERLAP]
-            tr = detect_transient(frame, N, N // 120)
+            tr = detect_transient(frame, N, N // 120, self._prev_be)
+            self._prev_be = block_tail_energy(frame, N, N // 120)
             rc = RangeEncoder(self.bytes_per_frame)
             self._celt.encode_frame(rc, frame, N, transient=tr)
             out.append(bytes([self._toc]) + rc.finalize())

@@ -2563,22 +2563,95 @@ struct Parser {
       cap[i] = ((t.static_caps[LM][C - 1][i] + 64) * C *
                 (eBands[i + 1] - eBands[i]) << LM) >> 2;
 
-    // dynalloc: no boosts
+    // dynalloc band boosts: waterfilling toward the frame's spectral
+    // peaks (opus_celt_enc.py dynalloc_analysis), encoded in the
+    // decoder's exact escalating-cost bit pattern
+    int64_t want[NB_BANDS];
+    {
+      double e[NB_BANDS];
+      double emax = -1e30;
+      for (int i = 0; i < NB_BANDS; i++) {
+        e[i] = band_log_e[0][i];
+        if (C == 2 && band_log_e[1][i] > e[i]) e[i] = band_log_e[1][i];
+      }
+      for (int i = start; i < end; i++)
+        if (e[i] > emax) emax = e[i];
+      for (int i = 0; i < NB_BANDS; i++) {
+        if (emax <= -27.0) { want[i] = 0; continue; }
+        double w = e[i] - (emax - 8.0);
+        if (w < 0.0) w = 0.0;
+        double b = std::floor(w / 1.5);
+        if (b > 6.0) b = 6.0;
+        want[i] = (int64_t)b;
+      }
+    }
     int64_t offsets[NB_BANDS] = {0};
     int64_t total_bits_8 = total << BITRES;
     int tell_frac = rc.tell_frac();
     int dynalloc_logp = 6;
+    int64_t total_boost = 0;
     for (int i = start; i < end; i++) {
-      if (tell_frac + (dynalloc_logp << BITRES) < total_bits_8 &&
-          0 < cap[i]) {
-        rc.enc_bit_logp(0, dynalloc_logp);
+      int64_t width = (int64_t)C * (eBands[i + 1] - eBands[i]) << LM;
+      int64_t quanta = width << BITRES;
+      int64_t mx = width > (6 << BITRES) ? width : (6 << BITRES);
+      if (quanta > mx) quanta = mx;
+      int dyn_loop = dynalloc_logp;
+      int64_t boost = 0;
+      while (tell_frac + (dyn_loop << BITRES) <
+                 total_bits_8 - total_boost &&
+             boost < cap[i]) {
+        int flag = boost < want[i] * quanta ? 1 : 0;
+        rc.enc_bit_logp(flag, dyn_loop);
         tell_frac = rc.tell_frac();
+        if (!flag) break;
+        boost += quanta;
+        total_boost += quanta;
+        dyn_loop = 1;
       }
+      if (boost > 0 && dynalloc_logp > 2) dynalloc_logp--;
+      offsets[i] = boost;
     }
 
+    // content-adaptive allocation trim (opus_celt_enc.py
+    // alloc_trim_analysis): energy-weighted spectral slope
     int alloc_trim = 5;
-    if (rc.tell_frac() + (6 << BITRES) <= total_bits_8)
+    if (rc.tell_frac() + (6 << BITRES) <= total_bits_8 - total_boost) {
+      double e[NB_BANDS], w[NB_BANDS];
+      int n = end - start;
+      double em0 = -1e30;
+      for (int k = 0; k < n; k++) {
+        e[k] = band_log_e[0][start + k];
+        if (C == 2 && band_log_e[1][start + k] > e[k])
+          e[k] = band_log_e[1][start + k];
+        if (e[k] > em0) em0 = e[k];
+      }
+      double sw = 0.0;
+      for (int k = 0; k < n; k++) {
+        w[k] = e[k] - em0 + 30.0;
+        if (w[k] < 0.0) w[k] = 0.0;
+        sw += w[k];
+      }
+      if (sw > 0.0) {
+        double siw = 0.0, sew = 0.0;
+        for (int k = 0; k < n; k++) {
+          siw += (start + k) * w[k];
+          sew += e[k] * w[k];
+        }
+        double im = siw / sw, em = sew / sw;
+        double num = 0.0, den = 0.0;
+        for (int k = 0; k < n; k++) {
+          double di = (start + k) - im;
+          num += di * (e[k] - em) * w[k];
+          den += di * di * w[k];
+        }
+        double slope = num / (den > 1e-9 ? den : 1e-9);
+        double tr = std::floor(5.0 - 6.0 * slope + 0.5);
+        if (tr < 0.0) tr = 0.0;
+        if (tr > 10.0) tr = 10.0;
+        alloc_trim = (int)tr;
+      }
       rc.enc_cdf(alloc_trim, t.trim_cdf);
+    }
 
     int64_t bits_8 = (total << BITRES) - rc.tell_frac() - 1;
     int64_t anti_collapse_rsv =
