@@ -5,11 +5,13 @@ API equivalent of the reference's oxideav-speex ``SpeexDecoder``
 fixed offsets (rate@36, mode@40, channels@48, frames/packet@64 —
 lib.rs:29-54), then per-packet decode.
 
-All mono modes decode OWNED (codecs/speex_core.py): narrowband
-(mode 0, CELP core), wideband (mode 1, + SB-CELP high band with QMF
-synthesis) and ultra-wideband (mode 2, a second fold-only SB layer at
-32 kHz).  Multichannel falls back to libavcodec (documented scope
-cut; the reference is mono-only here too).
+All modes decode OWNED (codecs/speex_core.py): narrowband (mode 0,
+CELP core), wideband (mode 1, + SB-CELP high band with QMF synthesis)
+and ultra-wideband (mode 2, a second fold-only SB layer at 32 kHz) —
+mono and stereo.  Stereo streams reconstruct L/R from the in-band
+intensity-stereo requests (SpeexStereoState, stereo.c semantics,
+oracle-matched); the reference only channel-duplicates mono here
+(soundkit-speex/src/lib.rs:326-333).
 """
 from __future__ import annotations
 
@@ -26,6 +28,7 @@ class SpeexDecoder:
     def __init__(self) -> None:
         self._pkts = OggPacketizer()
         self._dec = None        # SpeexNbDecoder (owned path)
+        self._stereo = None     # SpeexStereoState for 2-channel streams
         self._av: Optional[AvDecoder] = None
         self._primed = False
         self._skip_comment = False
@@ -35,14 +38,25 @@ class SpeexDecoder:
         self.frames_per_packet: Optional[int] = None
 
     def _init_decoder(self, header: bytes) -> None:
-        if self.mode == 0 and self.channels == 1:
-            from soundkit_tpu.codecs.speex_core import SpeexNbDecoder
+        if self.mode in (0, 1, 2) and self.channels in (1, 2):
+            from soundkit_tpu.codecs.speex_core import (
+                SpeexNbDecoder,
+                SpeexSbDecoder,
+                SpeexStereoState,
+            )
 
-            self._dec = SpeexNbDecoder()
-        elif self.mode in (1, 2) and self.channels == 1:
-            from soundkit_tpu.codecs.speex_core import SpeexSbDecoder
-
-            self._dec = SpeexSbDecoder(uwb=self.mode == 2)
+            if self.mode == 0:
+                self._dec = SpeexNbDecoder()
+            else:
+                self._dec = SpeexSbDecoder(uwb=self.mode == 2)
+            if self.channels == 2:
+                # in-band intensity stereo: the innermost NB layer
+                # parses the requests, the stream layer expands L/R
+                self._stereo = SpeexStereoState()
+                nb = self._dec
+                while not isinstance(nb, SpeexNbDecoder):
+                    nb = nb.nb
+                nb.stereo = self._stereo
         else:
             self._av = AvDecoder(
                 "speex",
@@ -69,9 +83,17 @@ class SpeexDecoder:
                 self._skip_comment = False
                 continue
             if self._dec is not None:
-                out.append(
-                    self._dec.decode_packet(packet, self.frames_per_packet or 0)
-                )
+                pcm = self._dec.decode_packet(
+                    packet, self.frames_per_packet or 0)
+                if self._stereo is not None and len(pcm):
+                    nf = max(len(self._stereo.trail), 1)
+                    fl = len(pcm) // nf
+                    lr = np.concatenate([
+                        self._stereo.apply(pcm[k * fl:(k + 1) * fl])
+                        for k in range(nf)
+                    ], axis=0)
+                    pcm = lr.reshape(-1).astype(np.float32)
+                out.append(pcm)
             else:
                 out.append(self._av.push(packet))
         return np.concatenate(out) if out else np.zeros(0, dtype=np.float32)

@@ -25,6 +25,7 @@ fixture corpus and the common VoIP deployments).
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
@@ -136,6 +137,55 @@ _SPLIT_CONF = {
 
 # in-band signalling payload sizes (4-bit code -> bits to skip)
 _INBAND_SKIP = [1, 1, 4, 4, 4, 4, 4, 4, 8, 8, 16, 16, 32, 32, 64, 64]
+
+# in-band stereo (request id 9) energy-ratio quantization table
+_E_RATIO_QUANT = (0.25, 0.315, 0.397, 0.5)
+
+
+class SpeexStereoState:
+    """In-band intensity-stereo reconstruction (stereo.c semantics).
+
+    The encoder transmits per-frame balance (left/right energy ratio,
+    ``exp(±0.25·mag)``) and e_ratio (mono-to-total energy ratio); the
+    decoder scales the mono output into L/R with per-channel gains
+    smoothed per sample at 0.98 — iterating from the END of the frame
+    to the start (the oracle's reversed in-place loop), which the
+    closed form below reproduces exactly.  Gains are energy-normalized
+    so the per-frame mono energy cancels:
+        target_l = sqrt(balance / ((1+balance)·e_ratio))
+        target_r = sqrt(1 / ((1+balance)·e_ratio))
+    Verified against the libavcodec decoder to float precision on
+    crafted parameter sweeps (tests/test_host_codecs.py).
+    Reference role: soundkit-speex channel handling
+    (soundkit-speex/src/lib.rs:326-333 — the reference only
+    channel-duplicates mono; this path exceeds it)."""
+
+    def __init__(self) -> None:
+        self.balance = 1.0
+        self.e_ratio = 0.5
+        self.smooth_l = 1.0
+        self.smooth_r = 1.0
+        self.trail: list = []  # per-decoded-frame (balance, e_ratio)
+
+    def set_request(self, sign: int, mag: int, er: int) -> None:
+        self.balance = float(np.exp((1.0 if sign == 0 else -1.0)
+                                    * 0.25 * mag))
+        self.e_ratio = _E_RATIO_QUANT[er & 3]
+
+    def apply(self, mono: np.ndarray) -> np.ndarray:
+        """One decoded frame [n] -> [n, 2] stereo."""
+        n = len(mono)
+        bal, er = self.trail.pop(0) if self.trail else (self.balance,
+                                                        self.e_ratio)
+        tl = math.sqrt(bal / ((1.0 + bal) * er))
+        tr = math.sqrt(1.0 / ((1.0 + bal) * er))
+        # reversed-loop smoothing: sample i is the (n-1-i)-th update
+        dec = 0.98 ** np.arange(n, 0, -1, dtype=np.float64)
+        gl = tl + (self.smooth_l - tl) * dec
+        gr = tr + (self.smooth_r - tr) * dec
+        self.smooth_l = tl + (self.smooth_l - tl) * (0.98 ** n)
+        self.smooth_r = tr + (self.smooth_r - tr) * (0.98 ** n)
+        return np.stack([gl * mono, gr * mono], axis=1)
 
 
 def lsp_to_lpc(lsp: np.ndarray) -> np.ndarray:
@@ -266,6 +316,9 @@ class SpeexNbDecoder:
         self._last_ol_gain = 0.0
         self._innov_save = np.zeros(FRAME_SIZE, dtype=np.float64)
         self._pi_gain = np.zeros(4, dtype=np.float64)
+        # in-band stereo sink (set by the stream layer for 2-channel
+        # streams; requests update it mid-bitstream)
+        self.stereo: Optional[SpeexStereoState] = None
 
     # -- LSP dequant -------------------------------------------------------
 
@@ -300,7 +353,13 @@ class SpeexNbDecoder:
                 return None  # terminator
             if m == 14:  # speex in-band request
                 code = br.read(4)
-                br.read(_INBAND_SKIP[code])
+                if code == 9 and self.stereo is not None:
+                    sign = br.read(1)
+                    mag = br.read(5)
+                    er = br.read(2)
+                    self.stereo.set_request(sign, mag, er)
+                else:
+                    br.read(_INBAND_SKIP[code])
                 continue
             if m == 13:  # user in-band
                 n = br.read(5)
@@ -310,6 +369,11 @@ class SpeexNbDecoder:
                 raise SpeexError(f"invalid NB submode {m}")
             break
 
+        if self.stereo is not None:
+            # per-frame parameter snapshot for the stream layer's
+            # stereo expansion (requests precede the frame they affect)
+            self.stereo.trail.append((self.stereo.balance,
+                                      self.stereo.e_ratio))
         if m == 0:
             # comfort noise / silence frame: decay excitation
             out = self._synthesize_silence()

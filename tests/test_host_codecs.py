@@ -298,6 +298,82 @@ def test_speex_stream_decoder_uses_own_core():
     assert rms > 1e-3, f"decoded to near-silence rms={rms}"
 
 
+def test_speex_inband_stereo_owned_vs_oracle():
+    """In-band intensity stereo (request id 9): crafted 2-channel
+    streams with parameter sweeps and mid-stream changes decode OWNED
+    (no avcodec) and match the libavcodec oracle's L/R reconstruction
+    including its per-sample reversed-loop gain smoothing."""
+    import struct
+
+    from soundkit_tpu.codecs.avdec import AvDecoder
+    from soundkit_tpu.codecs.speex import SpeexDecoder
+    from soundkit_tpu.demux.ogg import OggPacketizer, build_ogg_page
+
+    data = open(
+        "/root/reference/testdata/speex/A_Tusk_is_used_to_make_costly_gifts.spx",
+        "rb",
+    ).read()
+    pk = OggPacketizer()
+    pkts = [p for p, _ in pk.push(data)]
+    hdr, comment, frames = pkts[0], pkts[1], pkts[2:]
+    hdr2 = bytearray(hdr)
+    struct.pack_into("<I", hdr2, 48, 2)  # channels = 2
+    hdr2 = bytes(hdr2)
+
+    def inject(pkt, sign, mag, er):
+        bits = []
+
+        def w(v, n):
+            for k in range(n - 1, -1, -1):
+                bits.append((v >> k) & 1)
+
+        w(0, 1)
+        w(14, 4)   # in-band signalling
+        w(9, 4)    # SPEEX_INBAND_STEREO
+        w(sign, 1)
+        w(mag, 5)
+        w(er, 2)
+        for byte in pkt:
+            w(byte, 8)
+        w(0, 1)
+        w(15, 4)   # terminator guards the bit-shifted padding
+        bits += [0] * ((-len(bits)) % 8)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+    cases = [(0, 4, 0), (1, 8, 1), (0, 12, 2), (0, 0, 3), (1, 20, 0)]
+    inj = [inject(f, *cases[(i // 8) % len(cases)])
+           for i, f in enumerate(frames[:40])]
+    serial = 0x5557
+    pages = [build_ogg_page([hdr2], serial, 0, 0, 2),
+             build_ogg_page([comment], serial, 1, 0)]
+    for i, p in enumerate(inj):
+        pages.append(build_ogg_page(
+            [p], serial, 2 + i, 160 * (i + 1),
+            4 if i == len(inj) - 1 else 0))
+    wire = b"".join(pages)
+
+    dec = SpeexDecoder()
+    own = dec.decode_f32(wire).reshape(-1, 2)
+    assert dec._dec is not None and dec._av is None
+    assert dec.channels == 2 and dec._stereo is not None
+
+    av = AvDecoder("speex", sample_rate=8000, channels=2,
+                   extradata=hdr2)
+    orc = np.concatenate([av.push(p) for p in inj]).reshape(-1, 2)
+    n = min(len(own), len(orc))
+    assert n == 40 * 160
+    e = own[:n] - orc[:n]
+    snr = 10 * np.log10(float((orc[:n] ** 2).sum())
+                        / max(float((e ** 2).sum()), 1e-300))
+    assert snr > 60.0, f"stereo reconstruction SNR {snr:.1f} dB"
+    # the intensity weights actually separate the channels
+    assert np.abs(own[:n, 0] - own[:n, 1]).max() > 0.01 * np.abs(
+        own[:n]).max()
+
+
 @pytest.mark.slow
 def test_speex_wideband_owned():
     """The SB-CELP wideband layer decodes owned (no avcodec): crafted
