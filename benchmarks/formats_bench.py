@@ -417,7 +417,7 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, B=1024,
     return st
 
 
-def bench_fleet_device(passes):
+def bench_fleet_device(passes, CAP=32):
     """Mixed-codec fleet, device-resident serving mode.
 
     collect(device_out=True): PCM stays on device for a downstream
@@ -425,7 +425,11 @@ def bench_fleet_device(passes):
     compute but not the d2h PCM egress that hard-caps the fetching
     fleet at ~73x (13 MB/s tunnel / 176.4 kB/s per 44.1k stereo i16
     stream).  block_until_ready on every staged batch keeps the timing
-    honest."""
+    honest.
+
+    ``CAP`` lanes per codec group (4 groups): dispatch count is
+    independent of lane count, so wider groups amortise it —
+    CAP=128/256 are the 512/1024-stream serving configurations."""
     import jax
     from soundkit_tpu.models.fleet import StreamFleet
 
@@ -433,9 +437,6 @@ def bench_fleet_device(passes):
     mp3 = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
     flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
     opus = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
-
-    CAP = 32  # production-sized groups: dispatch count is independent
-    # of lane count, so wider groups amortise it (4 x 32 = 128 streams)
 
     def one_pass():
         fleet = StreamFleet(capacity_per_group=CAP, out_bits=16)
@@ -538,6 +539,10 @@ def main():
             device_out=True),
         "fleet_mixed": lambda: bench_fleet(args.passes),
         "fleet_mixed_device": lambda: bench_fleet_device(args.passes),
+        "fleet_mixed_device_512": lambda: bench_fleet_device(
+            args.passes, CAP=128),
+        "fleet_mixed_device_1024": lambda: bench_fleet_device(
+            args.passes, CAP=256),
     }
     only = [f for f in args.formats.split(",") if f]
     results = {}

@@ -212,6 +212,7 @@ class AacLcDecoder:
     def __init__(self, sample_rate_index: Optional[int] = None):
         self.sr_index = sample_rate_index
         self.t = _tables()
+        self.sbr_seen = False  # set when a FIL carries SBR data
 
     # -- ADTS --
 
@@ -279,9 +280,17 @@ class AacLcDecoder:
         count = br.get(4)
         if count == 15:
             count += br.get(8) - 1
-        # SBR extension payload would appear here; LC path skips it
-        # (the reference rejects SBR explicitly, decoder.rs:134-145)
-        br.skip(count * 8)
+        # SBR extension payloads (type 13/14) mark an HE-AAC stream:
+        # record the sighting so stream-level callers can reroute to a
+        # full-machinery decoder (the reference rejects SBR explicitly,
+        # decoder.rs:134-145); the LC path itself skips the payload
+        if count > 0:
+            ext = br.get(4)
+            if ext in (13, 14):
+                self.sbr_seen = True
+            br.skip(count * 8 - 4)
+        else:
+            br.skip(count * 8)
 
     def _decode_cpe(self, br: BitReader) -> ChannelElement:
         br.get(4)

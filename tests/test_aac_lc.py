@@ -104,6 +104,66 @@ def test_chunked_adts_framing(golden_adts):
     assert all(a == b for a, b in zip(chunked, whole))
 
 
+def test_host_adts_decoder_owned_happy_path(golden_adts):
+    """The host AacDecoder serves ADTS LC through the owned parser +
+    synthesis (no avcodec object on the happy path), chunk-invariant,
+    and matches the libavcodec oracle."""
+    from soundkit_tpu.codecs.aac import AacDecoder
+    from soundkit_tpu.codecs.avdec import AvDecoder
+
+    dec = AacDecoder()
+    out = np.concatenate([
+        dec.decode_f32(golden_adts[i : i + 997])
+        for i in range(0, len(golden_adts), 997)
+    ] + [dec.flush_f32()])
+    assert dec._av is None and dec._av_raw is None
+    assert dec._dec is not None, "owned path not taken"
+    assert dec.sample_rate == 16000 and dec.channels == 2
+
+    whole = AacDecoder()
+    w = np.concatenate([whole.decode_f32(golden_adts),
+                        whole.flush_f32()])
+    assert np.array_equal(out, w), "chunked != whole decode"
+
+    oracle = AvDecoder("aac", use_parser=True)
+    ref = np.concatenate([oracle.push(golden_adts), oracle.flush()])
+    n = min(len(out), len(ref))
+    assert n > 16000
+    err = ref[:n] - out[:n]
+    snr = 10 * np.log10(np.mean(ref[:n] ** 2)
+                        / max(np.mean(err ** 2), 1e-30))
+    assert snr > 60, f"owned host ADTS SNR {snr:.1f} dB"
+
+
+def test_host_adts_decoder_reroutes_he_aac(testdata):
+    """HE-AAC (SBR fill extensions) must NOT decode through the LC
+    core: the first AU triggers the avcodec reroute with a full byte
+    replay (the reference rejects SBR explicitly, decoder.rs:134-145)."""
+    from soundkit_tpu.codecs.aac import AacDecoder
+    from soundkit_tpu.demux.mp4 import demux_mp4_audio
+
+    data = (testdata / "itag139" / "yt_itag_139_he_aac.mp4").read_bytes()
+    track = demux_mp4_audio(data)
+    aus = list(track.samples)
+    asc = track.config
+    assert aus and asc
+    # wrap the HE AUs in ADTS (sr index from the ASC, 2 channels)
+    sr_idx = ((asc[0] & 0x7) << 1) | (asc[1] >> 7)
+    adts = bytearray()
+    for au in aus[:40]:
+        ln = len(au) + 7
+        adts += bytes([
+            0xFF, 0xF1, (1 << 6) | (sr_idx << 2) | 0,
+            (2 << 6) | ((ln >> 11) & 0x3),
+            (ln >> 3) & 0xFF, ((ln & 0x7) << 5) | 0x1F, 0xFC,
+        ]) + au
+    dec = AacDecoder()
+    out = np.concatenate([dec.decode_f32(bytes(adts)),
+                          dec.flush_f32()])
+    assert dec._av is not None, "HE-AAC did not reroute to avcodec"
+    assert len(out) > 0 and float(np.abs(out).max()) > 1e-3
+
+
 def test_rejects_non_lc_features():
     dec = AacLcDecoder(8)
     # PCE element (id 5) must be rejected in the raw AU path
