@@ -199,6 +199,21 @@ class FlacSegsStream:
         self._lib = load()
         self._h = self._lib.skt_flac_new()
         self.stride = stride
+        # reused across next() calls: the C++ walk writes every cell
+        # it reports (segs[:n], fbytes[:nb]) and the consumer copies
+        # them out, so per-call zeroing was pure memset overhead
+        # (~200 KB/frame dominated the 256-lane serving pass)
+        self._segs = np.empty((self.SEG_CAP, 4), dtype=np.int32)
+        self._fbytes = np.empty(self.MAX_FRAME_BYTES, dtype=np.uint8)
+        # raw-pointer prototype for the per-frame hot call: the
+        # ndpointer argtype re-validates six arrays per call (~40% of
+        # the 256-lane host walk); this one takes plain addresses
+        proto = ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long)
+        self._next_segs = proto(("skt_flac_next_segs", self._lib))
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -214,11 +229,12 @@ class FlacSegsStream:
         coef = np.zeros((2, 32), dtype=np.int32)
         warm = np.zeros((2, 32), dtype=np.int32)
         xmeta = np.zeros(8, dtype=np.int32)
-        segs = np.zeros((self.SEG_CAP, 4), dtype=np.int32)
-        fbytes = np.zeros(self.MAX_FRAME_BYTES, dtype=np.uint8)
-        rc = self._lib.skt_flac_next_segs(
-            self._h, meta, coef.reshape(-1), warm.reshape(-1), xmeta,
-            segs.reshape(-1), fbytes, self.stride, self.SEG_CAP,
+        segs = self._segs
+        fbytes = self._fbytes
+        rc = self._next_segs(
+            self._h, meta.ctypes.data, coef.ctypes.data,
+            warm.ctypes.data, xmeta.ctypes.data, segs.ctypes.data,
+            fbytes.ctypes.data, self.stride, self.SEG_CAP,
             self.MAX_FRAME_BYTES,
         )
         if rc == 0:

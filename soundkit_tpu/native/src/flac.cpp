@@ -145,14 +145,24 @@ uint8_t crc8(const uint8_t* data, size_t len) {
     return crc;
 }
 
-// CRC-16 poly 0x8005 (whole frame)
+// CRC-16 poly 0x8005 (whole frame), table-driven (the bit-loop was
+// ~15 us/frame on the 256-lane serving walk)
 uint16_t crc16(const uint8_t* data, size_t len) {
-    uint16_t crc = 0;
-    for (size_t i = 0; i < len; ++i) {
-        crc ^= (uint16_t)data[i] << 8;
-        for (int b = 0; b < 8; ++b)
-            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005) : (uint16_t)(crc << 1);
+    static uint16_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (unsigned i = 0; i < 256; ++i) {
+            uint16_t c = (uint16_t)(i << 8);
+            for (int b = 0; b < 8; ++b)
+                c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005)
+                                 : (uint16_t)(c << 1);
+            tab[i] = c;
+        }
+        init = true;
     }
+    uint16_t crc = 0;
+    for (size_t i = 0; i < len; ++i)
+        crc = (uint16_t)((crc << 8) ^ tab[(crc >> 8) ^ data[i]]);
     return crc;
 }
 
