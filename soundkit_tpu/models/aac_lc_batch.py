@@ -9,12 +9,24 @@ multi-chip.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
 
 from soundkit_tpu.codecs.aac_lc import AacLcDecoder, AdtsStream
 from soundkit_tpu.ops import aac_batch as ab
+
+
+@functools.lru_cache(maxsize=1)
+def _aac_steps():
+    import jax
+
+    return (jax.jit(ab.aac_decode_frame_device),
+            jax.jit(ab.aac_decode_frame_device_compact_packed),
+            jax.jit(ab.aac_decode_frame_device_v3_packed),
+            jax.jit(ab.aac_decode_frame_device_v4_packed,
+                    static_argnums=(3,)))
 
 
 class BatchedAacLcDecoder:
@@ -26,8 +38,6 @@ class BatchedAacLcDecoder:
 
     def __init__(self, num_streams: int, channels: int = 2, mesh=None,
                  use_native: bool = True):
-        import jax
-
         self.B = num_streams
         self.C = channels
         self._streams = [AdtsStream() for _ in range(num_streams)]
@@ -36,12 +46,11 @@ class BatchedAacLcDecoder:
         self._saved = saved
         self._prev_shape = prev_shape
         self._mesh = mesh
-        self._step = jax.jit(ab.aac_decode_frame_device)
-        self._step_packed = jax.jit(ab.aac_decode_frame_device_compact_packed)
-        self._step_v3 = jax.jit(ab.aac_decode_frame_device_v3_packed)
-        self._step_v4 = jax.jit(
-            ab.aac_decode_frame_device_v4_packed, static_argnums=(3,)
-        )
+        # process-wide jit wrappers: per-instance jax.jit objects made
+        # every fleet/model construction re-trace (and re-compile) the
+        # big v4 entropy program on each serving pass
+        (self._step, self._step_packed, self._step_v3,
+         self._step_v4) = _aac_steps()
         self._native = {}  # sr_index -> NativeAacParser (mixed-rate groups)
         if use_native:
             try:

@@ -20,9 +20,17 @@ for the stream-batch data-parallel TPU architecture
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _scatter_set():
+    import jax
+
+    return jax.jit(lambda a, idx, b: a.at[idx].set(b))
 
 from soundkit_tpu.codecs.flac import FlacSegsStream
 from soundkit_tpu.ops import flac_lpc, flac_rice
@@ -194,6 +202,4 @@ class BatchedFlacDecoder:
             resw, coef, order, shift, wasted, assign, bs, valid,
             device_out=True, n_keep=Lp,
         )
-        return jax.jit(lambda a, idx, b: a.at[idx].set(b))(
-            out, jnp.asarray(slots), pout
-        )
+        return _scatter_set()(out, jnp.asarray(slots), pout)

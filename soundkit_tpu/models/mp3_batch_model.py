@@ -14,6 +14,16 @@ import numpy as np
 
 from soundkit_tpu.codecs.mp3_native import NativeMp3Parser
 from soundkit_tpu.ops import mp3_batch as mb
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _mp3_steps():
+    import jax
+
+    return (jax.jit(mb.mp3_granule_device_compact),
+            jax.jit(mb.mp3_granule_device_compact_packed),
+            jax.jit(mb.mp3_granules_device_compact_multi))
 
 
 class BatchedMp3Decoder:
@@ -33,9 +43,9 @@ class BatchedMp3Decoder:
         overlap, fifo = mb.init_state(num_streams, channels)
         self._overlap = overlap
         self._fifo = fifo
-        self._step = jax.jit(mb.mp3_granule_device_compact)
-        self._step_packed = jax.jit(mb.mp3_granule_device_compact_packed)
-        self._multi_step = None  # built on first decode_multi
+        # process-wide jit wrappers (per-instance ones re-traced on
+        # every fleet construction)
+        self._step, self._step_packed, self._multi_step = _mp3_steps()
         self.sample_rate: Optional[int] = None  # first rate seen (legacy)
         self._rates = np.zeros(num_streams, dtype=np.int32)  # per lane
 
@@ -156,8 +166,6 @@ class BatchedMp3Decoder:
         import jax
         import jax.numpy as jnp
 
-        if self._multi_step is None:
-            self._multi_step = jax.jit(mb.mp3_granules_device_compact_multi)
         G = n
         quant = np.zeros((G, self.B, 2, 576), dtype=np.int16)
         expq = np.zeros((G, self.B, 2, 576), dtype=np.int16)

@@ -243,9 +243,17 @@ class BatchedCeltDecoder:
         self._gain = [1.0] * num_streams
         from soundkit_tpu.ops.celt_batch import HIST
 
-        self._ola = np.zeros((self.B, channels, 120), np.float32)
-        self._hist = np.zeros((self.B, channels, HIST), np.float32)
-        self._emph = np.zeros((self.B, channels), np.float32)
+        # carried synthesis state stays DEVICE-RESIDENT for the
+        # model's lifetime: the old per-decode np.array round trip was
+        # ~1.2 MB of d2h at B=128, squarely in the tunnel's stall zone
+        # — and the stall poisoned the NEXT group's dispatches in the
+        # fleet (aac-after-opus measured 6.8 s vs 0.09 s).  Lane
+        # recycling zeroes rows on device via the fresh mask instead.
+        self._ola = None   # lazily jnp [B, C, 120]
+        self._hist = None  # jnp [B, C, HIST]
+        self._emph = None  # jnp [B, C]
+        self._hist_len = HIST
+        self._fresh = np.zeros(self.B, bool)
 
     def push(self, stream_idx: int, data: bytes) -> None:
         """Feed the soundkit raw-Opus wire: optional OpusHead(19B),
@@ -295,9 +303,7 @@ class BatchedCeltDecoder:
         self._head_done[b] = False
         self._skip[b] = 0
         self._gain[b] = 1.0
-        self._ola[b] = 0.0
-        self._hist[b] = 0.0
-        self._emph[b] = 0.0
+        self._fresh[b] = True  # next decode zeroes the row on device
 
     @property
     def ready_packets(self) -> int:
@@ -454,10 +460,19 @@ class BatchedCeltDecoder:
             ).reshape(a.shape)
 
         step = _celt_multi_step()
-        ola, hist, emph = (
-            jnp.asarray(self._ola), jnp.asarray(self._hist),
-            jnp.asarray(self._emph),
-        )
+        if self._ola is None:
+            self._ola = jnp.zeros((self.B, self.C, 120), jnp.float32)
+            self._hist = jnp.zeros((self.B, self.C, self._hist_len),
+                                   jnp.float32)
+            self._emph = jnp.zeros((self.B, self.C), jnp.float32)
+            self._fresh[:] = False
+        ola, hist, emph = self._ola, self._hist, self._emph
+        if self._fresh.any():
+            keep = jnp.asarray(~self._fresh, jnp.float32)
+            ola = ola * keep[:, None, None]
+            hist = hist * keep[:, None, None]
+            emph = emph * keep[:, None]
+            self._fresh[:] = False
         chunks = []
         for r0 in range(0, n_pad, R):
             pcm, ola, hist, emph = step(
@@ -468,11 +483,7 @@ class BatchedCeltDecoder:
                 ola, hist, emph,
             )
             chunks.append(pcm)
-        # np.array copies: zero-copy views of jax buffers are read-only
-        # and reset_lane writes rows in place
-        self._ola, self._hist, self._emph = (
-            np.array(ola), np.array(hist), np.array(emph),
-        )
+        self._ola, self._hist, self._emph = ola, hist, emph
         if device_out:
             if chunks:
                 pcm_all = jnp.concatenate(chunks, axis=0)[:n]

@@ -30,10 +30,62 @@ CODECS = (
 )
 
 
+@functools.lru_cache(maxsize=32)
+def _dec_step(codec: str, B: int, chunk: int):
+    """Process-wide jitted decode step per (codec, shape) — a
+    per-instance jax.jit re-traced the program on every fleet/model
+    construction."""
+    import jax
+
+    off_counts = (B * chunk + 3) & ~3
+
+    def unpack(buf):
+        import jax.numpy as jnp
+        from jax import lax
+
+        raw = lax.slice(buf, (0,), (B * chunk,))
+        codes = lax.bitcast_convert_type(raw, jnp.uint8)
+        codes = codes.reshape(B, chunk).astype(jnp.int32)
+        cr = lax.slice(buf, (off_counts,), (off_counts + 4 * B,))
+        counts = lax.bitcast_convert_type(
+            cr.reshape(B, 4), jnp.int32
+        ).reshape(B)
+        valid = (
+            jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            < counts[:, None]
+        )
+        return codes, valid
+
+    import jax.numpy as jnp
+
+    if codec.startswith("g711"):
+        is_alaw = codec.endswith("alaw")
+
+        def step_g711(buf):
+            codes, valid = unpack(buf)
+            pcm = (companding.decode_alaw(codes) if is_alaw
+                   else companding.decode_mulaw(codes))
+            return jnp.where(valid, pcm, 0)
+
+        return jax.jit(step_g711)
+    if codec == "g722":
+
+        def step_g722(buf, st):
+            codes, valid = unpack(buf)
+            return g722_ops.g722_decode_scan(codes, st, valid)
+
+        return jax.jit(step_g722)
+    bits = int(codec.split("_")[1]) // 8
+
+    def step_g726(buf, st, _b=bits):
+        codes, valid = unpack(buf)
+        return adpcm.g726_decode_scan(codes, st, _b, valid)
+
+    return jax.jit(step_g726)
+
+
 class BatchedTelephonyDecoder:
     def __init__(self, codec: str, num_streams: int, chunk_codes: int = 2048):
-        import jax
-
         if codec not in CODECS:
             raise ValueError(f"unknown codec {codec!r}; one of {CODECS}")
         self.codec = codec
@@ -50,49 +102,13 @@ class BatchedTelephonyDecoder:
         self._off_counts = (num_streams * chunk_codes + 3) & ~3
         self._wire_total = self._off_counts + 4 * num_streams
 
-        def unpack(buf):
-            import jax.numpy as jnp
-            from jax import lax
-
-            B, chunk = self.B, self.chunk
-            raw = lax.slice(buf, (0,), (B * chunk,))
-            codes = lax.bitcast_convert_type(raw, jnp.uint8)
-            codes = codes.reshape(B, chunk).astype(jnp.int32)
-            cr = lax.slice(
-                buf, (self._off_counts,), (self._off_counts + 4 * B,)
-            )
-            counts = lax.bitcast_convert_type(
-                cr.reshape(B, 4), jnp.int32
-            ).reshape(B)
-            valid = (
-                jnp.arange(chunk, dtype=jnp.int32)[None, :]
-                < counts[:, None]
-            )
-            return codes, valid
-
+        self._step = _dec_step(codec, num_streams, chunk_codes)
         if codec.startswith("g711"):
-            is_alaw = codec.endswith("alaw")
             self._state = None
-
-            def step_g711(buf):
-                import jax.numpy as jnp
-
-                codes, valid = unpack(buf)
-                pcm = (companding.decode_alaw(codes) if is_alaw
-                       else companding.decode_mulaw(codes))
-                return jnp.where(valid, pcm, 0)
-
-            self._step = jax.jit(step_g711)
             self.samples_per_code = 1
             self.sample_rate = 8000
         elif codec == "g722":
             self._state = g722_ops.g722_init_state(num_streams)
-
-            def step_g722(buf, st):
-                codes, valid = unpack(buf)
-                return g722_ops.g722_decode_scan(codes, st, valid)
-
-            self._step = jax.jit(step_g722)
             self.samples_per_code = 2
             self.sample_rate = 16000
         else:
@@ -100,12 +116,6 @@ class BatchedTelephonyDecoder:
             self._g726_rate = {2: G726Rate.RATE_16000, 3: G726Rate.RATE_24000,
                                4: G726Rate.RATE_32000, 5: G726Rate.RATE_40000}[bits]
             self._state = adpcm.g726_init_state(num_streams)
-
-            def step_g726(buf, st, _b=bits):
-                codes, valid = unpack(buf)
-                return adpcm.g726_decode_scan(codes, st, _b, valid)
-
-            self._step = jax.jit(step_g726)
             self.samples_per_code = 1  # one code = one sample
             self.sample_rate = 8000
 
@@ -164,6 +174,33 @@ class BatchedTelephonyDecoder:
         return 0
 
 
+@functools.lru_cache(maxsize=16)
+def _enc_step(codec: str):
+    """Process-wide jitted encode step per codec (shape-polymorphic
+    via jit retrace on new shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    if codec.startswith("g711"):
+        is_alaw = codec.endswith("alaw")
+        return jax.jit(
+            lambda pcm, valid: jnp.where(
+                valid,
+                companding.encode_alaw(pcm) if is_alaw
+                else companding.encode_mulaw(pcm),
+                0,
+            )
+        )
+    if codec == "g722":
+        return jax.jit(
+            lambda pcm, valid, st: g722_ops.g722_encode_scan(pcm, st, valid)
+        )
+    bits = int(codec.split("_")[1]) // 8
+    return jax.jit(
+        lambda pcm, valid, st, _b=bits: adpcm.g726_encode_scan(pcm, st, _b, valid)
+    )
+
+
 class BatchedTelephonyEncoder:
     """Batched multi-stream telephony ENCODE (PCM -> G.711/722/726).
 
@@ -175,8 +212,6 @@ class BatchedTelephonyEncoder:
     """
 
     def __init__(self, codec: str, num_streams: int, chunk_samples: int = 2048):
-        import jax
-
         if codec not in CODECS:
             raise ValueError(f"unknown codec {codec!r}; one of {CODECS}")
         if codec == "g722" and chunk_samples % 2:
@@ -188,24 +223,13 @@ class BatchedTelephonyEncoder:
             np.zeros(0, dtype=np.int16) for _ in range(num_streams)
         ]
         self._g726_rate: Optional[G726Rate] = None
+        self._step = _enc_step(codec)
 
         if codec.startswith("g711"):
-            is_alaw = codec.endswith("alaw")
             self._state = None
-            self._step = jax.jit(
-                lambda pcm, valid: jax.numpy.where(
-                    valid,
-                    companding.encode_alaw(pcm) if is_alaw
-                    else companding.encode_mulaw(pcm),
-                    0,
-                )
-            )
             self.codes_per_sample = 1.0
         elif codec == "g722":
             self._state = g722_ops.g722_init_state(num_streams)
-            self._step = jax.jit(
-                lambda pcm, valid, st: g722_ops.g722_encode_scan(pcm, st, valid)
-            )
             self.codes_per_sample = 0.5
         else:
             bits = int(codec.split("_")[1]) // 8
@@ -213,9 +237,6 @@ class BatchedTelephonyEncoder:
             self._g726_rate = {2: G726Rate.RATE_16000, 3: G726Rate.RATE_24000,
                                4: G726Rate.RATE_32000, 5: G726Rate.RATE_40000}[bits]
             self._state = adpcm.g726_init_state(num_streams)
-            self._step = jax.jit(
-                lambda pcm, valid, st, _b=bits: adpcm.g726_encode_scan(pcm, st, _b, valid)
-            )
             self.codes_per_sample = 1.0
 
     def push(self, stream_idx: int, pcm: np.ndarray) -> None:

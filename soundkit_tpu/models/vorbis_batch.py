@@ -14,6 +14,8 @@ per group, like the AAC model's per-sample-rate parser groups).
 """
 from __future__ import annotations
 
+import functools
+
 from typing import List, Optional
 
 import numpy as np
@@ -39,6 +41,31 @@ class _Lane:
         self.parser = None  # native C++ parse stage, or the setup itself
         self.queue: List = []  # decoded spectra
         self.primed = False
+
+
+@functools.lru_cache(maxsize=8)
+def _vorbis_multi_step(n0: int, n1: int):
+    """Process-wide jitted multi-round synthesis per topology — a
+    per-instance jax.jit re-traced the program on every fleet/model
+    construction."""
+    import jax
+
+    def _multi(specs, n_flags, pfs, nfs, valids, primeds, cflags,
+               state):
+        from jax import lax
+
+        def body(st, xs):
+            sp, nfl, p_, n_, v_, pr, cf = xs
+            out, _len, st2, _ = vb.vorbis_synth_step(
+                sp, nfl, p_, n_, v_, pr, st, cf, n0=n0, n1=n1)
+            return st2, out
+
+        state, outs = lax.scan(
+            body, state,
+            (specs, n_flags, pfs, nfs, valids, primeds, cflags))
+        return outs, state
+
+    return jax.jit(_multi)
 
 
 class BatchedVorbisDecoder:
@@ -128,22 +155,7 @@ class BatchedVorbisDecoder:
         h1 = n1 // 2
         R = 8  # rounds per device call (fixed: one compiled program)
         if self._step is None:
-            def _multi(specs, n_flags, pfs, nfs, valids, primeds,
-                       cflags, state):
-                from jax import lax
-
-                def body(st, xs):
-                    sp, nfl, p_, n_, v_, pr, cf = xs
-                    out, _len, st2, _ = vb.vorbis_synth_step(
-                        sp, nfl, p_, n_, v_, pr, st, cf, n0=n0, n1=n1)
-                    return st2, out
-
-                state, outs = lax.scan(
-                    body, state,
-                    (specs, n_flags, pfs, nfs, valids, primeds, cflags))
-                return outs, state
-
-            self._step = jax.jit(_multi)
+            self._step = _vorbis_multi_step(n0, n1)
             carry, cflag = vb.init_state(self.B, C, n1)
             self._state = jnp.asarray(carry)
             self._cflag = cflag  # host-side, never round-tripped
