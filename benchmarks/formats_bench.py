@@ -537,6 +537,9 @@ def main():
         "g726_32_device": lambda: bench_telephony(
             "g726_32", "g726", "_32.g726", 8000.0, args.passes,
             device_out=True),
+        "g722_device": lambda: bench_telephony(
+            "g722", "g722", ".g722", 16000.0, args.passes,
+            device_out=True),
         "fleet_mixed": lambda: bench_fleet(args.passes),
         "fleet_mixed_device": lambda: bench_fleet_device(args.passes),
         "fleet_mixed_device_512": lambda: bench_fleet_device(
