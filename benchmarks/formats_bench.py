@@ -162,8 +162,7 @@ def bench_flac_encode(passes):
         t0 = time.perf_counter()
         for b in range(B):
             m.push(b, pcm)
-        m.encode_pending()
-        sizes = [len(m.finish(b)) for b in range(B)]
+        sizes = [len(s) for s in m.finish_all()]
         el = time.perf_counter() - t0
         assert all(s > 1000 for s in sizes)
         return _xrt(B * pcm.shape[1] / rate, el)

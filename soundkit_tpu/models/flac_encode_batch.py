@@ -128,17 +128,20 @@ class BatchedFlacEncoder:
                 st.buf = st.buf[:, nb * N :]
         return self._encode_jobs(jobs)
 
-    def _encode_jobs(self, jobs) -> int:
+    def _encode_jobs(self, jobs, N: Optional[int] = None) -> int:
         """Analyze + pack a job list in one device call + one native
         pack call.  The entry count pads to the next power of two so
         the number of compiled programs stays logarithmic in queue
         depth; with the native packer available the residual plane is
-        neither materialized on device nor fetched."""
+        neither materialized on device nor fetched.  ``N`` overrides
+        the block size (tail frames; every job must hold exactly N
+        samples)."""
         from soundkit_tpu.ops.flac_enc_batch import flac_analyze_batch
 
         if not jobs:
             return 0
-        N = self.block_size
+        if N is None:
+            N = self.block_size
         L = 1 << (len(jobs) - 1).bit_length()
         x = np.zeros((L, 2, N), np.int32)
         for j, (_, blk) in enumerate(jobs):
@@ -243,6 +246,33 @@ class BatchedFlacEncoder:
             else:
                 plans.append(_SubframePlan("fixed", o, r, bits, src[:o], 0))
         return enc.write_frame(n, assignment, plans)
+
+    def finish_all(self) -> List[bytes]:
+        """Finish every lane, batching the tail frames through the
+        device analysis: one `_encode_jobs` call per DISTINCT tail
+        length (in lockstep serving all lanes share one), versus
+        ``finish``'s per-lane host analysis — the tail stage drops
+        from B Levinson fits in Python to one jitted map.  Returns
+        the B complete .flac streams in lane order."""
+        self.encode_pending()
+        groups: dict = {}
+        for i, st in enumerate(self._lanes):
+            if st.finished or st.buf.shape[1] == 0:
+                continue
+            groups.setdefault(max(st.buf.shape[1], 16), []).append(i)
+        for n, lanes in sorted(groups.items()):
+            jobs = []
+            for i in lanes:
+                st = self._lanes[i]
+                blk = st.buf
+                if blk.shape[1] < n:  # <16-sample tail: repeat-pad
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[:, -1:], n - blk.shape[1],
+                                        axis=1)], axis=1)
+                st.buf = st.buf[:, :0]
+                jobs.append((i, blk))
+            self._encode_jobs(jobs, N=n)
+        return [self.finish(i) for i in range(self.B)]
 
     def finish(self, lane: int) -> bytes:
         """Flush the lane's tail through the host planner and return

@@ -221,19 +221,30 @@ def flac_analyze_x64(x, n_valid, bits):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_i32(bits, with_res=True):
-    """jit over an int32 sample wire: widening to int64 happens ON
-    DEVICE (samples are <= 25 bits incl. the side channel), halving
+    """jit over a narrow integer sample wire (int16 when the declared
+    depth fits, else int32): widening to int64 happens ON DEVICE
+    (samples are <= 25 bits incl. the side channel), halving/quartering
     the h2d bytes of the PCM wire.  ``with_res=False`` drops the
     [L, 2, N] residual plane from the outputs — XLA then dead-codes
     its materialization and only the ~50 B/frame plan rows cross the
     d2h tunnel (the native packer recomputes residuals exactly,
-    native/src/flac_pack.cpp)."""
+    native/src/flac_pack.cpp) — and the five plan tensors come back
+    PACKED into one [L, 23] int32 row per block (one d2h latency
+    instead of five; each separate fetch pays tens of ms on the
+    tunnel)."""
     import jax
     import jax.numpy as jnp
 
     def kern(x, n_valid):
         out = flac_analyze_device(x.astype(jnp.int64), n_valid, bits)
-        return out if with_res else out[:-1]
+        if with_res:
+            return out
+        assign, kind, order, shift, qlp = out[:-1]
+        L = assign.shape[0]
+        return jnp.concatenate(
+            [assign[:, None], kind, order, shift, qlp.reshape(L, -1)],
+            axis=-1,
+        )
 
     return jax.jit(kern)
 
@@ -243,11 +254,13 @@ def flac_analyze_batch(x, n_valid, bits, fetch_res=True):
 
     FLAC blocks carry no cross-block analysis state, so the caller
     folds every pending (lane, round) block into the leading dim of
-    ``x`` [L, 2, N] int32.  h2d ships the int32 wire in sub-cliff
-    chunks, the analysis runs as one jitted map, and the residual
-    plane comes back int32 in chunked d2h fetches — the per-round
-    path paid one synchronous ~4 MB h2d + ~4 MB d2h per block round,
-    squarely in the tunnel's stall zones (CLAUDE.md).
+    ``x`` [L, 2, N].  h2d ships the narrowest integer wire that holds
+    the declared depth (int16 for <=16-bit streams — half the bytes on
+    the tunnel) in sub-cliff chunks, the analysis runs as one jitted
+    map, and the plans come back as ONE packed [L, 23] int32 row per
+    block — the per-round path paid one synchronous ~4 MB h2d +
+    ~4 MB d2h per block round, squarely in the tunnel's stall zones
+    (CLAUDE.md).
 
     Returns the same tuple as :func:`flac_analyze_x64`; with
     ``fetch_res=False`` the residual plane is neither materialized on
@@ -262,19 +275,23 @@ def flac_analyze_batch(x, n_valid, bits, fetch_res=True):
         to_device_chunked,
     )
 
-    x = np.ascontiguousarray(np.asarray(x, np.int32))
+    dt = np.int16 if (bits <= 16 and not fetch_res) else np.int32
+    x = np.ascontiguousarray(np.asarray(x, dt))
     wire = to_device_chunked(
-        x.reshape(-1), chunk_bytes=WIRE_CHUNK_BYTES // 4
+        x.reshape(-1), chunk_bytes=WIRE_CHUNK_BYTES // x.itemsize
     ).reshape(x.shape)
     with jax.enable_x64():
         out = _jitted_i32(bits, fetch_res)(wire, np.int64(n_valid))
     if fetch_res:
         assign, kind, order, shift, qlp, res = out
-        res = from_device_chunked(res)
-    else:
-        assign, kind, order, shift, qlp = out
-        res = None
+        return (
+            np.asarray(assign), np.asarray(kind), np.asarray(order),
+            np.asarray(shift), np.asarray(qlp), from_device_chunked(res),
+        )
+    plans = np.asarray(out)                      # [L, 23] int32
+    L = plans.shape[0]
     return (
-        np.asarray(assign), np.asarray(kind), np.asarray(order),
-        np.asarray(shift), np.asarray(qlp), res,
+        plans[:, 0], plans[:, 1:3], plans[:, 3:5], plans[:, 5:7],
+        np.ascontiguousarray(plans[:, 7:23]).reshape(L, 2, LPC_ORDER),
+        None,
     )

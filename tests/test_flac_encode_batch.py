@@ -74,6 +74,33 @@ def test_batched_flac_encode_roundtrip_and_size(stereo_pcm):
             i, len(streams[i]), len(host))
 
 
+def test_finish_all_batched_tails_roundtrip(stereo_pcm):
+    """finish_all routes tail frames through the device analysis (one
+    batched call per distinct tail length) instead of finish()'s
+    per-lane host planner; every lane must still round-trip
+    bit-exactly and verify its STREAMINFO MD5."""
+    pcm, rate = stereo_pcm
+    variants = [
+        pcm,                                     # 4096k + big tail
+        pcm[:, : 3 * 4096 + 997],                # small odd tail
+        pcm[:, : 2 * 4096],                      # no tail at all
+        pcm[:, : 4096 + 7],                      # sub-16 tail (repeat-pad)
+    ]
+    m = BatchedFlacEncoder(len(variants), rate, 2, 16)
+    for i, v in enumerate(variants):
+        m.push(i, v)
+    streams = m.finish_all()
+    for i, s in enumerate(streams):
+        got = _own_decode_i16(s)
+        want = variants[i]
+        n = want.shape[1]
+        assert got.shape[1] >= n
+        np.testing.assert_array_equal(got[:, :n], want, err_msg=f"lane {i}")
+        dec = FlacDecoder()
+        dec.add(s)
+        assert dec.verify_md5(got.T.astype("<i2").tobytes())
+
+
 def test_batched_flac_encode_oracle_decode(stereo_pcm):
     """libavcodec must decode the batched streams bit-exactly."""
     from soundkit_tpu.codecs.avdec import AvDecoder
