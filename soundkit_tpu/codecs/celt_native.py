@@ -52,6 +52,15 @@ def _lib():
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.skt_celt_parse_many_q.restype = ctypes.c_int
+    lib.skt_celt_parse_many_q.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
     lib.skt_celt_enc_frame.restype = ctypes.c_long
     lib.skt_celt_enc_frame.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -187,6 +196,49 @@ class NativeCeltBatch:
             sflag.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return freq, comb, sflag, ok
+
+    def parse_many_q(self, frames, ends, coded, valid,
+                     frame_size: int = FRAME):
+        """Quantized-wire batch parse (skt_celt_parse_many_q): the
+        range decode is identical to :meth:`parse_many`, but spectra
+        return as int16 with one f32 scale per (lane, band) — the
+        half-width serving wire for the fleet's i16 output mode
+        (~92 dB vs the exact f32 path on the fixture corpus).
+
+        Returns (qfreq [B, C, frame_size] i16, scale [B, 21] f32,
+        comb [B, 16] f64, sflag [B] i32, ok [B] i32)."""
+        B, C = self.B, self.C
+        buf = b"".join(f for f, v in zip(frames, valid) if v)
+        offs = np.zeros(B, dtype=np.int64)
+        lens = np.zeros(B, dtype=np.int64)
+        pos = 0
+        for b in range(B):
+            if valid[b]:
+                offs[b] = pos
+                lens[b] = len(frames[b])
+                pos += lens[b]
+        ends_a = np.ascontiguousarray(ends, dtype=np.int32)
+        coded_a = np.ascontiguousarray(coded, dtype=np.int32)
+        valid_a = np.ascontiguousarray(valid, dtype=np.uint8)
+        qfreq = np.zeros((B, C, frame_size), dtype=np.int16)
+        scale = np.zeros((B, 21), dtype=np.float32)
+        comb = np.zeros((B, 16), dtype=np.float64)
+        sflag = np.zeros(B, dtype=np.int32)
+        ok = np.zeros(B, dtype=np.int32)
+        self._lib.skt_celt_parse_many_q(
+            self._handles, B, buf,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ends_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            coded_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            valid_a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            frame_size, C,
+            qfreq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sflag.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return qfreq, scale, comb, sflag, ok
 
     def parse_many_cont(self, frames, starts, ends, coded, valid,
                         rc_init, frame_size: int = FRAME):

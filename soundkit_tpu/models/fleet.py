@@ -109,10 +109,12 @@ class FleetLaneOutput:
 class _BatchedGroup:
     """Wraps one batched model with lane allocation/recycling."""
 
-    def __init__(self, kind: str, capacity: int, channels: int):
+    def __init__(self, kind: str, capacity: int, channels: int,
+                 opus_wire: str = "f32"):
         self.kind = kind
         self.capacity = capacity
         self.channels = channels
+        self.opus_wire = opus_wire
         self._free = list(range(capacity))
         self._model = None  # built lazily (FLAC stride, AAC jit, ...)
 
@@ -140,7 +142,8 @@ class _BatchedGroup:
                 BatchedOggOpusDecoder,
             )
 
-            self._model = BatchedOggOpusDecoder(self.capacity, self.channels)
+            self._model = BatchedOggOpusDecoder(self.capacity, self.channels,
+                                                celt_wire=self.opus_wire)
         else:
             raise ValueError(self.kind)
         return self._model
@@ -211,8 +214,12 @@ class StreamFleet:
             raise ValueError("out_bits must be 16 or 32")
         self.out_bits = out_bits
         self.channels = channels
+        # i16 output mode also rides the half-width int16 CELT
+        # spectral wire (per-band scales, ~98 dB — above the i16
+        # output floor); f32 output keeps the exact f32 wire
         self._groups: Dict[str, _BatchedGroup] = {
-            k: _BatchedGroup(k, capacity_per_group, channels)
+            k: _BatchedGroup(k, capacity_per_group, channels,
+                             opus_wire="i16" if out_bits == 16 else "f32")
             for k in ("aac", "mp3", "flac", "vorbis", "opus")
         }
         self._lanes: Dict[str, _Lane] = {}

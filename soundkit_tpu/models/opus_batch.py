@@ -142,8 +142,8 @@ def _celt_masked_step():
 ROUNDS_PER_CALL = 8
 
 
-@functools.lru_cache(maxsize=2)
-def _celt_multi_step():
+@functools.lru_cache(maxsize=4)
+def _celt_multi_step(quant: bool = False):
     """jit of ROUNDS_PER_CALL masked synthesis rounds as one scan:
     inputs [R, B, ...], carried (ola, hist, emph), output
     pcm [R, B, C, 960].
@@ -153,7 +153,12 @@ def _celt_multi_step():
     960 for a WB stream) and is zero-padded back to the frame size on
     device; the jit specializes per wire width, and widths take only
     the handful of values the TOC bandwidths allow, so at most four
-    programs ever compile."""
+    programs ever compile.
+
+    ``quant=True`` is the half-width serving wire: ``freq`` arrives
+    int16 with per-(round, lane, band) f32 ``scales`` [R, B, 21] and a
+    bin→band map ``band_idx`` [W] i32; the dequantize is the first
+    fused op on device (skt_celt_parse_many_q produced the wire)."""
     import jax
     from jax import lax
 
@@ -174,7 +179,11 @@ def _celt_multi_step():
         e2 = jnp.where(valid[:, None], e2, emph)
         return (o2, h2, e2), pcm
 
-    def multi(freq, short_flag, comb_params, valid, ola, hist, emph):
+    def multi(freq, short_flag, comb_params, valid, ola, hist, emph,
+              scales=None, band_idx=None):
+        if quant:
+            freq = freq.astype(jnp.float32) \
+                * scales[:, :, band_idx][:, :, None, :]
         w = freq.shape[-1]
         if w < FRAME_N:
             freq = jnp.pad(
@@ -187,6 +196,18 @@ def _celt_multi_step():
         return pcm, ola, hist, emph
 
     return jax.jit(multi)
+
+
+@functools.lru_cache(maxsize=8)
+def _band_of_bin(width: int):
+    """Static bin→band map for the quantized wire: band k covers
+    [freq_bands[k]*8, freq_bands[k+1]*8) at the 960 frame size."""
+    from soundkit_tpu.codecs.opus_celt import tables
+
+    fb = tables()["celt_freq_bands"].astype(np.int64) * 8
+    return np.clip(
+        np.searchsorted(fb, np.arange(width), side="right") - 1, 0, 20
+    ).astype(np.int32)
 
 
 class BatchedCeltDecoder:
@@ -212,12 +233,17 @@ class BatchedCeltDecoder:
     FRAME = 960
 
     def __init__(self, num_streams: int, channels: int = 1,
-                 native: bool = True):
+                 native: bool = True, wire: str = "f32"):
         from soundkit_tpu.codecs.opus_celt import CeltDecoder, tables
 
         self.B = num_streams
         self.C = channels
         self.sample_rate = 48000
+        # wire="i16": half-width spectral wire (int16 + per-band f32
+        # scales, quantized inside the native parse — ~92 dB vs the
+        # exact path, above the fleet's i16 output floor).  Requires
+        # the native backend; f32 exactness is the default.
+        self._wire_i16 = wire == "i16"
         # host parse backend: the C++ port (native/src/celt_parse.cpp,
         # ~160x the Python stage) when the toolchain is present,
         # otherwise the owned Python decoder
@@ -374,8 +400,11 @@ class BatchedCeltDecoder:
             n = min(n, max_packets)
         R = ROUNDS_PER_CALL
         n_pad = (n + R - 1) // R * R
+        quant = self._wire_i16 and self._native is not None
         # host stage: parse every round up front
-        freq = np.zeros((n_pad, self.B, self.C, self.FRAME), np.float32)
+        freq = np.zeros((n_pad, self.B, self.C, self.FRAME),
+                        np.int16 if quant else np.float32)
+        scales = np.zeros((n_pad, self.B, 21), np.float32) if quant else None
         sflag = np.zeros((n_pad, self.B), np.int32)
         comb = np.zeros((n_pad, self.B, 16), np.float32)
         valid = np.zeros((n_pad, self.B), bool)
@@ -391,9 +420,14 @@ class BatchedCeltDecoder:
                     pkt = self._packets[b].pop(0)
                     frames[b], ends[b], coded[b] = self._frame_of(pkt)
                     valid[i, b] = True
-                f64, c64, sf, ok = self._native.parse_many(
-                    frames, ends, coded, valid[i]
-                )
+                if quant:
+                    f64, scales[i], c64, sf, ok = self._native.parse_many_q(
+                        frames, ends, coded, valid[i]
+                    )
+                else:
+                    f64, c64, sf, ok = self._native.parse_many(
+                        frames, ends, coded, valid[i]
+                    )
                 if np.any(ok[valid[i]] != 0):
                     bad = int(np.flatnonzero(valid[i] & (ok != 0))[0])
                     from soundkit_tpu.codecs.opus_core import OpusUnsupported
@@ -419,10 +453,14 @@ class BatchedCeltDecoder:
                     end_max = max(end_max, end_b)
         # fold the OpusHead output gain into the spectra: the whole
         # synthesis chain (IMDCT/overlap/comb/de-emphasis) is linear,
-        # and the carried state scales consistently lane-wise
+        # and the carried state scales consistently lane-wise (on the
+        # quantized wire the gain rides the per-band scales instead)
         for b in range(self.B):
             if self._gain[b] != 1.0:
-                freq[:, b] *= np.float32(self._gain[b])
+                if quant:
+                    scales[:, b] *= np.float32(self._gain[b])
+                else:
+                    freq[:, b] *= np.float32(self._gain[b])
         # per-slot valid lengths depend only on packet presence and
         # the remaining preskip — independent of the pcm itself
         lengths = np.zeros((n, self.B), dtype=np.int32)
@@ -459,7 +497,12 @@ class BatchedCeltDecoder:
                 flat, chunk_bytes=WIRE_CHUNK_BYTES // a.itemsize
             ).reshape(a.shape)
 
-        step = _celt_multi_step()
+        step = _celt_multi_step(quant)
+        bidx = None
+        if quant:
+            import jax.numpy as _jnp
+
+            bidx = _jnp.asarray(_band_of_bin(W))
         if self._ola is None:
             self._ola = jnp.zeros((self.B, self.C, 120), jnp.float32)
             self._hist = jnp.zeros((self.B, self.C, self._hist_len),
@@ -475,12 +518,16 @@ class BatchedCeltDecoder:
             self._fresh[:] = False
         chunks = []
         for r0 in range(0, n_pad, R):
+            extra = ()
+            if quant:
+                extra = (jnp.asarray(scales[r0:r0 + R]), bidx)
             pcm, ola, hist, emph = step(
                 h2d(freq[r0:r0 + R, :, :, :W]),
                 jnp.asarray(sflag[r0:r0 + R]),
                 jnp.asarray(comb[r0:r0 + R]),
                 jnp.asarray(valid[r0:r0 + R]),
                 ola, hist, emph,
+                *extra,
             )
             chunks.append(pcm)
         self._ola, self._hist, self._emph = ola, hist, emph

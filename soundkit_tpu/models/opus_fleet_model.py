@@ -81,10 +81,12 @@ class BatchedOggOpusDecoder:
 
     FRAME = 960
 
-    def __init__(self, num_streams: int, channels: int = 2):
+    def __init__(self, num_streams: int, channels: int = 2,
+                 celt_wire: str = "f32"):
         self.B = num_streams
         self.C = channels
-        self._celt = BatchedCeltDecoder(num_streams, channels)
+        self._celt = BatchedCeltDecoder(num_streams, channels,
+                                        wire=celt_wire)
         try:
             self._silk: Optional[BatchedSilkDeviceDecoder] = \
                 BatchedSilkDeviceDecoder(num_streams, channels)

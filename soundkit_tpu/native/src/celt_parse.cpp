@@ -2969,6 +2969,81 @@ int skt_celt_parse_many(void** handles, int B, const uint8_t* buf,
   return rc_all;
 }
 
+// Quantized-wire lockstep batch: identical parse to
+// skt_celt_parse_many, but the spectra leave as int16 with ONE f32
+// scale per (lane, band) — the serving wire for the batched device
+// synthesis is half the bytes of the f32 plane (~92 dB vs the exact
+// path on the fixture corpus, above the fleet's i16 output floor).
+// qfreq [B, Cmax, frame_size] i16, scale [B, NB_BANDS] f32
+// (scale==0 for silent/uncoded bands; bins past eBands[21] are
+// structurally zero).  The quantization runs here, cache-hot on the
+// just-parsed lane, instead of as extra numpy passes over the full
+// [rounds, B, C, N] plane on the host.
+int skt_celt_parse_many_q(void** handles, int B, const uint8_t* buf,
+                          const long* offs, const long* lens,
+                          const int* ends, const int* coded,
+                          const unsigned char* valid, int frame_size,
+                          int Cmax, int16_t* qfreq, float* scale,
+                          double* comb, int* sflag, int* ok) {
+  if (!g_tables.ready) return -1;
+  int rc_all = 0;
+  const int m8 = frame_size / 120;
+  std::vector<double> tmp((size_t)Cmax * frame_size);
+  for (int b = 0; b < B; b++) {
+    ok[b] = -100;
+    if (!valid[b]) continue;
+    Celt* st = (Celt*)handles[b];
+    Parser p(st);
+    int C = coded[b] ? coded[b] : st->channels;
+    double* fo = tmp.data();
+    int r = p.parse_frame(buf + offs[b], lens[b], frame_size, 0, ends[b],
+                          C, fo, comb + (size_t)b * 16, sflag + b);
+    if (r == 0 && C < Cmax)
+      for (int c = C; c < Cmax; c++)
+        std::memcpy(fo + (size_t)c * frame_size, fo,
+                    frame_size * sizeof(double));
+    ok[b] = r;
+    if (r != 0) { rc_all = r; continue; }
+    int16_t* qf = qfreq + (size_t)b * Cmax * frame_size;
+    float* sc = scale + (size_t)b * NB_BANDS;
+    for (int k = 0; k < NB_BANDS; k++) {
+      long lo = (long)g_tables.eBands[k] * m8;
+      long hi = (long)g_tables.eBands[k + 1] * m8;
+      if (lo >= frame_size) { sc[k] = 0.f; continue; }
+      if (hi > frame_size) hi = frame_size;
+      double m = 0.0;
+      for (int c = 0; c < Cmax; c++) {
+        const double* src = fo + (size_t)c * frame_size;
+        for (long i = lo; i < hi; i++) {
+          double a = src[i] < 0 ? -src[i] : src[i];
+          if (a > m) m = a;
+        }
+      }
+      if (m <= 0.0) {
+        sc[k] = 0.f;
+        for (int c = 0; c < Cmax; c++)
+          std::memset(qf + (size_t)c * frame_size + lo, 0,
+                      (size_t)(hi - lo) * sizeof(int16_t));
+        continue;
+      }
+      sc[k] = (float)(m / 32767.0);
+      double inv = 32767.0 / m;
+      for (int c = 0; c < Cmax; c++) {
+        const double* src = fo + (size_t)c * frame_size;
+        int16_t* dq = qf + (size_t)c * frame_size;
+        for (long i = lo; i < hi; i++)
+          dq[i] = (int16_t)std::lround(src[i] * inv);
+      }
+    }
+    long W = (long)g_tables.eBands[NB_BANDS] * m8;
+    if (W < frame_size)
+      for (int c = 0; c < Cmax; c++)
+        std::memset(qf + (size_t)c * frame_size + W, 0,
+                    (size_t)(frame_size - W) * sizeof(int16_t));
+  }
+  return rc_all;
+}
+
 // Hybrid-continuation lockstep batch: like skt_celt_parse_many, but
 // each lane's range coder is SEEDED from the SILK stage's exported
 // state (rc_init[b*9..]: offs, rem, end_offs, end_window, nend_bits,

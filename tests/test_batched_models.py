@@ -197,6 +197,38 @@ def test_batched_celt_device_decoder(testdata):
     assert snr > 90, f"resumed lane: {snr:.1f} dB"
 
 
+def test_batched_celt_i16_wire(testdata):
+    """wire="i16" serving mode: the spectral wire ships int16 with
+    per-(round, lane, band) f32 scales (skt_celt_parse_many_q) —
+    half the h2d bytes of the exact f32 plane.  Must stay within
+    ~quantization distance of the f32 path (>=90 dB, above the
+    fleet's i16 output floor) and identical across lanes."""
+    from soundkit_tpu.codecs.opus import OggOpusDemuxer
+    from soundkit_tpu.models.opus_batch import BatchedCeltDecoder
+
+    data = (testdata / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    dmx = OggOpusDemuxer()
+    pkts = dmx.push(data)
+    head = dmx.head
+
+    out = {}
+    for wire in ("f32", "i16"):
+        m = BatchedCeltDecoder(2, channels=head.channels, wire=wire)
+        if m._native is None:
+            pytest.skip("native celt backend unavailable")
+        for b in range(2):
+            m.configure_lane(b, pre_skip=head.pre_skip)
+            for p in pkts:
+                m.push_packet(b, p)
+        pcm, lens = m.decode_ready(device_out=True)
+        out[wire] = np.asarray(pcm).astype(np.float64)
+    ref, got = out["f32"], out["i16"]
+    np.testing.assert_array_equal(got[:, 0], got[:, 1])
+    snr = 10 * np.log10(
+        np.sum(ref**2) / max(np.sum((ref - got) ** 2), 1e-30))
+    assert snr > 90, f"i16 wire vs f32 wire: {snr:.1f} dB"
+
+
 def test_batched_celt_device_out(testdata):
     """device_out=True keeps pcm on device (no d2h in the hot path)
     and must equal the host path sample for sample — valid samples sit
