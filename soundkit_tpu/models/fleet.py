@@ -116,6 +116,7 @@ class _BatchedGroup:
         self.channels = channels
         self.opus_wire = opus_wire
         self._free = list(range(capacity))
+        self._used: set = set()  # lanes that have hosted a stream
         self._model = None  # built lazily (FLAC stride, AAC jit, ...)
 
     def _ensure(self):
@@ -152,8 +153,12 @@ class _BatchedGroup:
         if not self._free:
             return None
         lane = self._free.pop()
-        if self._model is not None:
-            self._model.reset_lane(lane)  # clear the previous occupant
+        # clear the previous occupant — fresh lanes skip it (a model
+        # starts zeroed, and per-lane device resets are a scatter
+        # dispatch each: 0.7 s of a 1024-stream cold start was resets)
+        if self._model is not None and lane in self._used:
+            self._model.reset_lane(lane)
+        self._used.add(lane)
         return lane
 
     def release(self, lane: int) -> None:
