@@ -70,11 +70,30 @@ class Toc:
         return (0, 2, 3, 4)[(c - 16) // 4]
 
 
+_TOC_CACHE = tuple(
+    Toc(tb >> 3, bool((tb >> 2) & 1), tb & 3) for tb in range(256)
+)
+
+# (mode, frame_duration_ms, stereo, bandwidth, code) per TOC byte:
+# the serving hot paths classify ~75k packets per 1024-stream fleet
+# collect, so the Toc properties are pre-evaluated once here
+TOC_ATTRS = tuple(
+    (t.mode, t.frame_duration, t.stereo, t.bandwidth, t.code)
+    for t in _TOC_CACHE
+)
+
+
 def parse_packet(data: bytes) -> tuple:
     """Split an Opus packet into (Toc, [frame bytes]) per RFC §3.2."""
     if len(data) < 1:
         raise OpusUnsupported("empty packet")
-    toc = Toc(data[0] >> 3, bool((data[0] >> 2) & 1), data[0] & 3)
+    toc = _TOC_CACHE[data[0]]
+    if toc.code == 0:
+        # serving fast path: code-0 packets (one frame, no length
+        # fields) are the whole fixture corpus — skip the body copy
+        # and the per-call Toc construction (the fleet parses ~75k
+        # packets per 1024-stream collect)
+        return toc, [data[1:]]
     body = data[1:]
 
     def read_len(b, pos):

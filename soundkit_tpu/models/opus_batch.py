@@ -261,6 +261,9 @@ class BatchedCeltDecoder:
         )
         t = tables()
         self._band_end = t["celt_band_end"].astype(int)
+        # plain-int copy: numpy scalar indexing + int() in the
+        # per-packet TOC split costs ~1 us/packet at fleet scale
+        self._band_end_i = [int(v) for v in self._band_end]
         self._taps = t["celt_postfilter_taps"].astype(np.float64)
         self._buf = [bytearray() for _ in range(num_streams)]
         self._packets: List[List[bytes]] = [[] for _ in range(num_streams)]
@@ -339,10 +342,24 @@ class BatchedCeltDecoder:
         """TOC split: one packet -> (CELT frame bytes, end band,
         coded channels)."""
         from soundkit_tpu.codecs.opus_core import (
+            TOC_ATTRS,
             OpusUnsupported,
             parse_packet,
         )
 
+        if pkt:
+            mode, dur, stereo, bw, code = TOC_ATTRS[pkt[0]]
+            if code == 0:
+                # fast path: code-0 = exactly one frame, body is pkt[1:]
+                if mode != "celt" or dur != 20:
+                    raise OpusUnsupported(
+                        "BatchedCeltDecoder serves single-frame 20 ms "
+                        "CELT packets"
+                    )
+                coded = 2 if stereo else 1
+                if coded > self.C:
+                    raise OpusUnsupported("stereo packet in a mono lane")
+                return pkt[1:], self._band_end_i[bw], coded
         toc, frames = parse_packet(pkt)
         if toc.mode != "celt" or toc.frame_duration != 20 or len(frames) != 1:
             raise OpusUnsupported(
@@ -351,7 +368,7 @@ class BatchedCeltDecoder:
         coded = 2 if toc.stereo else 1
         if coded > self.C:
             raise OpusUnsupported("stereo packet in a mono lane")
-        return frames[0], int(self._band_end[toc.bandwidth]), coded
+        return frames[0], self._band_end_i[toc.bandwidth], coded
 
     def _parse_lane(self, b: int, pkt: bytes):
         """Python host stage for one lane: range decode + PVQ, returns

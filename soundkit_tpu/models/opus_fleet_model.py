@@ -55,10 +55,20 @@ class OpusLaneUnsupported(Exception):
 
 def _classify(packet: bytes, channels: int):
     """(kind, toc, frame) for a servable packet, else (None, ..)."""
-    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.codecs.opus_core import (
+        _TOC_CACHE,
+        TOC_ATTRS,
+        parse_packet,
+    )
 
     if not packet:
         return None, None, None
+    mode, dur, stereo, _bw, code = TOC_ATTRS[packet[0]]
+    if code == 0:
+        # fast path: code-0 packets (one frame) need no length parse
+        if dur != 20 or (2 if stereo else 1) > channels:
+            return None, None, None
+        return mode, _TOC_CACHE[packet[0]], packet[1:]
     try:
         toc, frames = parse_packet(packet)
     except Exception:

@@ -524,4 +524,34 @@ long skt_flac_pack_frame1(long n, int sample_rate, int bits, int precision,
   return finish_frame(w);
 }
 
+// Serving-wire packer: scatter F variable-length frame byte blobs
+// (concatenated in `buf`, offsets/lengths per frame) into the
+// [F, W] uint32 big-endian word plane the device Rice interpreter
+// reads.  `out` must be zero-initialised (np.zeros = calloc, cheap);
+// only the valid bytes of each frame are touched, byteswapped on the
+// way in — the numpy path rewrote the WHOLE padded plane (~3x the
+// traffic) per fleet collect.
+void skt_pack_frames_be(long F, const uint8_t* buf, const int64_t* offs,
+                        const int64_t* lens, long W, uint32_t* out) {
+  for (long i = 0; i < F; i++) {
+    const uint8_t* src = buf + offs[i];
+    long nb = lens[i];
+    if (nb > W * 4) nb = W * 4;
+    uint32_t* dst = out + (size_t)i * W;
+    long full = nb / 4;
+    for (long w = 0; w < full; w++) {
+      const uint8_t* p = src + w * 4;
+      dst[w] = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+               ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+    }
+    long rem = nb - full * 4;
+    if (rem > 0) {
+      uint32_t v = 0;
+      for (long r = 0; r < rem; r++)
+        v |= (uint32_t)src[full * 4 + r] << (24 - 8 * r);
+      dst[full] = v;
+    }
+  }
+}
+
 }  // extern "C"

@@ -37,8 +37,38 @@ import numpy as np
 
 
 def pack_frame_words(frames: List[bytes], max_bytes: int) -> np.ndarray:
-    """[NL, max_bytes//4] uint32, big-endian within each word."""
+    """[NL, max_bytes//4] uint32, big-endian within each word.
+
+    The hot path is the native scatter (skt_pack_frames_be): it
+    touches only each frame's valid bytes, byteswapping on the way in,
+    where the numpy expression re-wrote the whole padded plane —
+    ~0.45 s -> ~0.05 s per 1024-stream fleet collect."""
     NL = len(frames)
+    W = max_bytes // 4
+    try:
+        import ctypes
+
+        from soundkit_tpu.native.loader import load as _load_native
+
+        lib = _load_native()
+        fn = getattr(lib, "skt_pack_frames_be")
+    except (OSError, AttributeError):
+        fn = None
+    if fn is not None:
+        offs = np.zeros(NL, np.int64)
+        lens = np.zeros(NL, np.int64)
+        pos = 0
+        for i, fb in enumerate(frames):
+            offs[i] = pos
+            lens[i] = len(fb)
+            pos += lens[i]
+        buf = b"".join(frames)
+        out = np.zeros((NL, W), dtype=np.uint32)
+        fn(ctypes.c_long(NL), ctypes.c_char_p(buf),
+           ctypes.c_void_p(offs.ctypes.data),
+           ctypes.c_void_p(lens.ctypes.data),
+           ctypes.c_long(W), ctypes.c_void_p(out.ctypes.data))
+        return out
     buf = np.zeros((NL, max_bytes), dtype=np.uint8)
     for i, fb in enumerate(frames):
         buf[i, : len(fb)] = np.frombuffer(fb, np.uint8)
