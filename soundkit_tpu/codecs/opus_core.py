@@ -84,7 +84,11 @@ TOC_ATTRS = tuple(
 
 
 def parse_packet(data: bytes) -> tuple:
-    """Split an Opus packet into (Toc, [frame bytes]) per RFC §3.2."""
+    """Split an Opus packet into (Toc, [frame bytes]) per RFC §3.2.
+
+    ``data`` must be ``bytes``: the code-0 fast path returns
+    ``data[1:]`` without copying, which aliases mutable input if a
+    caller ever passed bytearray/memoryview (none do)."""
     if len(data) < 1:
         raise OpusUnsupported("empty packet")
     toc = _TOC_CACHE[data[0]]
@@ -108,9 +112,7 @@ def parse_packet(data: bytes) -> tuple:
             pos += 1
         return v, pos
 
-    if toc.code == 0:
-        frames = [bytes(body)]
-    elif toc.code == 1:
+    if toc.code == 1:
         if len(body) % 2:
             raise OpusUnsupported("code 1 with odd payload")
         h = len(body) // 2

@@ -42,9 +42,19 @@ def pack_frame_words(frames: List[bytes], max_bytes: int) -> np.ndarray:
     The hot path is the native scatter (skt_pack_frames_be): it
     touches only each frame's valid bytes, byteswapping on the way in,
     where the numpy expression re-wrote the whole padded plane —
-    ~0.45 s -> ~0.05 s per 1024-stream fleet collect."""
+    ~0.45 s -> ~0.05 s per 1024-stream fleet collect.
+
+    Frames longer than ``max_bytes`` raise (the native scatter would
+    silently clamp and the numpy path would raise a broadcast error —
+    this guard makes both paths fail the same way; callers size
+    ``max_bytes`` >= the longest frame)."""
     NL = len(frames)
     W = max_bytes // 4
+    for i, fb in enumerate(frames):
+        if len(fb) > W * 4:
+            raise ValueError(
+                f"frame {i} is {len(fb)} B > word plane {W * 4} B"
+            )
     try:
         import ctypes
 
@@ -52,7 +62,10 @@ def pack_frame_words(frames: List[bytes], max_bytes: int) -> np.ndarray:
 
         lib = _load_native()
         fn = getattr(lib, "skt_pack_frames_be")
-    except (OSError, AttributeError):
+    except Exception:
+        # OSError/AttributeError (no lib / missing symbol) and
+        # NativeBuildError (lazy make failed: no g++/libavcodec on
+        # this box) all mean the same thing here: use the numpy path
         fn = None
     if fn is not None:
         offs = np.zeros(NL, np.int64)
