@@ -61,6 +61,21 @@ def _lib():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.skt_celt_parse_rounds_q.restype = ctypes.c_int
+    lib.skt_celt_parse_rounds_q.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, i64p, ip, ip, ip, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ip, ip]
+    lib.skt_celt_parse_rounds.restype = ctypes.c_int
+    lib.skt_celt_parse_rounds.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, i64p, ip, ip, ip, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ip, ip]
     lib.skt_celt_enc_frame.restype = ctypes.c_long
     lib.skt_celt_enc_frame.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -239,6 +254,60 @@ class NativeCeltBatch:
             sflag.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         return qfreq, scale, comb, sflag, ok
+
+    def parse_rounds(self, buf: bytes, base, lens, ends, coded,
+                     n_rounds: int, W: int, quantized: bool,
+                     frame_size: int = FRAME):
+        """Multi-round serving walk (skt_celt_parse_rounds[_q]): ONE
+        native call parses ``n_rounds`` lockstep rounds for all B
+        lanes, writing the device wire directly in dispatch layout
+        (``[R_alloc, B, C, W]`` with rounds past ``n_rounds`` left
+        zero, so 8-round h2d chunks slice contiguously).
+
+        ``buf``: every lane's frames concatenated in round order,
+        lane b starting at ``base[b]``; ``lens/ends/coded``:
+        [B, R_alloc] int32 with lens==0 marking empty slots.
+
+        Returns (freq, scales, comb, sflag, ok): freq is
+        [R_alloc, B, C, W] int16 with scales [R_alloc, B, 21] f32
+        when ``quantized``, else float32 with scales None;
+        comb [R_alloc, B, 16] f32, sflag/ok [R_alloc, B] i32
+        (ok: 0 parsed, -100 skipped slot, else parse error)."""
+        B, C = self.B, self.C
+        base = np.ascontiguousarray(base, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        ends = np.ascontiguousarray(ends, dtype=np.int32)
+        coded = np.ascontiguousarray(coded, dtype=np.int32)
+        R_alloc = lens.shape[1]
+        comb = np.zeros((R_alloc, B, 16), dtype=np.float32)
+        sflag = np.zeros((R_alloc, B), dtype=np.int32)
+        ok = np.full((R_alloc, B), -100, dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int)
+        common = (
+            self._handles, B, n_rounds, buf,
+            base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ip), ends.ctypes.data_as(ip),
+            coded.ctypes.data_as(ip), frame_size, C, W,
+        )
+        tail = (
+            comb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            sflag.ctypes.data_as(ip), ok.ctypes.data_as(ip),
+        )
+        if quantized:
+            qfreq = np.zeros((R_alloc, B, C, W), dtype=np.int16)
+            scales = np.zeros((R_alloc, B, 21), dtype=np.float32)
+            self._lib.skt_celt_parse_rounds_q(
+                *common,
+                qfreq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                *tail)
+            return qfreq, scales, comb, sflag, ok
+        freq = np.zeros((R_alloc, B, C, W), dtype=np.float32)
+        self._lib.skt_celt_parse_rounds(
+            *common,
+            freq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            *tail)
+        return freq, None, comb, sflag, ok
 
     def parse_many_cont(self, frames, starts, ends, coded, valid,
                         rc_init, frame_size: int = FRAME):

@@ -195,21 +195,41 @@ class BatchedMp3Decoder:
         )
         return pcm if device_out else np.asarray(pcm)
 
+    def _pop_rounds(self, G: int):
+        """ONE C call pops up to ``G`` granules from every lane into
+        ``G`` packed wire rows (round-5 host diet: replaces G
+        per-round ctypes calls + G fresh 1.2 MB numpy allocations —
+        docs/FLEET_PROFILE_r5.md).  Returns the [G, stride] uint8 wire
+        (fresh, never pooled — async transfers may read it late) and
+        updates the per-lane counts/rates."""
+        layout, stride = mb.mp3_wire_layout(self.B)
+        offs = {name: off for name, off, _, _ in layout}
+        wire = np.zeros((G, stride), dtype=np.uint8)
+        rate = np.zeros(self.B, dtype=np.int32)
+        popped = np.zeros(self.B, dtype=np.int32)
+        self._lib.skt_mp3_pop_rounds(
+            self._handles, self.B, G, wire.reshape(-1), stride,
+            offs["bt"], offs["nal"], offs["quant"], offs["expq"],
+            offs["mixed"], offs["ms"], offs["valid"], rate, popped,
+        )
+        self._note_rates(rate)
+        for b in range(self.B):
+            self._counts[b] -= int(popped[b])
+        return wire
+
     def decode_batches(self, n: int, device_out: bool = False):
         """Decode exactly ``n`` lockstep batches; lanes whose queue is
         empty decode as silence with frozen state."""
         import jax.numpy as jnp
 
         outs = []
-        for _ in range(n):
-            # packed wire: one C pop -> one transfer -> one dispatch;
-            # buffers are fresh per batch, never pooled (async reads)
-            buf, valid = self._pop_batch_packed()
-            for b in range(self.B):
-                if valid[b].any():
-                    self._counts[b] -= 1
+        if n > 0:
+            wire = self._pop_rounds(n)
+        for g in range(n):
+            # per-round dispatch over a contiguous wire row (the rows
+            # are small; one big transfer would cross the h2d cliff)
             pcm, self._overlap, self._fifo = self._step_packed(
-                jnp.asarray(buf), self._overlap, self._fifo,
+                jnp.asarray(wire[g]), self._overlap, self._fifo,
             )
             outs.append(pcm)
         if not outs:

@@ -266,10 +266,13 @@ class BatchedCeltDecoder:
         self._band_end_i = [int(v) for v in self._band_end]
         self._taps = t["celt_postfilter_taps"].astype(np.float64)
         self._buf = [bytearray() for _ in range(num_streams)]
-        self._packets: List[List[bytes]] = [[] for _ in range(num_streams)]
+        # per lane: queued (frame_bytes, end_band, coded_channels) —
+        # the TOC split happens ONCE at push time (round-5 host diet:
+        # the decode loop used to re-split every packet per round)
+        self._packets: List[List[tuple]] = [[] for _ in range(num_streams)]
         self._head_done = [False] * num_streams
         self._skip = [0] * num_streams
-        self._gain = [1.0] * num_streams
+        self._gain = np.ones(num_streams, np.float64)
         from soundkit_tpu.ops.celt_batch import HIST
 
         # carried synthesis state stays DEVICE-RESIDENT for the
@@ -305,12 +308,19 @@ class BatchedCeltDecoder:
             (n,) = struct.unpack_from("<H", buf, 0)
             if len(buf) < 2 + n:
                 break
-            self._packets[stream_idx].append(bytes(buf[2 : 2 + n]))
+            self._packets[stream_idx].append(
+                self._frame_of(bytes(buf[2 : 2 + n])))
             del buf[: 2 + n]
 
     def push_packet(self, stream_idx: int, packet: bytes) -> None:
         """Enqueue one already-framed Opus packet."""
-        self._packets[stream_idx].append(packet)
+        self._packets[stream_idx].append(self._frame_of(packet))
+
+    def push_frame(self, stream_idx: int, frame: bytes, end: int,
+                   coded: int) -> None:
+        """Enqueue one already TOC-split CELT frame (the fleet's Ogg
+        layer classifies every packet anyway — no second split)."""
+        self._packets[stream_idx].append((frame, end, coded))
 
     def configure_lane(self, b: int, pre_skip: int = 0,
                        gain_q8: int = 0) -> None:
@@ -333,6 +343,9 @@ class BatchedCeltDecoder:
         self._skip[b] = 0
         self._gain[b] = 1.0
         self._fresh[b] = True  # next decode zeroes the row on device
+
+    def queued(self, b: int) -> int:
+        return len(self._packets[b])
 
     @property
     def ready_packets(self) -> int:
@@ -370,13 +383,12 @@ class BatchedCeltDecoder:
             raise OpusUnsupported("stereo packet in a mono lane")
         return frames[0], self._band_end_i[toc.bandwidth], coded
 
-    def _parse_lane(self, b: int, pkt: bytes):
+    def _parse_lane(self, b: int, frame: bytes, end: int, coded: int):
         """Python host stage for one lane: range decode + PVQ, returns
         (freq [C, 960], short_flag, comb_params [16])."""
         from soundkit_tpu.codecs.opus_rc import RangeDecoder
         from soundkit_tpu.ops.celt_batch import pack_comb_params
 
-        frame, end, coded = self._frame_of(pkt)
         dec = self._dec[b]
         rc = RangeDecoder(frame)
         dec.decode_frame(rc, self.FRAME, 0, end, coded, parse_only=True)
@@ -418,85 +430,94 @@ class BatchedCeltDecoder:
         R = ROUNDS_PER_CALL
         n_pad = (n + R - 1) // R * R
         quant = self._wire_i16 and self._native is not None
-        # host stage: parse every round up front
-        freq = np.zeros((n_pad, self.B, self.C, self.FRAME),
-                        np.int16 if quant else np.float32)
-        scales = np.zeros((n_pad, self.B, 21), np.float32) if quant else None
-        sflag = np.zeros((n_pad, self.B), np.int32)
-        comb = np.zeros((n_pad, self.B, 16), np.float32)
-        valid = np.zeros((n_pad, self.B), bool)
-        end_max = 0
-        for i in range(n):
-            if self._native is not None:
-                frames = [b""] * self.B
-                ends = np.zeros(self.B, np.int32)
-                coded = np.ones(self.B, np.int32)
-                for b in range(self.B):
-                    if not self._packets[b]:
-                        continue
-                    pkt = self._packets[b].pop(0)
-                    frames[b], ends[b], coded[b] = self._frame_of(pkt)
-                    valid[i, b] = True
-                if quant:
-                    f64, scales[i], c64, sf, ok = self._native.parse_many_q(
-                        frames, ends, coded, valid[i]
-                    )
-                else:
-                    f64, c64, sf, ok = self._native.parse_many(
-                        frames, ends, coded, valid[i]
-                    )
-                if np.any(ok[valid[i]] != 0):
-                    bad = int(np.flatnonzero(valid[i] & (ok != 0))[0])
-                    from soundkit_tpu.codecs.opus_core import OpusUnsupported
+        B = self.B
+        from soundkit_tpu.codecs.opus_celt import tables as _celt_tables
 
-                    raise OpusUnsupported(
-                        f"native celt parse failed on lane {bad} "
-                        f"({int(ok[bad])})"
-                    )
-                freq[i] = f64
-                comb[i] = c64
-                sflag[i] = sf
-                if np.any(valid[i]):
-                    end_max = max(end_max, int(ends[valid[i]].max()))
-            else:
-                for b in range(self.B):
+        fb = _celt_tables()["celt_freq_bands"].astype(np.int64)
+        if self._native is not None and n > 0:
+            # host stage, round-5 shape: ONE native call walks all
+            # rounds x lanes and writes the dispatch-layout wire
+            # directly (docs/FLEET_PROFILE_r5.md — the per-round
+            # freq[i]=copy + re-slice path was ~1.0 s of a 3.5 s
+            # 1024-stream fleet pass)
+            lens = np.zeros((B, n_pad), np.int32)
+            ends = np.zeros((B, n_pad), np.int32)
+            codedm = np.zeros((B, n_pad), np.int32)
+            base = np.zeros(B, np.int64)
+            parts = []
+            pos = 0
+            for b in range(B):
+                q = self._packets[b]
+                k = min(len(q), n)
+                if k == 0:
+                    continue
+                take = q[:k]
+                del q[:k]
+                lens[b, :k] = [len(t[0]) for t in take]
+                ends[b, :k] = [t[1] for t in take]
+                codedm[b, :k] = [t[2] for t in take]
+                base[b] = pos
+                lane_buf = b"".join(t[0] for t in take)
+                parts.append(lane_buf)
+                pos += len(lane_buf)
+            buf = b"".join(parts)
+            valid = (lens > 0).T.copy()  # [n_pad, B]
+            end_max = int(ends.max())
+            W = int(fb[end_max]) * 8 if end_max else self.FRAME
+            # n_pad (not n) as the round count: lens/ends/coded are
+            # [B, n_pad]-strided and the C walk indexes b*R + r; the
+            # pad rounds are lens==0 slots it skips
+            freq, scales, comb, sflag, ok = self._native.parse_rounds(
+                buf, base, lens, ends, codedm, n_pad, W, quant)
+            bad = valid[:n] & (ok[:n] != 0)
+            if bad.any():
+                i0, b0 = np.argwhere(bad)[0]
+                from soundkit_tpu.codecs.opus_core import OpusUnsupported
+
+                raise OpusUnsupported(
+                    f"native celt parse failed on lane {int(b0)} "
+                    f"round {int(i0)} ({int(ok[i0, b0])})"
+                )
+        else:
+            # Python fallback: per-round, per-lane owned decoder
+            freq = np.zeros((n_pad, B, self.C, self.FRAME), np.float32)
+            scales = None
+            quant = False
+            sflag = np.zeros((n_pad, B), np.int32)
+            comb = np.zeros((n_pad, B, 16), np.float32)
+            valid = np.zeros((n_pad, B), bool)
+            end_max = 0
+            for i in range(n):
+                for b in range(B):
                     if not self._packets[b]:
                         continue
-                    pkt = self._packets[b].pop(0)
-                    _, end_b, _ = self._frame_of(pkt)
+                    frame, end_b, coded_b = self._packets[b].pop(0)
                     freq[i, b], sflag[i, b], comb[i, b] = \
-                        self._parse_lane(b, pkt)
+                        self._parse_lane(b, frame, end_b, coded_b)
                     valid[i, b] = True
                     end_max = max(end_max, end_b)
+            W = int(fb[end_max]) * 8 if end_max else self.FRAME
         # fold the OpusHead output gain into the spectra: the whole
         # synthesis chain (IMDCT/overlap/comb/de-emphasis) is linear,
         # and the carried state scales consistently lane-wise (on the
         # quantized wire the gain rides the per-band scales instead)
-        for b in range(self.B):
-            if self._gain[b] != 1.0:
-                if quant:
-                    scales[:, b] *= np.float32(self._gain[b])
-                else:
-                    freq[:, b] *= np.float32(self._gain[b])
+        if np.any(self._gain != 1.0):
+            g = self._gain.astype(np.float32)
+            if quant:
+                scales *= g[None, :, None]
+            else:
+                freq *= g[None, :, None, None]
         # per-slot valid lengths depend only on packet presence and
         # the remaining preskip — independent of the pcm itself
-        lengths = np.zeros((n, self.B), dtype=np.int32)
-        for b in range(self.B):
-            skip = self._skip[b]
-            for i in range(n):
-                if not valid[i, b]:
-                    continue
-                k = min(skip, self.FRAME)
-                skip -= k
-                lengths[i, b] = self.FRAME - k
-            self._skip[b] = skip
-        # trim the wire to the coded band end: bins above
-        # celt_freq_bands[end]*8 are structurally zero (a WB stream
-        # sends 320 of 960 bins — 3x less h2d)
-        from soundkit_tpu.codecs.opus_celt import tables as _celt_tables
-
-        fb = _celt_tables()["celt_freq_bands"].astype(np.int64)
-        W = int(fb[end_max]) * 8 if end_max else self.FRAME
+        # (vectorised: consume preskip greedily across valid rounds)
+        vn = valid[:n].astype(np.int64)
+        cap = vn * self.FRAME  # per-slot capacity
+        cum = np.cumsum(cap, axis=0)  # capacity incl this round
+        skip0 = np.array(self._skip, np.int64)
+        consumed = np.clip(skip0[None, :] - (cum - cap), 0, cap)
+        lengths = (cap - consumed).astype(np.int32)
+        if n:
+            self._skip = list(np.maximum(skip0 - cum[-1], 0))
         # device stage: R rounds per jitted scan call (fixed R keeps
         # the compiled-program count bounded; the tunnel charges a
         # fixed dispatch+sync cost per call), chunked h2d (collapses

@@ -137,7 +137,7 @@ class BatchedOggOpusDecoder:
             return self._silk.lane_ready(b)
         if self._kind[b] == "hybrid":
             return self._hyb.lane_ready(b)
-        return len(self._celt._packets[b])
+        return self._celt.queued(b)
 
     def push(self, b: int, data: bytes) -> None:
         dm = self._demux[b]
@@ -166,7 +166,12 @@ class BatchedOggOpusDecoder:
             if kind != self._kind[b]:
                 raise OpusLaneUnsupported("mid-stream mode switch")
             if kind == "celt":
-                self._celt.push_packet(b, pkt)
+                # _classify already split the TOC: hand the frame +
+                # end band + coded channels straight to the queue (no
+                # second split in the decode loop)
+                self._celt.push_frame(
+                    b, frame, self._celt._band_end_i[toc.bandwidth],
+                    2 if toc.stereo else 1)
             elif kind == "hybrid":
                 # a transition-redundancy packet at stream START is
                 # flagged by the engine at decode time; reroute the

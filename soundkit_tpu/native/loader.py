@@ -81,6 +81,30 @@ def load() -> ctypes.CDLL:
         ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_long,
     ]
     lib.skt_flac_export_parts_last.restype = ctypes.c_int
+    # round-5 batched serving path: drain at push / export per collect
+    lib.skt_flac_drain.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+    ]
+    lib.skt_flac_drain.restype = ctypes.c_long
+    lib.skt_flac_queued.argtypes = [ctypes.c_void_p]
+    lib.skt_flac_queued.restype = ctypes.c_long
+    lib.skt_flac_reset_queue.argtypes = [ctypes.c_void_p]
+    lib.skt_flac_reset_queue.restype = None
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+    lib.skt_flac_queue_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_long, i64p,
+    ]
+    lib.skt_flac_queue_stats.restype = None
+    lib.skt_flac_export_rounds.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, u32p,
+        i32p, i32p, i32p, i32p, i32p,          # seg_*
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # warm..wasted
+        i32p, i32p, u8p, i32p,                 # assign, bs, valid, meta
+        i32p, i32p, i32p, i32p,                # parts_*
+    ]
+    lib.skt_flac_export_rounds.restype = ctypes.c_long
 
     # avshim
     lib.skt_av_open.restype = ctypes.c_void_p
@@ -399,4 +423,15 @@ def _bind_mp3(lib: ctypes.CDLL) -> None:
         ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.skt_mp3_pop_rounds.restype = None
+    lib.skt_mp3_pop_rounds.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int, ctypes.c_int,
+        ndpointer(np.uint8, flags="C_CONTIGUOUS"),  # wire [G, stride]
+        ctypes.c_long,  # stride
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,  # field offsets
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),  # rate [B]
+        ndpointer(np.int32, flags="C_CONTIGUOUS"),  # popped [B]
     ]

@@ -3104,6 +3104,132 @@ int skt_celt_parse_many_cont(void** handles, int B, const uint8_t* buf,
   return rc_all;
 }
 
+// Multi-round serving walk (round-5 fleet host diet): parse R
+// lockstep rounds for B lanes in ONE call, writing the device wire
+// DIRECTLY in dispatch layout.  buf holds each lane's frames
+// concatenated in round order starting at base[b];
+// lens[b*R + r] == 0 marks an empty slot (the lane skips that round,
+// its wire slot must arrive pre-zeroed — np.zeros).  Lane state
+// carries across rounds exactly as R successive parse_many calls
+// would.  Outputs: qfreq [R, B, Cmax, W] i16 with one f32 scale per
+// (round, lane, band) in scale [R, B, 21] (W = trimmed wire width,
+// eBands[end_max]*m8), comb [R, B, 16] f32, sflag/ok [R, B] i32
+// (ok: 0 parsed, -100 skipped, else the parse error).
+int skt_celt_parse_rounds_q(void** handles, int B, int R,
+                            const uint8_t* buf, const int64_t* base,
+                            const int* lens, const int* ends,
+                            const int* coded, int frame_size, int Cmax,
+                            int W, int16_t* qfreq, float* scale,
+                            float* comb, int* sflag, int* ok) {
+  if (!g_tables.ready) return -1;
+  int rc_all = 0;
+  const int m8 = frame_size / 120;
+  std::vector<double> tmp((size_t)Cmax * frame_size);
+  double comb64[16];
+  for (int b = 0; b < B; b++) {
+    Celt* st = (Celt*)handles[b];
+    int64_t off = base[b];
+    for (int r = 0; r < R; r++) {
+      size_t slot = (size_t)r * B + b;
+      int len = lens[(size_t)b * R + r];
+      ok[slot] = -100;
+      if (len <= 0) continue;
+      Parser p(st);
+      int C = coded[(size_t)b * R + r];
+      if (!C) C = st->channels;
+      int sf = 0;
+      int rr = p.parse_frame(buf + off, len, frame_size, 0,
+                             ends[(size_t)b * R + r], C, tmp.data(),
+                             comb64, &sf);
+      off += len;
+      ok[slot] = rr;
+      sflag[slot] = sf;
+      if (rr != 0) { rc_all = rr; continue; }
+      for (int i = 0; i < 16; i++)
+        comb[slot * 16 + i] = (float)comb64[i];
+      if (C < Cmax)
+        for (int c = C; c < Cmax; c++)
+          std::memcpy(tmp.data() + (size_t)c * frame_size, tmp.data(),
+                      frame_size * sizeof(double));
+      int16_t* qf = qfreq + slot * (size_t)Cmax * W;
+      float* sc = scale + slot * NB_BANDS;
+      for (int k = 0; k < NB_BANDS; k++) {
+        long lo = (long)g_tables.eBands[k] * m8;
+        long hi = (long)g_tables.eBands[k + 1] * m8;
+        if (lo >= W) { sc[k] = 0.f; continue; }
+        if (hi > W) hi = W;
+        double m = 0.0;
+        for (int c = 0; c < Cmax; c++) {
+          const double* src = tmp.data() + (size_t)c * frame_size;
+          for (long i = lo; i < hi; i++) {
+            double a = src[i] < 0 ? -src[i] : src[i];
+            if (a > m) m = a;
+          }
+        }
+        if (m <= 0.0) { sc[k] = 0.f; continue; }  // slot pre-zeroed
+        sc[k] = (float)(m / 32767.0);
+        double inv = 32767.0 / m;
+        for (int c = 0; c < Cmax; c++) {
+          const double* src = tmp.data() + (size_t)c * frame_size;
+          int16_t* dq = qf + (size_t)c * W;
+          for (long i = lo; i < hi; i++)
+            dq[i] = (int16_t)std::lround(src[i] * inv);
+        }
+      }
+    }
+  }
+  return rc_all;
+}
+
+// f32 sibling of skt_celt_parse_rounds_q for the exact serving wire:
+// freq [R, B, Cmax, W] f32 (bins past W are structurally zero and
+// the device pads them back).
+int skt_celt_parse_rounds(void** handles, int B, int R,
+                          const uint8_t* buf, const int64_t* base,
+                          const int* lens, const int* ends,
+                          const int* coded, int frame_size, int Cmax,
+                          int W, float* freq, float* comb, int* sflag,
+                          int* ok) {
+  if (!g_tables.ready) return -1;
+  int rc_all = 0;
+  std::vector<double> tmp((size_t)Cmax * frame_size);
+  double comb64[16];
+  for (int b = 0; b < B; b++) {
+    Celt* st = (Celt*)handles[b];
+    int64_t off = base[b];
+    for (int r = 0; r < R; r++) {
+      size_t slot = (size_t)r * B + b;
+      int len = lens[(size_t)b * R + r];
+      ok[slot] = -100;
+      if (len <= 0) continue;
+      Parser p(st);
+      int C = coded[(size_t)b * R + r];
+      if (!C) C = st->channels;
+      int sf = 0;
+      int rr = p.parse_frame(buf + off, len, frame_size, 0,
+                             ends[(size_t)b * R + r], C, tmp.data(),
+                             comb64, &sf);
+      off += len;
+      ok[slot] = rr;
+      sflag[slot] = sf;
+      if (rr != 0) { rc_all = rr; continue; }
+      for (int i = 0; i < 16; i++)
+        comb[slot * 16 + i] = (float)comb64[i];
+      if (C < Cmax)
+        for (int c = C; c < Cmax; c++)
+          std::memcpy(tmp.data() + (size_t)c * frame_size, tmp.data(),
+                      frame_size * sizeof(double));
+      float* fo = freq + slot * (size_t)Cmax * W;
+      for (int c = 0; c < Cmax; c++) {
+        const double* src = tmp.data() + (size_t)c * frame_size;
+        float* dst = fo + (size_t)c * W;
+        for (int i = 0; i < W; i++) dst[i] = (float)src[i];
+      }
+    }
+  }
+  return rc_all;
+}
+
 // Encode one CELT frame (opus_celt_enc.py CeltEncoder.encode_frame):
 // freq = C rows of frame_size forward-MDCT spectra (the caller runs
 // the [N, N+OVERLAP] matmul through BLAS); out receives the

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <deque>
 #include <vector>
 #include <stdexcept>
 
@@ -382,6 +383,23 @@ uint64_t read_utf8_number(BitReader& br) {
     return v;
 }
 
+// one frame queued for the batched serving export (round-5 host
+// diet: skt_flac_drain walks frames once at push time and
+// skt_flac_export_rounds scatters WHOLE collects into the device
+// wire in one call — the per-frame ctypes next() + per-(round, lane)
+// Python repack loop was ~0.5 s of a 3.5 s 1024-stream fleet pass,
+// docs/FLEET_PROFILE_r5.md)
+struct QueuedExport {
+    int kind = 0;  // 0 = segment wire, 1 = residual-plane fallback
+    int32_t meta[12];
+    int32_t coef[64];
+    int32_t warm[64];
+    int32_t xmeta[8];
+    std::vector<int32_t> segs;    // kind 0: nseg*4
+    std::vector<uint8_t> fbytes;  // kind 0: raw frame bytes
+    std::vector<int32_t> resw;    // kind 1: [2*stride]
+};
+
 struct FlacDecoder {
     std::vector<uint8_t> buf;
     size_t consumed = 0;         // bytes of buf fully decoded
@@ -395,6 +413,7 @@ struct FlacDecoder {
     std::vector<SubframeParts> last_parts;
     FrameInfo last_frame;
     std::vector<uint8_t> last_bytes;  // raw frame bytes (segment wire)
+    std::deque<QueuedExport> queued;  // skt_flac_drain output
 
     void compact() {
         if (consumed > (1u << 20)) {
@@ -720,20 +739,13 @@ int skt_flac_next_parts(void* h, int32_t* meta, int32_t* resw,
 // 1 = exported, 0 = need data, -1 = bad stream, -2 = frame decoded but
 // does not fit this wire (caller exports it via
 // skt_flac_export_parts_last instead)
-int skt_flac_next_segs(void* h, int32_t* meta, int32_t* coef, int32_t* warm,
-                       int32_t* xmeta, int32_t* segs, uint8_t* fbytes,
-                       long stride, long seg_cap, long max_frame_bytes) {
+static int export_segs_of_last(FlacDecoder* d, int32_t* meta, int32_t* coef,
+                               int32_t* warm, int32_t* xmeta, int32_t* segs,
+                               uint8_t* fbytes, long stride, long seg_cap,
+                               long max_frame_bytes) {
     static const int32_t FIXED_COEFS[5][4] = {
         {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
         {3, -3, 1, 0}, {4, -6, 4, -1}};
-    auto* d = (FlacDecoder*)h;
-    try {
-        if (!d->header_done && !d->parse_header()) return 0;
-        if (!d->decode_frame(true)) return 0;
-    } catch (BadStream& e) {
-        snprintf(d->error, sizeof d->error, "%s", e.msg);
-        return -1;
-    }
     const FrameInfo& fi = d->last_frame;
     long bs = (long)fi.block_size;
     if (fi.channels > 2 || bs > stride) return -2;
@@ -799,6 +811,185 @@ int skt_flac_next_segs(void* h, int32_t* meta, int32_t* coef, int32_t* warm,
     xmeta[7] = 0;
     memcpy(fbytes, d->last_bytes.data(), d->last_bytes.size());
     return 1;
+}
+
+int skt_flac_next_segs(void* h, int32_t* meta, int32_t* coef, int32_t* warm,
+                       int32_t* xmeta, int32_t* segs, uint8_t* fbytes,
+                       long stride, long seg_cap, long max_frame_bytes) {
+    auto* d = (FlacDecoder*)h;
+    try {
+        if (!d->header_done && !d->parse_header()) return 0;
+        if (!d->decode_frame(true)) return 0;
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+    return export_segs_of_last(d, meta, coef, warm, xmeta, segs, fbytes,
+                               stride, seg_cap, max_frame_bytes);
+}
+
+// ---- round-5 batched serving path: drain at push, export per collect
+
+// walk every complete frame now in the buffer into the export queue
+// (segment wire, or the residual-plane fallback for frames the wire
+// cannot carry); returns the queued count, -1 on a bad stream
+long skt_flac_drain(void* h, long stride, long seg_cap,
+                    long max_frame_bytes) {
+    auto* d = (FlacDecoder*)h;
+    try {
+        if (!d->header_done && !d->parse_header())
+            return (long)d->queued.size();
+        static thread_local std::vector<int32_t> seg_scratch;
+        static thread_local std::vector<uint8_t> byte_scratch;
+        if ((long)seg_scratch.size() < seg_cap * 4)
+            seg_scratch.resize((size_t)seg_cap * 4);
+        if ((long)byte_scratch.size() < max_frame_bytes)
+            byte_scratch.resize((size_t)max_frame_bytes);
+        while (d->decode_frame(true)) {
+            QueuedExport q;
+            int r = export_segs_of_last(d, q.meta, q.coef, q.warm,
+                                        q.xmeta, seg_scratch.data(),
+                                        byte_scratch.data(), stride,
+                                        seg_cap, max_frame_bytes);
+            if (r == 1) {
+                q.segs.assign(seg_scratch.begin(),
+                              seg_scratch.begin() + (size_t)q.xmeta[4] * 4);
+                q.fbytes.assign(byte_scratch.begin(),
+                                byte_scratch.begin() + (size_t)q.xmeta[5]);
+            } else {
+                q.kind = 1;
+                q.resw.assign((size_t)2 * stride, 0);
+                if (export_parts_of_last(d, q.meta, q.resw.data(), q.coef,
+                                         stride) != 1) {
+                    snprintf(d->error, sizeof d->error,
+                             "frame fits neither wire");
+                    return -1;
+                }
+            }
+            d->queued.push_back(std::move(q));
+        }
+    } catch (BadStream& e) {
+        snprintf(d->error, sizeof d->error, "%s", e.msg);
+        return -1;
+    }
+    return (long)d->queued.size();
+}
+
+long skt_flac_queued(void* h) {
+    return (long)((FlacDecoder*)h)->queued.size();
+}
+
+void skt_flac_reset_queue(void* h) {
+    ((FlacDecoder*)h)->queued.clear();
+}
+
+// stats over the first n queued frames of each of B lanes, for
+// sizing the collect's wire: out[0] = max frame bytes, out[1] = max
+// device scan steps, out[2] = total segment count, out[3] = count of
+// residual-plane fallback frames
+void skt_flac_queue_stats(void** handles, int B, long n, int64_t* out) {
+    int64_t bmax = 0, smax = 0, totsegs = 0, nparts = 0;
+    for (int b = 0; b < B; b++) {
+        auto* d = (FlacDecoder*)handles[b];
+        long k = (long)d->queued.size();
+        if (k > n) k = n;
+        for (long i = 0; i < k; i++) {
+            const QueuedExport& q = d->queued[i];
+            if (q.kind == 1) { nparts++; continue; }
+            if ((int64_t)q.fbytes.size() > bmax) bmax = (int64_t)q.fbytes.size();
+            if (q.xmeta[6] > smax) smax = q.xmeta[6];
+            totsegs += (int64_t)(q.segs.size() / 4);
+        }
+    }
+    out[0] = bmax; out[1] = smax; out[2] = totsegs; out[3] = nparts;
+}
+
+// consume up to n queued frames per lane and scatter the WHOLE
+// collect's device wire in one call.  Slot j = i*B + b (round i,
+// lane b) over L = n_pad*B slots:
+//   words [L, W] u32 (big-endian packed frame bytes)
+//   seg_* dense global segment arrays (caller-sized from queue_stats,
+//     pad rows stay n=0 from np.zeros; dest offset j*2*stride)
+//   warm [L,2,32], cflag/cval [L,2], coef [L,2,32], order/shift/
+//   wasted [L,2], assign/bs [L] i32, valid [L] u8
+//   meta_all [n, B, 12] i32 (parts frames included)
+//   parts_*: residual-plane fallback frames appended in encounter
+//     order (slot, meta[12], resw[2*stride], coef[2*32])
+// returns segments written, or -1 if a frame exceeds the passed W.
+long skt_flac_export_rounds(void** handles, int B, long n, long stride,
+                            long W, uint32_t* words, int32_t* seg_lane,
+                            int32_t* seg_bitoff, int32_t* seg_k,
+                            int32_t* seg_n, int32_t* seg_dest,
+                            int32_t* warm, int32_t* cflag, int32_t* cval,
+                            int32_t* coef, int32_t* order, int32_t* shift,
+                            int32_t* wasted, int32_t* assign, int32_t* bs,
+                            uint8_t* valid, int32_t* meta_all,
+                            int32_t* parts_slot, int32_t* parts_meta,
+                            int32_t* parts_resw, int32_t* parts_coef) {
+    long si = 0, pi = 0;
+    for (int b = 0; b < B; b++) {
+        auto* d = (FlacDecoder*)handles[b];
+        long k = (long)d->queued.size();
+        if (k > n) k = n;
+        for (long i = 0; i < k; i++) {
+            QueuedExport& q = d->queued.front();
+            long j = i * B + b;
+            memcpy(meta_all + ((size_t)i * B + b) * 12, q.meta, 12 * 4);
+            if (q.kind == 1) {
+                parts_slot[pi] = (int32_t)j;
+                memcpy(parts_meta + (size_t)pi * 12, q.meta, 12 * 4);
+                memcpy(parts_resw + (size_t)pi * 2 * stride, q.resw.data(),
+                       (size_t)2 * stride * 4);
+                memcpy(parts_coef + (size_t)pi * 64, q.coef, 64 * 4);
+                pi++;
+                d->queued.pop_front();
+                continue;
+            }
+            long nb = (long)q.fbytes.size();
+            if (nb > W * 4) return -1;
+            const uint8_t* src = q.fbytes.data();
+            uint32_t* dst = words + (size_t)j * W;
+            long full = nb / 4;
+            for (long w = 0; w < full; w++) {
+                const uint8_t* p = src + w * 4;
+                dst[w] = ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+            }
+            long rem = nb - full * 4;
+            if (rem > 0) {
+                uint32_t v = 0;
+                for (long r = 0; r < rem; r++)
+                    v |= (uint32_t)src[full * 4 + r] << (24 - 8 * r);
+                dst[full] = v;
+            }
+            long nseg = (long)(q.segs.size() / 4);
+            const int32_t* sg = q.segs.data();
+            for (long s = 0; s < nseg; s++) {
+                seg_lane[si] = (int32_t)j;
+                seg_bitoff[si] = sg[s * 4 + 0];
+                seg_k[si] = sg[s * 4 + 1];
+                seg_n[si] = sg[s * 4 + 2];
+                seg_dest[si] = sg[s * 4 + 3] + (int32_t)(j * 2 * stride);
+                si++;
+            }
+            memcpy(warm + (size_t)j * 64, q.warm, 64 * 4);
+            memcpy(coef + (size_t)j * 64, q.coef, 64 * 4);
+            cflag[j * 2] = q.xmeta[0];
+            cval[j * 2] = q.xmeta[1];
+            cflag[j * 2 + 1] = q.xmeta[2];
+            cval[j * 2 + 1] = q.xmeta[3];
+            bs[j] = q.meta[0];
+            assign[j] = q.meta[2];
+            for (int c = 0; c < 2; c++) {
+                order[j * 2 + c] = q.meta[4 + c * 3 + 0];
+                shift[j * 2 + c] = q.meta[4 + c * 3 + 1];
+                wasted[j * 2 + c] = q.meta[4 + c * 3 + 2];
+            }
+            valid[j] = 1;
+            d->queued.pop_front();
+        }
+    }
+    return si;
 }
 
 // export the frame most recently decoded by skt_flac_next_segs via the

@@ -569,4 +569,59 @@ int skt_mp3_pop_batch(void** handles, int B, int16_t* quant, int16_t* expq,
     return produced;
 }
 
+// Multi-round batched pop (round-5 fleet host diet): pop up to G
+// granules from each of B parser handles into G consecutive packed
+// wire blocks of `stride` bytes (layout = ops/mp3_batch.
+// mp3_wire_layout — the field offsets are passed in so the layout
+// stays owned by the Python side).  One call replaces G per-round
+// skt_mp3_pop_batch calls + G fresh numpy wire allocations
+// (docs/FLEET_PROFILE_r5.md: 0.51 s of a 3.5 s 1024-stream pass).
+// Lanes with fewer than G queued granules zero-fill the remaining
+// slots (valid=0, expq=-32768 silent lines).  rate[b] gets the
+// lane's last popped granule's sample rate (0 if none popped);
+// popped[b] the number of granules consumed from lane b.
+void skt_mp3_pop_rounds(void** handles, int B, int G, uint8_t* wire,
+                        long stride, long off_bt, long off_nal,
+                        long off_quant, long off_expq, long off_mixed,
+                        long off_ms, long off_valid, int32_t* rate,
+                        int32_t* popped) {
+    for (int b = 0; b < B; ++b) {
+        auto* p = (Mp3Parser*)handles[b];
+        rate[b] = 0;
+        popped[b] = 0;
+        for (int g = 0; g < G; ++g) {
+            uint8_t* base = wire + (size_t)g * stride;
+            auto* bt = (int32_t*)(base + off_bt) + b * 2;
+            auto* nal = (int32_t*)(base + off_nal) + b * 2;
+            auto* q = (int16_t*)(base + off_quant) + (long)b * 2 * 576;
+            auto* e = (int16_t*)(base + off_expq) + (long)b * 2 * 576;
+            uint8_t* mixed = base + off_mixed + b * 2;
+            uint8_t* ms = base + off_ms + b;
+            uint8_t* valid = base + off_valid + b * 2;
+            if (!p || p->out.empty()) {
+                memset(q, 0, 2 * 576 * 2);
+                for (int i = 0; i < 2 * 576; ++i) e[i] = -32768;
+                bt[0] = bt[1] = nal[0] = nal[1] = 0;
+                mixed[0] = mixed[1] = 0;
+                valid[0] = valid[1] = 0;
+                ms[0] = 0;
+                continue;
+            }
+            const GranuleOut& go = p->out.front();
+            memcpy(q, go.quant, sizeof go.quant);
+            memcpy(e, go.expq, sizeof go.expq);
+            for (int c = 0; c < 2; ++c) {
+                bt[c] = go.block_type[c];
+                mixed[c] = (uint8_t)go.mixed[c];
+                nal[c] = go.n_alias[c];
+                valid[c] = c < go.nch ? 1 : 0;
+            }
+            ms[0] = (uint8_t)go.ms;
+            rate[b] = go.sample_rate;
+            p->out.pop_front();
+            popped[b]++;
+        }
+    }
+}
+
 }  // extern "C"

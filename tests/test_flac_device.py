@@ -358,12 +358,10 @@ def test_segment_wire_parts_fallback_mix():
     got = ss.next()
     assert got[0] == "parts", "seg-cap overflow must export parts"
 
-    class _TinyCap(FlacSegsStream):
-        SEG_CAP = 8
-
     m = BatchedFlacDecoder(2, stride=64)
-    m._streams[0] = _TinyCap(stride=64)
+    m.seg_cap = 8  # 16 partitions -> 16 segs > 8 -> parts fallback
     m.push(0, frame)  # parts-fallback lane
+    m.seg_cap = 8192
     m.push(1, frame)  # segment lane
     samples, metas = m.decode_ready()
     np.testing.assert_array_equal(samples[0, 0, 0, :bs], vals.astype(np.int32))
