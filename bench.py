@@ -24,10 +24,12 @@ VLC against 0.04 ms device compute).  Host work drops to ~6-7 ms of
 syntax parse + spectral walk per 1024-stream batch; the device step
 incl. the ~512-iteration entropy scan costs ~1 ms.
 
-x-realtime is computed at 48 kHz.  All 5 passes are recorded with the
-median alongside the best, so the north star does not ride on
-catching the shared tunnel on a good pass (it decays with cumulative
-traffic, see utils/wire.py).
+x-realtime is computed at 48 kHz.  Every recorded pass is preceded by
+a healthy throughput probe, and the gate holds until the hard
+deadline: a collapsed tunnel yields FEWER healthy passes (disclosed
+via discarded_passes/gate_probes), never a median manufactured from
+collapsed ones.  ``value`` is the MEDIAN of the healthy passes — the
+defensible statistic — with the best pass alongside.
 
 HARD DEADLINE: the whole process is bounded by SKT_BENCH_DEADLINE_S
 (default 1200 s) of wall clock.  A daemon monitor thread fires at the
@@ -73,15 +75,21 @@ def emit(payload: dict) -> None:
 
 def build_result(passes, discarded, probes, degraded: bool,
                  note: str | None = None) -> dict:
+    """``value`` is the MEDIAN of the healthy-gated passes — the
+    defensible statistic (round-4 lesson: a best-pass headline reads
+    generously when the shared tunnel collapses for most of the
+    window).  The best pass rides alongside as ``best``."""
     if passes:
         ordered = sorted(passes)
         best = ordered[-1]
         median = ordered[len(ordered) // 2]
         out = {
             "metric": METRIC,
-            "value": round(best, 1),
+            "value": round(median, 1),
             "unit": UNIT,
-            "vs_baseline": round(best / 1000.0, 3),
+            "vs_baseline": round(median / 1000.0, 3),
+            "best": round(best, 1),
+            "best_vs_baseline": round(best / 1000.0, 3),
             "median": round(median, 1),
             "median_vs_baseline": round(median / 1000.0, 3),
             "passes": [round(v, 1) for v in passes],
@@ -292,11 +300,6 @@ def main() -> None:
     # The gate budget is clamped so that pass recording ALWAYS gets a
     # slice of the wall-clock budget (round 3 lesson).
     min_x = float(os.environ.get("SKT_BENCH_MIN_X", 700.0))
-    gate_budget = min(
-        float(os.environ.get("SKT_BENCH_MIN_X_WAIT_S", 1800.0)),
-        max(0.0, time_left() - 180.0),
-    )
-    gate_deadline = time.time() + gate_budget
     probe_history = _state["gate_probes"]
 
     def mini_pass(k: int = 4) -> float:
@@ -344,33 +347,33 @@ def main() -> None:
     # EVERY recorded pass is preceded by a healthy gate probe (the
     # tunnel enters multi-minute collapsed states mid-run, so gating
     # only the start still records collapse, measured 2026-08-18:
-    # gate probe 1319x followed by passes of 190-316x).  Collapsed
-    # passes are kept in ``discarded_passes`` for full disclosure;
-    # once the gate budget runs out, passes record unconditionally.
+    # gate probe 1319x followed by passes of 190-316x).  Round-5
+    # change (VERDICT r4 ask #2): the gate holds until the HARD
+    # deadline — a collapsed window produces FEWER healthy passes,
+    # never a median manufactured from collapsed ones.  Collapsed
+    # passes are disclosed in ``discarded_passes``; a window with zero
+    # healthy probes emits degraded:true with the collapsed evidence.
     _state["phase"] = "gated pass recording"
     passes = _state["passes"]
     discarded = _state["discarded"]
-    degraded = False
+    # one mini-probe ~2.5 s healthy, up to ~25 s collapsed; keep the
+    # probe-sleep loop cheap enough that a late-recovering tunnel
+    # still gets pass time
     while len(passes) < 5:
-        if time_left() < 60.0 and passes:
-            # deadline imminent: stop early with what we have rather
-            # than let the monitor cut us off mid-pass
-            degraded = True
+        if time_left() < 60.0:
+            # deadline imminent: stop with what we have rather than
+            # let the monitor cut us off mid-pass
             break
-        budget_left = time.time() < gate_deadline
-        if budget_left and not gate_ok():
+        if not gate_ok():
             print(
                 f"bench: tunnel collapsed "
                 f"({probe_history[-1]:.0f}x < {min_x:.0f}x); waiting",
                 file=sys.stderr,
             )
-            time.sleep(min(90.0, max(5.0, time_left() - 120.0)))
+            time.sleep(min(60.0, max(5.0, time_left() - 120.0)))
             continue
-        if not budget_left:
-            degraded = degraded or bool(
-                probe_history and probe_history[-1] < min_x)
         x = one_pass()
-        if x < min_x and budget_left:
+        if x < min_x:
             # collapsed mid-pass: disclose it, re-gate, try again
             discarded.append(round(x, 1))
             print(
@@ -380,13 +383,16 @@ def main() -> None:
             continue
         passes.append(x)
 
-    # every pass is recorded so the north star doesn't ride on catching
-    # the shared tunnel on a good pass; value stays the best pass (the
-    # machine's real capability), median is reported alongside
+    healthy_probes = sum(1 for p in probe_history if p >= min_x)
+    degraded = len(passes) < 5
     note = None
-    if degraded:
-        note = ("tunnel collapsed for part of the window; passes past "
-                "the gate budget or an early stop are included")
+    if degraded and passes:
+        note = (f"tunnel collapsed for part of the window; "
+                f"{len(passes)} healthy-gated passes recorded "
+                f"({healthy_probes} healthy probes)")
+    elif not passes:
+        note = ("zero healthy probes in the whole window; value is "
+                "the best collapsed evidence, not machine capability")
     emit(build_result(passes, discarded, probe_history,
                       degraded=degraded, note=note))
 
