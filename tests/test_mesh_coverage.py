@@ -153,6 +153,92 @@ def test_g722_scan_sharded_8dev(mesh, testdata):
     _assert_same_and_sharded(plain, sharded)
 
 
+def test_silk_round_sharded_8dev(mesh, testdata):
+    """Device SILK synthesis (ops/silk_batch.py): one WB stereo round
+    fed from a real fixture packet via the native parse-export must be
+    sharding-invariant over the streams axis."""
+    import struct
+
+    import jax.numpy as jnp
+
+    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.codecs.silk_native import NativeSilkBatch
+    from soundkit_tpu.ops import silk_batch as sb
+
+    data = (testdata / "opus" / f"{CLIP}.opus").read_bytes()
+    body, pos = data[19:], 0
+    frame, bw, coded = None, None, None
+    while pos + 2 <= len(body):
+        (n,) = struct.unpack_from("<H", body, pos)
+        toc, frames = parse_packet(body[pos + 2 : pos + 2 + n])
+        if toc.mode == "silk" and int(toc.frame_duration) == 20 and frames:
+            frame = frames[0]
+            bw = toc.bandwidth
+            coded = 2 if toc.stereo else 1
+            break
+        pos += 2 + n
+    assert frame is not None, "no 20 ms SILK packet in fixture"
+
+    B = 16
+    nb = NativeSilkBatch(B, 2)
+    valid = np.ones(B, np.uint8)
+    p = nb.parse_many([frame] * B, np.full(B, bw, np.int32),
+                      np.full(B, coded, np.int32), [20] * B, valid)
+    g = valid.astype(bool) & (p["n"] > 0)
+    assert g.all()
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    state = sb.init_state(B, bw, np.float32)
+    args = (
+        f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
+        np.ascontiguousarray(p["flags"][:, 7:9]),
+        np.ascontiguousarray(p["flags"][:, 5:7]),
+        p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
+        np.ascontiguousarray(p["flags"][:, 9:11]),
+        (p["flags"][:, 2] == 2).astype(np.int32),
+        np.ascontiguousarray(p["flags"][:, 4]),
+        f32(p["stereo_w"]), np.ones(B, np.float32), g,
+        np.ones(B, np.float32), *state,
+    )
+    step = sb._jitted_step(bw, True, "float32")
+    plain = step(*[jnp.asarray(a) for a in args])
+    sharded = step(*[_shard(mesh, a) for a in args])
+    _assert_same_and_sharded(plain, sharded)
+
+
+def test_flac_rice_plane_sharded_8dev(mesh):
+    """Device Rice decode (ops/flac_rice.py): the segment-table SIMD
+    bitstream interpreter must produce an identical residual plane with
+    the lane/segment axes sharded over the mesh.  Random words are a
+    valid input by construction (the interpreter clamps reads and drops
+    out-of-range scatters), so plain-vs-sharded equality is exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundkit_tpu.ops import flac_rice as fr
+
+    rng = np.random.RandomState(7)
+    NL, W, stride = 16, 64, 256
+    words = rng.randint(0, 2**32, size=(NL, W), dtype=np.uint64).astype(np.uint32)
+    per_lane = 4
+    N = NL * per_lane  # 64 segments, divisible by the 8-device mesh
+    seg_lane = np.repeat(np.arange(NL, dtype=np.int32), per_lane)
+    seg_bitoff = np.tile(np.array([40, 300, 700, 1100], np.int32), NL)
+    seg_k = np.tile(np.array([0, 3, -17, 9], np.int32), NL)  # incl. fixed-width
+    seg_n = np.full(N, 32, np.int32)
+    pos = np.tile(np.array([0, 32, 64, 96], np.int32), NL)
+    chan = np.tile(np.array([0, 0, 1, 1], np.int32), NL)
+    seg_dest = (seg_lane * 2 * stride + chan * stride + pos).astype(np.int32)
+    warm = rng.randint(-1000, 1000, size=(NL, 2, 32)).astype(np.int32)
+    cflag = (np.arange(NL) % 4 == 3).astype(np.int32)[:, None] * np.ones((1, 2), np.int32)
+    cval = rng.randint(-99, 99, size=(NL, 2)).astype(np.int32)
+
+    step = jax.jit(fr.flac_rice_plane_device, static_argnums=(9, 10, 11))
+    a = (words, seg_lane, seg_bitoff, seg_k, seg_n, seg_dest, warm, cflag, cval)
+    plain = step(*[jnp.asarray(x) for x in a], 192, NL, stride)
+    sharded = step(*[_shard(mesh, x) for x in a], 192, NL, stride)
+    _assert_same_and_sharded((plain,), (sharded,))
+
+
 def test_fleet_under_mesh_smoke(mesh, testdata):
     """The fleet's mixed decode runs (and matches the plain run) with
     an active mesh context — no sharding bug hides in the carried-state
