@@ -271,14 +271,29 @@ class StreamFleet:
             pre.extend(data)
         try:
             group.push(ln.index, data)
-        except (TopologyMismatch, OpusLaneUnsupported):
+        except (TopologyMismatch, OpusLaneUnsupported) as e:
             group.release(ln.index)
             del self._lanes[stream_id]
-            raw = bytes(self._pretopo.pop(stream_id, data))
-            from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+            replay = getattr(e, "replay", None)
+            if replay is not None:
+                # opus reroute: seed a single-stream decoder from the
+                # lane's bounded packet tail (O(1) retained bytes) and
+                # drain the current push's unprocessed packets now
+                from soundkit_tpu.models.opus_fleet_model import (
+                    _OpusTailFallback,
+                )
 
-            self._fallback[stream_id] = StreamDecoder()
-            self._feed_fallback(stream_id, raw)
+                self._pretopo.pop(stream_id, None)
+                self._fallback[stream_id] = _OpusTailFallback(**replay)
+                self._feed_fallback(stream_id, b"")
+            else:
+                raw = bytes(self._pretopo.pop(stream_id, data))
+                from soundkit_tpu.pipeline.decode_pipeline import (
+                    StreamDecoder,
+                )
+
+                self._fallback[stream_id] = StreamDecoder()
+                self._feed_fallback(stream_id, raw)
             if self._ended.get(stream_id):
                 self._feed_fallback(stream_id, b"")
             return
@@ -305,11 +320,12 @@ class StreamFleet:
             lane_idx = self._groups[kind].alloc()
             if lane_idx is not None:
                 self._lanes[stream_id] = _Lane(kind, lane_idx)
-                if kind in ("vorbis", "opus"):
-                    # raw bytes retained while the group can still
-                    # reject the stream (vorbis: until headers parse;
-                    # opus: for the lane's lifetime — a mode switch
-                    # can appear at any packet)
+                if kind == "vorbis":
+                    # raw bytes retained only while the group can
+                    # still reject the stream (until headers parse);
+                    # opus lanes reroute from their own bounded packet
+                    # tail (opus_fleet_model._OpusTailFallback), so
+                    # the fleet retains nothing for them
                     self._pretopo[stream_id] = bytearray()
                 self._push_lane(stream_id, buf)
                 return

@@ -22,12 +22,18 @@ device_out/i16 collect path is a pure add across engines.
 Streams no engine serves (multi-frame packets, mid-stream SILK
 bandwidth or mode switches, transition-redundancy starts) raise
 :class:`OpusLaneUnsupported` out of ``push`` so the fleet reroutes
-them to a per-stream host pipeline by replaying the stream's raw
-bytes (the same pattern as the Vorbis topology reroute).  Because a
-mode switch can appear at ANY packet (not just the headers),
-``lane_configured`` stays False so the fleet retains each Opus
-lane's raw bytes for the lane's lifetime — the price of guaranteed
-bit-equal reroutes.
+them to a per-stream host decoder.  Retention is O(1) per lane: the
+model keeps only a bounded packet tail (``TAIL_KEEP`` packets beyond
+the undecoded queue, ~2 s of warmup — the converge-from-tail design
+of codecs/opus.py ``_OpusCore._trim_history``) plus duration/emitted
+accounting, and the reroute seeds a single-stream ``_OpusCore`` from
+that tail (:class:`_OpusTailFallback`) instead of replaying the
+stream's raw bytes from the start.  Decoder state memory is short
+(CELT: one frame of overlap + postfilter history; SILK: two frames
+of LPC/LTP state), so the tail replay converges to the full-history
+decode well inside the retained warmup; already-emitted samples are
+dropped by count so interleaved push/collect callers see no
+duplicates.
 
 Reference role: soundkit-ogg-opus decode inside the per-stream
 pipeline (soundkit-decoder/src/lib.rs spawn paths), re-split so the
@@ -48,9 +54,75 @@ from soundkit_tpu.models.opus_batch import (
 
 
 class OpusLaneUnsupported(Exception):
-    """This stream needs the host pipeline (hybrid/odd framing/mode
-    switches); the fleet replays its raw bytes into a per-stream
-    decoder."""
+    """This stream needs the host pipeline (odd framing / mode
+    switches); carries ``replay`` — everything the fleet needs to
+    seed a :class:`_OpusTailFallback` (bounded tail, no raw-byte
+    retention)."""
+
+    replay: Optional[dict] = None
+
+
+class _OpusTailFallback:
+    """Per-stream host decoder seeded from a lane's bounded packet
+    tail (fleet reroute target; codecs/opus.py converge-from-tail).
+
+    Duck-types the ``StreamDecoder.process`` surface the fleet's
+    fallback path consumes: ``process(data) -> [AudioData]`` with
+    f32 PCM, where ``data`` is the stream's raw Ogg bytes arriving
+    after the reroute (the lane's demuxer moves over for byte
+    continuity) and ``b""`` drains/flushes.  The first replayed
+    packet rebuilds the Python decoder's state from the retained
+    tail and drops the ``emitted`` samples the lane already
+    delivered, so interleaved push/collect callers see a gapless,
+    duplicate-free stream."""
+
+    def __init__(self, demux, head, tail, dropped, emitted, pending):
+        from soundkit_tpu.codecs.opus import _OpusCore
+
+        self._demux = demux
+        core = _OpusCore(head)
+        core._fast = False  # native CELT state can't seed from a tail
+        if core._own is not None:
+            core._history = list(tail)
+            core._dropped = int(dropped)
+            core._emitted = int(emitted)
+            self._primed = False
+        else:
+            # multistream head: avcodec delegate, rejected before any
+            # packet decoded (nothing emitted, no tail to converge)
+            self._primed = True
+        self._core = core
+        self._queue: List[bytes] = list(pending)
+
+    def process(self, data: bytes):
+        from soundkit_tpu.codecs.opus_core import OpusUnsupported
+        from soundkit_tpu.core.audio_types import AudioData, EncodingFlag
+
+        pkts = self._queue
+        self._queue = []
+        if data:
+            pkts = pkts + self._demux.push(data)
+        outs = []
+        for p in pkts:
+            if not self._primed:
+                self._core._history.append(p)
+                self._core._trim_history()
+                try:
+                    pcm = self._core._replay_own()
+                except OpusUnsupported:
+                    pcm = self._core._fallback()
+                self._primed = True
+            else:
+                pcm = self._core.decode_packet_f32(p)
+            if pcm.size:
+                outs.append(AudioData(
+                    bits_per_sample=32,
+                    channel_count=self._core.channels,
+                    sampling_rate=self._core.sample_rate,
+                    data=np.asarray(pcm, "<f4").tobytes(),
+                    audio_format=EncodingFlag.PCM_FLOAT,
+                ))
+        return outs
 
 
 def _classify(packet: bytes, channels: int):
@@ -112,6 +184,16 @@ class BatchedOggOpusDecoder:
             OggOpusDemuxer() for _ in range(num_streams)
         ]
         self._queued = [0] * num_streams  # packets ever queued per lane
+        # converge-from-tail reroute state: bounded packet tail plus
+        # trimmed-duration / emitted-sample accounting per lane
+        self._tail: List[List[bytes]] = [[] for _ in range(num_streams)]
+        self._tail_dropped = [0] * num_streams  # 48k samples trimmed
+        self._emitted = [0] * num_streams  # samples delivered per lane
+
+    #: warmup packets retained beyond the undecoded queue (~2 s at
+    #: 20 ms — matches codecs/opus.py _HISTORY_KEEP; far beyond CELT/
+    #: SILK state memory, so a tail replay converges before it ends)
+    TAIL_KEEP = 96
 
     def reset_lane(self, b: int) -> None:
         self._celt.reset_lane(b)
@@ -122,12 +204,28 @@ class BatchedOggOpusDecoder:
         self._kind[b] = None
         self._demux[b] = OggOpusDemuxer()
         self._queued[b] = 0
+        self._tail[b] = []
+        self._tail_dropped[b] = 0
+        self._emitted[b] = 0
 
     def lane_configured(self, b: int) -> bool:
         # an Opus lane can still hit a reroute at any packet (mode
-        # switch), so the fleet must keep its replay bytes: never
-        # report configured
-        return False
+        # switch) — but the reroute replays from the lane's own
+        # bounded tail, so the fleet retains NO raw bytes; report
+        # configured as soon as the head has parsed
+        return self._demux[b].head is not None
+
+    def _reroute(self, b: int, msg: str, pending: List[bytes]):
+        """Build the reroute exception: the lane's demuxer, head, and
+        bounded tail (plus the still-unprocessed packets of the
+        current push, offender first) seed a _OpusTailFallback."""
+        exc = OpusLaneUnsupported(msg)
+        exc.replay = dict(
+            demux=self._demux[b], head=self._demux[b].head,
+            tail=list(self._tail[b]), dropped=self._tail_dropped[b],
+            emitted=self._emitted[b], pending=pending,
+        )
+        return exc
 
     def lane_sample_rate(self, b: int) -> Optional[int]:
         return 48000 if self._demux[b].head is not None else None
@@ -145,7 +243,7 @@ class BatchedOggOpusDecoder:
         pkts = dm.push(data)
         if dm.head is not None and not had_head:
             if dm.head.channels > self.C or dm.head.mapping_family != 0:
-                raise OpusLaneUnsupported("unsupported OpusHead")
+                raise self._reroute(b, "unsupported OpusHead", pkts)
             self._celt.configure_lane(
                 b, dm.head.pre_skip, dm.head.output_gain
             )
@@ -153,18 +251,21 @@ class BatchedOggOpusDecoder:
                 self._silk.configure_lane(
                     b, dm.head.pre_skip, dm.head.output_gain
                 )
-        for pkt in pkts:
+        for i, pkt in enumerate(pkts):
             kind, toc, frame = _classify(pkt, self.C)
             if kind is None:
-                raise OpusLaneUnsupported("non-20ms/multiframe packet")
+                raise self._reroute(
+                    b, "non-20ms/multiframe packet", pkts[i:])
             if self._kind[b] is None:
                 if kind == "silk" and self._silk is None:
-                    raise OpusLaneUnsupported("no native silk batch")
+                    raise self._reroute(
+                        b, "no native silk batch", pkts[i:])
                 if kind == "hybrid" and self._hyb is None:
-                    raise OpusLaneUnsupported("no native hybrid batch")
+                    raise self._reroute(
+                        b, "no native hybrid batch", pkts[i:])
                 self._kind[b] = kind
             if kind != self._kind[b]:
-                raise OpusLaneUnsupported("mid-stream mode switch")
+                raise self._reroute(b, "mid-stream mode switch", pkts[i:])
             if kind == "celt":
                 # _classify already split the TOC: hand the frame +
                 # end band + coded channels straight to the queue (no
@@ -179,7 +280,8 @@ class BatchedOggOpusDecoder:
                 # redundancy only to transition packets, which the
                 # mode-switch guard above reroutes before decode)
                 if self._hyb.lane_error(b):
-                    raise OpusLaneUnsupported(self._hyb.lane_error(b))
+                    raise self._reroute(
+                        b, self._hyb.lane_error(b), pkts[i:])
                 self._hyb.push_packet(b, frame, toc.bandwidth,
                                       2 if toc.stereo else 1)
             else:
@@ -189,10 +291,12 @@ class BatchedOggOpusDecoder:
                 # replay decodes the redundancy exactly
                 bw0 = self._silk.bw[b]
                 if bw0 is not None and toc.bandwidth != bw0:
-                    raise OpusLaneUnsupported("silk bandwidth switch")
+                    raise self._reroute(
+                        b, "silk bandwidth switch", pkts[i:])
                 self._silk.push_packet(b, frame, toc.bandwidth,
                                        2 if toc.stereo else 1)
             self._queued[b] += 1
+            self._tail[b].append(pkt)
 
     def decode_batches(self, n: int, device_out: bool = False):
         """Decode up to ``n`` lockstep packet rounds.
@@ -221,6 +325,19 @@ class BatchedOggOpusDecoder:
         lengths = np.zeros((R, self.B), np.int32)
         for _, lens in parts:
             lengths[: lens.shape[0]] += lens
+        # converge-from-tail bookkeeping: count delivered samples and
+        # trim each lane's retained tail to (undecoded queue +
+        # TAIL_KEEP warmup packets); every trimmed packet is a decoded
+        # 20 ms frame (960 raw 48k samples)
+        tot = lengths.sum(axis=0)
+        for b in range(self.B):
+            self._emitted[b] += int(tot[b])
+            t = self._tail[b]
+            keep = self.lane_ready(b) + self.TAIL_KEEP
+            if len(t) > keep:
+                cut = len(t) - keep
+                del t[:cut]
+                self._tail_dropped[b] += 960 * cut
         if device_out:
             import jax.numpy as jnp
 

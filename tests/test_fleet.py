@@ -716,3 +716,102 @@ def test_fleet_device_out_collect_matches_host_collect(media, testdata):
     # lane streams share one staged batch: the group fetch is memoised
     assert out["a1"].device is not None
     assert out["a1"]._cache is not None and "arr" in out["a1"]._cache
+
+
+def _make_ogg_opus_mode_switch(celt_seconds=3.2):
+    """One Ogg-Opus stream: CELT music, then a mid-stream switch to
+    SILK voice packets (the lane-unservable case)."""
+    import struct
+
+    _, celt_pkts = _make_ogg_opus_celt(seconds=celt_seconds)
+    _, silk_pkts = _make_ogg_opus_voice(seconds=1.2, channels=2)
+    pkts = celt_pkts + silk_pkts[:30]
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00")
+    tags = b"OpusTags" + struct.pack("<I", 2) + b"sk" + struct.pack("<I", 0)
+    serial = 0x5E5E
+    pages = [_ogg_page([head], serial, 0, 0, header_type=2),
+             _ogg_page([tags], serial, 1, 0)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += 960
+        pages.append(_ogg_page([p], serial, 2 + i, g,
+                               header_type=4 if i == len(pkts) - 1 else 0))
+    return b"".join(pages), len(celt_pkts)
+
+
+def test_fleet_opus_reroute_from_bounded_tail():
+    """A mid-stream mode switch on a long-served Opus lane reroutes
+    from the lane's BOUNDED packet tail (r4 VERDICT next #7): under
+    interleaved push/collect the retained tail stays O(1) — trimmed
+    well below the decoded packet count — and the rerouted stream is
+    gapless and duplicate-free within the batched engine's SNR bar."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+    from soundkit_tpu.models.opus_fleet_model import BatchedOggOpusDecoder
+
+    wire, n_celt = _make_ogg_opus_mode_switch()
+    assert n_celt > BatchedOggOpusDecoder.TAIL_KEEP + 20
+
+    ref = OggOpusDecoder().decode_f32(wire).reshape(-1, 2).T
+
+    fleet = StreamFleet(capacity_per_group=2)
+    parts = []
+    tail_max = 0
+    trimmed = False
+    sid = "sw"
+    for i in range(0, len(wire), 8191):
+        fleet.push(sid, wire[i : i + 8191])
+        out = fleet.collect()  # interleaved: lane emits as we push
+        if sid in out:
+            parts.append(out[sid])
+        ln = fleet._lanes.get(sid)
+        if ln is not None:
+            model = fleet._groups["opus"]._model
+            pending = model.lane_ready(ln.index)
+            t = len(model._tail[ln.index])
+            tail_max = max(tail_max, t)
+            assert t <= pending + model.TAIL_KEEP
+            if model._tail_dropped[ln.index]:
+                trimmed = True
+        # the fleet retains no raw bytes for opus lanes
+        assert sid not in fleet._pretopo
+    fleet.end_stream(sid)
+    out = fleet.collect()
+    if sid in out:
+        parts.append(out[sid])
+    got = np.concatenate(parts, axis=1)
+    assert trimmed, "tail never trimmed: stream too short for the test"
+    assert tail_max < n_celt, "tail grew with the stream"
+    # gapless + duplicate-free: sample counts line up with the
+    # single-stream decode, and the junction region matches
+    assert abs(got.shape[1] - ref.shape[1]) <= 960
+    m = min(got.shape[1], ref.shape[1])
+    err = np.abs(got[:, :m] - ref[:, :m]).max()
+    assert err < 5e-3, f"max err {err}"
+
+
+def test_fleet_opus_tail_soak_bounded_memory():
+    """Extends the churn soak (r1 VERDICT #10) to a LONG-RUNNING opus
+    lane: retained replay bytes must stay O(1) as the stream plays on
+    (r4 weak #8: was unbounded lane-lifetime raw retention)."""
+    wire, _ = _make_ogg_opus_celt(seconds=6.0)
+    fleet = StreamFleet(capacity_per_group=2)
+    sid = "long"
+    retained_max = 0
+    for i in range(0, len(wire), 4093):
+        fleet.push(sid, wire[i : i + 4093])
+        if (i // 4093) % 4 == 3:
+            fleet.collect()
+            ln = fleet._lanes.get(sid)
+            if ln is not None:
+                model = fleet._groups["opus"]._model
+                b = ln.index
+                pending = model.lane_ready(b)
+                assert len(model._tail[b]) <= pending + model.TAIL_KEEP
+                retained = sum(len(p) for p in model._tail[b])
+                retained_max = max(retained_max, retained)
+    fleet.end_stream(sid)
+    fleet.collect()
+    # steady-state retention is ~TAIL_KEEP packets, far below the
+    # stream's full byte size
+    assert 0 < retained_max < len(wire) // 3
