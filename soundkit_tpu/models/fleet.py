@@ -26,12 +26,50 @@ from soundkit_tpu.demux.detect import AudioType, detect_audio
 
 MIN_DETECT = 8192
 
+#: headerless telephony codecs served by the sixth batched group via
+#: explicit-kind ingest (``push(sid, data, kind=...)`` — the analog of
+#: spawn_g711(law, rate, channels), soundkit-decoder/src/lib.rs:616-654)
+TELEPHONY_KINDS = (
+    "g711_mulaw", "g711_alaw", "g722",
+    "g726_16", "g726_24", "g726_32", "g726_40",
+)
+
 
 @dataclass
 class _Lane:
     group: str
     index: int
     produced: int = 0  # batches decoded for this lane so far
+
+
+def _explicit_host_decoder(kind: str):
+    """Per-stream host decoder for an explicit kind whose batched
+    group is full (the reference's spawn_* always succeeds; overflow
+    streams keep decoding, just without batching)."""
+    from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+
+    if kind not in TELEPHONY_KINDS:
+        return StreamDecoder()  # container formats self-detect
+    from soundkit_tpu.codecs.g711 import G711Law
+    from soundkit_tpu.codecs.g726 import G726Packing, G726Rate
+    from soundkit_tpu.pipeline.decode_pipeline import (
+        DecodeOptions,
+        G711Adapter,
+        G722Adapter,
+        G726Adapter,
+    )
+
+    if kind.startswith("g711"):
+        law = G711Law.A_LAW if kind.endswith("alaw") else G711Law.MU_LAW
+        return StreamDecoder(DecodeOptions(), G711Adapter(law, 8000, 1))
+    if kind == "g722":
+        return StreamDecoder(DecodeOptions(), G722Adapter())
+    rate = {
+        "g726_16": G726Rate.RATE_16000, "g726_24": G726Rate.RATE_24000,
+        "g726_32": G726Rate.RATE_32000, "g726_40": G726Rate.RATE_40000,
+    }[kind]
+    return StreamDecoder(
+        DecodeOptions(), G726Adapter(rate, G726Packing.LEFT))
 
 
 def _slice_lane_host(kind, arr, lane, k, meta, out_bits):
@@ -59,6 +97,15 @@ def _slice_lane_host(kind, arr, lane, k, meta, out_bits):
             else:
                 parts.append(sl.astype(np.float32) / 32768.0)
         return np.concatenate(parts, axis=1)
+    if kind in TELEPHONY_KINDS:
+        parts = []
+        for r in range(k):
+            m = int(meta[r][lane])
+            if m > 0:
+                sl = arr[r, lane, :, :m]  # i16-native, valid at START
+                parts.append(sl if out_bits == 16
+                             else sl.astype(np.float32) / 32768.0)
+        return np.concatenate(parts, axis=1) if parts else None
     lanes = arr[:k, lane]  # [k, C, S]
     return np.transpose(lanes, (1, 0, 2)).reshape(lanes.shape[1], -1)
 
@@ -145,6 +192,10 @@ class _BatchedGroup:
 
             self._model = BatchedOggOpusDecoder(self.capacity, self.channels,
                                                 celt_wire=self.opus_wire)
+        elif self.kind in TELEPHONY_KINDS:
+            from soundkit_tpu.models.telephony_batch import TelephonyLaneGroup
+
+            self._model = TelephonyLaneGroup(self.kind, self.capacity)
         else:
             raise ValueError(self.kind)
         return self._model
@@ -219,6 +270,7 @@ class StreamFleet:
             raise ValueError("out_bits must be 16 or 32")
         self.out_bits = out_bits
         self.channels = channels
+        self._cap = capacity_per_group
         # i16 output mode also rides the half-width int16 CELT
         # spectral wire (per-band scales, ~98 dB — above the i16
         # output floor); f32 output keeps the exact f32 wire
@@ -243,13 +295,26 @@ class StreamFleet:
 
     # -- ingest -----------------------------------------------------------
 
-    def push(self, stream_id: str, data: bytes) -> None:
+    def push(self, stream_id: str, data: bytes,
+             kind: Optional[str] = None) -> None:
+        """Feed stream bytes.  ``kind`` is the EXPLICIT-KIND ingest for
+        headerless formats autodetect cannot route (the
+        ``spawn_g711(law, rate, channels)`` analog,
+        soundkit-decoder/src/lib.rs:616-654): one of
+        :data:`TELEPHONY_KINDS` (G.726 kinds assume left-justified
+        packing, the reference CLI default) or a batched group name
+        ("aac", "mp3", "flac", "vorbis", "opus") to skip detection.
+        Only the first push of a stream may carry ``kind``."""
         self._ended.setdefault(stream_id, False)
         if stream_id in self._lanes:
             self._push_lane(stream_id, data)
             return
         if stream_id in self._fallback:
             self._feed_fallback(stream_id, data)
+            return
+        if kind is not None:
+            buf = bytes(self._detect.pop(stream_id, b"")) + data
+            self._route_explicit(stream_id, kind, buf)
             return
         buf = self._detect.setdefault(stream_id, bytearray())
         buf.extend(data)
@@ -333,6 +398,32 @@ class StreamFleet:
         from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
 
         self._fallback[stream_id] = StreamDecoder()
+        self._feed_fallback(stream_id, buf)
+
+    def _route_explicit(self, stream_id: str, kind: str,
+                        buf: bytes) -> None:
+        """Route a stream into a named group, bypassing detection.
+        Telephony groups build lazily (most fleets serve none); a full
+        group overflows to the matching per-stream host decoder."""
+        known = kind in TELEPHONY_KINDS or kind in (
+            "aac", "mp3", "flac", "vorbis", "opus")
+        if not known:
+            raise ValueError(f"unknown explicit kind {kind!r}")
+        group = self._groups.get(kind)
+        if group is None:
+            group = _BatchedGroup(kind, self._cap, self.channels)
+            self._groups[kind] = group
+        lane_idx = group.alloc()
+        if lane_idx is not None:
+            self._lanes[stream_id] = _Lane(kind, lane_idx)
+            if kind == "vorbis":
+                self._pretopo[stream_id] = bytearray()
+            if buf:
+                self._push_lane(stream_id, buf)
+            return
+        self._fallback[stream_id] = _explicit_host_decoder(kind)
+        if kind in TELEPHONY_KINDS:
+            self._rates[stream_id] = 16000 if kind == "g722" else 8000
         self._feed_fallback(stream_id, buf)
 
     def _feed_fallback(self, stream_id: str, data: bytes) -> None:
@@ -434,6 +525,15 @@ class StreamFleet:
                     pcm = _i16_quantizers()[0](pcm)
                 staged.append((kind, active, ready_before, n, pcm, lengths))
                 continue
+            if kind in TELEPHONY_KINDS:
+                # i16-native scans: the staged batch is int16 in BOTH
+                # output modes (half the d2h wire; f32 conversion, when
+                # asked for, happens host-side after the fetch)
+                pcm, lengths = group.decode(n, device_out=True)
+                if getattr(pcm, "shape", (0,))[0] == 0:
+                    continue
+                staged.append((kind, active, ready_before, n, pcm, lengths))
+                continue
             if kind == "flac":
                 samples, metas = group.decode(n, device_out=True)
                 if self.out_bits == 16:
@@ -465,7 +565,7 @@ class StreamFleet:
                     k = min(ready_before[sid], n)
                     if k == 0:
                         continue
-                    if kind == "opus":
+                    if kind == "opus" or kind in TELEPHONY_KINDS:
                         cnt = sum(int(metas[r][ln.index]) for r in range(k))
                     elif kind == "flac":
                         cnt = sum(
@@ -478,11 +578,12 @@ class StreamFleet:
                         device=dev, lane=ln.index, frames=k, meta=metas,
                         out_bits=self.out_bits, _cache=cache,
                     )
-                    # match plain collect()'s key set: opus lanes that
-                    # produced nothing are skipped there (slice returns
-                    # None), every other kind emits (flac can emit a
-                    # zero-length array)
-                    if cnt > 0 or kind != "opus":
+                    # match plain collect()'s key set: opus/telephony
+                    # lanes that produced nothing are skipped there
+                    # (slice returns None), every other kind emits
+                    # (flac can emit a zero-length array)
+                    if cnt > 0 or (kind != "opus"
+                                   and kind not in TELEPHONY_KINDS):
                         out[sid] = rec
                     ln.produced += k
                 continue

@@ -174,6 +174,84 @@ class BatchedTelephonyDecoder:
         return 0
 
 
+class TelephonyLaneGroup:
+    """Fleet lane-group adapter over :class:`BatchedTelephonyDecoder`.
+
+    The sixth batched fleet group (r4 VERDICT next #3): G.711/722/726
+    streams are headerless, so they arrive via the fleet's
+    EXPLICIT-KIND ingest (``fleet.push(sid, data, kind="g711_mulaw")``,
+    the analog of ``spawn_g711(law, rate, channels)``,
+    soundkit-decoder/src/lib.rs:616-654) instead of autodetect.  Lanes
+    are fully ragged: ``lane_ready`` counts pending fixed-size decode
+    rounds (``chunk`` codes each) and ``decode_batches`` stacks ``n``
+    scan steps into one device-resident [n, B, 1, S] int16 batch —
+    i16-native end to end, so the egress wire is half the f32 bytes.
+    """
+
+    def __init__(self, codec: str, capacity: int, chunk_codes: int = 2048):
+        self.codec = codec
+        self.B = capacity
+        self._dec = BatchedTelephonyDecoder(codec, capacity, chunk_codes)
+
+    # -- fleet group surface ------------------------------------------------
+
+    def push(self, lane: int, data: bytes) -> None:
+        self._dec.push(lane, data)
+
+    def _pending_codes(self, lane: int) -> int:
+        q = len(self._dec._queues[lane])
+        rate = self._dec._g726_rate
+        if rate is None:
+            return q  # g711 / g722: one code per byte
+        return (q // rate.bytes_per_group) * rate.samples_per_byte_group
+
+    def lane_ready(self, lane: int) -> int:
+        c = self._pending_codes(lane)
+        return -(-c // self._dec.chunk) if c else 0
+
+    def lane_sample_rate(self, lane: int) -> Optional[int]:
+        return self._dec.sample_rate
+
+    def reset_lane(self, lane: int) -> None:
+        """Recycle one lane: empty queue + that lane's scan state row
+        back to init (tiny host round-trip; the carried states are a
+        few [B] int32 planes)."""
+        self._dec._queues[lane] = bytearray()
+        st = self._dec._state
+        if st is None:
+            return
+        fresh = (g722_ops.g722_init_state(self.B)
+                 if self.codec == "g722"
+                 else adpcm.g726_init_state(self.B))
+        rows = []
+        for cur, f0 in zip(st, fresh):
+            a = np.array(cur)
+            a[lane] = np.asarray(f0)[lane]
+            rows.append(a)
+        self._dec._state = type(st)(*rows)
+
+    def decode_batches(self, n: int, device_out: bool = False):
+        """Run ``n`` ragged scan rounds; returns (pcm [n, B, 1, S]
+        int16 — device array when ``device_out`` — and lengths
+        [n, B] int64 of produced samples, valid at slot START)."""
+        import jax.numpy as jnp
+
+        S = self._dec.chunk * self._dec.samples_per_code
+        if n == 0:
+            return np.zeros((0, self.B, 1, S), np.int16), []
+        pcms, lens = [], []
+        for _ in range(n):
+            pcm, ln = self._dec.decode_step(device_out=True)
+            pcms.append(pcm)
+            lens.append(ln)
+        dev = jnp.stack(pcms)[:, :, None, :]
+        if device_out:
+            return dev, lens
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        return from_device_chunked(dev), lens
+
+
 @functools.lru_cache(maxsize=16)
 def _enc_step(codec: str):
     """Process-wide jitted encode step per codec (shape-polymorphic

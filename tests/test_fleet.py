@@ -815,3 +815,119 @@ def test_fleet_opus_tail_soak_bounded_memory():
     # steady-state retention is ~TAIL_KEEP packets, far below the
     # stream's full byte size
     assert 0 < retained_max < len(wire) // 3
+
+
+@pytest.mark.parametrize("kind,subdir,fname", [
+    ("g711_mulaw", "g711_ulaw", f"{CLIP}.ulaw"),
+    ("g711_alaw", "g711_alaw", f"{CLIP}.alaw"),
+    ("g722", "g722", f"{CLIP}.g722"),
+    ("g726_32", "g726", f"{CLIP}_32.g726"),
+    ("g726_40", "g726", f"{CLIP}_40.g726"),
+])
+def test_fleet_explicit_kind_telephony_golden(testdata, golden, kind,
+                                              subdir, fname):
+    """The sixth batched group (r4 VERDICT next #3): headerless
+    telephony streams ingest via the explicit-kind API — the
+    spawn_g711(law, rate, channels) analog
+    (soundkit-decoder/src/lib.rs:616-654) — ride device scan lanes,
+    and decode BIT-EXACTLY vs golden in i16 serving mode."""
+    from soundkit_tpu.core.wav import parse_wav
+
+    raw = (testdata / subdir / fname).read_bytes()
+    gname = fname.rsplit(".", 1)[0] + ".decoded.wav"
+    gold = np.frombuffer(
+        parse_wav((golden / subdir / gname).read_bytes()).data, "<i2")
+
+    fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    parts = []
+    for i in range(0, len(raw), 3001):  # ragged streaming pushes
+        fleet.push("t", raw[i : i + 3001], kind=kind)
+        out = fleet.collect()
+        if "t" in out:
+            parts.append(out["t"])
+    fleet.end_stream("t")
+    out = fleet.collect()
+    if "t" in out:
+        parts.append(out["t"])
+    assert fleet.sample_rate("t") == (16000 if kind == "g722" else 8000)
+    got = np.concatenate(parts, axis=1)
+    assert got.dtype == np.int16 and got.shape[0] == 1
+    n = min(got.shape[1], len(gold))
+    assert n == len(gold), (got.shape, len(gold))
+    np.testing.assert_array_equal(got[0, :n], gold[:n])
+
+
+def test_fleet_telephony_lanes_recycle_and_state_reset(testdata):
+    """Telephony lanes recycle: a second stream on a reused lane
+    decodes identically to a fresh fleet (scan state reset)."""
+    raw = (testdata / "g726" / f"{CLIP}_32.g726").read_bytes()[:8192]
+
+    def run(fleet, sid):
+        fleet.push(sid, raw, kind="g726_32")
+        fleet.end_stream(sid)
+        outs = []
+        for _ in range(8):
+            out = fleet.collect()
+            if sid in out:
+                outs.append(out[sid])
+            if sid not in fleet._lanes:
+                break
+        return np.concatenate(outs, axis=1)
+
+    fleet = StreamFleet(capacity_per_group=1, out_bits=16)
+    first = run(fleet, "a")
+    second = run(fleet, "b")  # same (only) lane, recycled
+    np.testing.assert_array_equal(first, second)
+
+
+def test_fleet_explicit_kind_overflow_uses_host_decoder(testdata, golden):
+    """A full telephony group overflows to the matching per-stream
+    host decoder (explicit spawns always succeed)."""
+    from soundkit_tpu.core.wav import parse_wav
+
+    raw = (testdata / "g711_ulaw" / f"{CLIP}.ulaw").read_bytes()
+    gold = np.frombuffer(parse_wav(
+        (golden / "g711_ulaw" / f"{CLIP}.decoded.wav").read_bytes()
+    ).data, "<i2")
+
+    fleet = StreamFleet(capacity_per_group=1, out_bits=16)
+    fleet.push("lane", raw, kind="g711_mulaw")
+    fleet.push("over", raw, kind="g711_mulaw")  # group full
+    fleet.end_stream("lane")
+    fleet.end_stream("over")
+    assert "over" in fleet._fallback
+    out = fleet.collect()
+    for sid in ("lane", "over"):
+        got = out[sid]
+        n = min(got.shape[1], len(gold))
+        assert n == len(gold)
+        np.testing.assert_array_equal(got[0, :n].astype(np.int16), gold[:n])
+
+
+def test_fleet_explicit_kind_device_out(testdata):
+    """device_out collect leaves telephony PCM on device as i16 (half
+    wire) and fetch() matches the plain collect."""
+    from soundkit_tpu.models.fleet import FleetLaneOutput
+
+    raw = (testdata / "g722" / f"{CLIP}.g722").read_bytes()
+
+    ref_fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    ref_fleet.push("x", raw, kind="g722")
+    ref_fleet.end_stream("x")
+    ref = ref_fleet.collect()["x"]
+
+    fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    fleet.push("x", raw, kind="g722")
+    fleet.end_stream("x")
+    rec = fleet.collect(device_out=True)["x"]
+    assert isinstance(rec, FleetLaneOutput)
+    assert rec.samples == ref.shape[-1]
+    assert rec.rate == 16000
+    got = rec.fetch()
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fleet_explicit_kind_rejects_unknown():
+    fleet = StreamFleet(capacity_per_group=1)
+    with pytest.raises(ValueError):
+        fleet.push("s", b"\x00" * 16, kind="adpcm_ms")
