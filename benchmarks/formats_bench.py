@@ -146,12 +146,11 @@ def bench_flac(passes):
     return st
 
 
-def bench_flac_encode(passes):
-    """Encode direction: batched device analysis + host Rice pack."""
+def bench_flac_encode(passes, B=256):
+    """Encode direction: batched device analysis + host Rice pack
+    (i16 wire both ways, MD5 overlapped with the device pass)."""
     from soundkit_tpu.core.wav import parse_wav
     from soundkit_tpu.models.flac_encode_batch import BatchedFlacEncoder
-
-    B = 64
     wav = parse_wav((TESTDATA / "wav_stereo" / f"{CLIP}.wav").read_bytes())
     pcm = (np.frombuffer(wav.data, "<i2")
            .reshape(-1, wav.channel_count).T.astype(np.int64))
@@ -413,10 +412,37 @@ def bench_telephony(codec, fixture_dir, ext, rate, passes, B=1024,
     st["mb"] = round(B * len(data) / 1e6, 2)
     if device_out:
         st["mode"] = "device-resident (no PCM egress)"
+    else:
+        # which-limit-binds analysis (r4 VERDICT next #8): the egress
+        # rows ship int16 PCM (these codecs are i16-native; the scans
+        # emit i16 and the fetch is the staged dtype — half the f32
+        # bytes), so the hard limit is the d2h tunnel, measured here
+        # with a probe fetch of one pcm-shaped plane
+        import jax.numpy as jnp
+
+        from soundkit_tpu.utils.wire import from_device_chunked
+
+        spc = {"g722": 2, "g726_32": 2}.get(codec, 1)  # samples/byte
+        samples = B * len(data) * spc
+        pcm_mb = samples * 2 / 1e6
+        probe = jnp.zeros((B, len(data) * spc), jnp.int16)
+        probe.block_until_ready()
+        t0 = time.perf_counter()
+        from_device_chunked(probe)
+        d2h = pcm_mb / (time.perf_counter() - t0)
+        audio = samples / rate  # total lane-seconds of audio
+        st["wire"] = "int16 PCM egress (i16-native codec)"
+        st["pcm_mb"] = round(pcm_mb, 2)
+        st["d2h_mb_s_probe"] = round(d2h, 1)
+        st["ceiling_xrt"] = round(audio / (pcm_mb / d2h), 1)
+        st["binds"] = (
+            "d2h egress: fetching every PCM sample caps this row at "
+            "ceiling_xrt regardless of compute; the *_device row "
+            "shows the kernels' headroom")
     return st
 
 
-def bench_fleet_device(passes, CAP=32):
+def bench_fleet_device(passes, CAP=32, telephony=True):
     """Mixed-codec fleet, device-resident serving mode.
 
     collect(device_out=True): PCM stays on device for a downstream
@@ -426,9 +452,12 @@ def bench_fleet_device(passes, CAP=32):
     stream).  block_until_ready on every staged batch keeps the timing
     honest.
 
-    ``CAP`` lanes per codec group (4 groups): dispatch count is
-    independent of lane count, so wider groups amortise it —
-    CAP=128/256 are the 512/1024-stream serving configurations."""
+    ``CAP`` lanes per codec group: 4 container-codec groups plus (by
+    default) 2 telephony groups fed through the explicit-kind ingest
+    (g711_mulaw + g722 — the spawn_g711 analog); dispatch count is
+    independent of lane count, so wider groups amortise it.  The
+    512/1024-stream rows split the stream budget across all 6
+    groups."""
     import jax
     from soundkit_tpu.models.fleet import StreamFleet
 
@@ -436,6 +465,8 @@ def bench_fleet_device(passes, CAP=32):
     mp3 = (TESTDATA / "mp3" / f"{CLIP}.mp3").read_bytes()
     flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
     opus = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
+    ulaw = (TESTDATA / "g711_ulaw" / f"{CLIP}.ulaw").read_bytes()
+    g722 = (TESTDATA / "g722" / f"{CLIP}.g722").read_bytes()
 
     def one_pass():
         fleet = StreamFleet(capacity_per_group=CAP, out_bits=16)
@@ -449,6 +480,11 @@ def bench_fleet_device(passes, CAP=32):
             fleet.end_stream(f"m{i}")
             fleet.end_stream(f"f{i}")
             fleet.end_stream(f"o{i}")
+            if telephony:
+                fleet.push(f"u{i}", ulaw, kind="g711_mulaw")
+                fleet.push(f"w{i}", g722, kind="g722")
+                fleet.end_stream(f"u{i}")
+                fleet.end_stream(f"w{i}")
         out = fleet.collect(device_out=True)
         for rec in out.values():
             if rec.device is not None:
@@ -462,7 +498,7 @@ def bench_fleet_device(passes, CAP=32):
 
     one_pass()
     st = _passes_stats(one_pass, passes)
-    st["streams"] = 4 * CAP
+    st["streams"] = (6 if telephony else 4) * CAP
     st["mode"] = "device-resident (no PCM egress)"
     return st
 
@@ -542,9 +578,9 @@ def main():
         "fleet_mixed": lambda: bench_fleet(args.passes),
         "fleet_mixed_device": lambda: bench_fleet_device(args.passes),
         "fleet_mixed_device_512": lambda: bench_fleet_device(
-            args.passes, CAP=128),
+            args.passes, CAP=85),
         "fleet_mixed_device_1024": lambda: bench_fleet_device(
-            args.passes, CAP=256),
+            args.passes, CAP=171),
     }
     only = [f for f in args.formats.split(",") if f]
     results = {}

@@ -93,8 +93,9 @@ class BatchedFlacEncoder:
             st.md5.update(arr.tobytes())
 
     def _record(self, st: _Lane, frame: bytes, n: int,
-                block: np.ndarray) -> None:
-        self._md5_update(st, block)
+                block: np.ndarray, md5: bool = True) -> None:
+        if md5:
+            self._md5_update(st, block)
         st.total += n
         st.min_fs = len(frame) if st.min_fs is None else min(st.min_fs, len(frame))
         st.max_fs = max(st.max_fs, len(frame))
@@ -133,32 +134,55 @@ class BatchedFlacEncoder:
         pack call.  The entry count pads to the next power of two so
         the number of compiled programs stays logarithmic in queue
         depth; with the native packer available the residual plane is
-        neither materialized on device nor fetched.  ``N`` overrides
-        the block size (tail frames; every job must hold exactly N
-        samples)."""
-        from soundkit_tpu.ops.flac_enc_batch import flac_analyze_batch
+        neither materialized on device nor fetched, the block plane is
+        built straight in the int16 wire dtype (<=16-bit streams; the
+        packer's i16 entry reads it with no widening copy), and the
+        per-block MD5 runs WHILE the device analyzes (only the ~50-byte
+        plan rows synchronize).  ``N`` overrides the block size (tail
+        frames; every job must hold exactly N samples)."""
+        from soundkit_tpu.ops.flac_enc_batch import (
+            flac_analyze_batch,
+            flac_analyze_batch_dispatch,
+            flac_plans_unpack,
+        )
 
         if not jobs:
             return 0
         if N is None:
             N = self.block_size
         L = 1 << (len(jobs) - 1).bit_length()
-        x = np.zeros((L, 2, N), np.int32)
+        lib = self._native_lib()
+        dt = np.int16 if (lib is not None and self.bits <= 16) else np.int32
+        x = np.zeros((L, 2, N), dt)
         for j, (_, blk) in enumerate(jobs):
             x[j, : self.channels] = blk
-        lib = self._native_lib()
-        assign, kind, order, shift, qlp, res = flac_analyze_batch(
-            x, N, self.bits, fetch_res=lib is None
-        )
         F = len(jobs)
+        if lib is None:
+            assign, kind, order, shift, qlp, res = flac_analyze_batch(
+                x, N, self.bits, fetch_res=True
+            )
+            frames = self._pack_frames(
+                [i for i, _ in jobs], [b for _, b in jobs], x[:F],
+                assign[:F], kind[:F], order[:F], shift[:F], qlp[:F],
+                res[:F],
+            )
+            for (i, blk), frame in zip(jobs, frames):
+                self._record(self._lanes[i], frame, N, blk)
+            return F
+        plans_dev = flac_analyze_batch_dispatch(x, N, self.bits)
+        # host/device overlap: hash every block (the STREAMINFO MD5 —
+        # the largest irreducible host stage) while the analysis runs
+        for i, blk in jobs:
+            self._md5_update(self._lanes[i], blk)
+        assign, kind, order, shift, qlp, _ = flac_plans_unpack(
+            np.asarray(plans_dev))
         frames = self._pack_frames(
             [i for i, _ in jobs], [b for _, b in jobs], x[:F],
-            assign[:F], kind[:F], order[:F], shift[:F], qlp[:F],
-            res[:F] if res is not None else None,
+            assign[:F], kind[:F], order[:F], shift[:F], qlp[:F], None,
         )
         for (i, blk), frame in zip(jobs, frames):
-            self._record(self._lanes[i], frame, N, blk)
-        return len(jobs)
+            self._record(self._lanes[i], frame, N, blk, md5=False)
+        return F
 
     def _pack_frames(self, lanes, blocks, blocks_i32, assign, kind,
                      order, shift, qlp, res) -> List[bytes]:
@@ -193,7 +217,10 @@ class BatchedFlacEncoder:
         cap = 256 + N * 12
         out = np.zeros(F * cap, np.uint8)
         out_len = np.zeros(F, np.int64)
-        rc = lib.skt_flac_pack_frames(
+        pack = (lib.skt_flac_pack_frames16
+                if blocks_i32.dtype == np.int16
+                else lib.skt_flac_pack_frames)
+        rc = pack(
             F, N, self.channels, self.sample_rate, self.bits,
             LPC_PRECISION, fno,
             np.ascontiguousarray(assign, np.int32),
@@ -202,7 +229,7 @@ class BatchedFlacEncoder:
             np.ascontiguousarray(shift, np.int32),
             np.ascontiguousarray(qlp, np.int32), qlp.shape[-1],
             res_ptr,
-            np.ascontiguousarray(blocks_i32, np.int32),
+            np.ascontiguousarray(blocks_i32),
             out, cap, out_len,
         )
         if rc != 0:

@@ -195,6 +195,13 @@ def _bind_flac_pack(lib: ctypes.CDLL) -> None:
         ctypes.c_int, ctypes.c_int, i64, i32, i32, i32, i32, i32,
         ctypes.c_int, ctypes.c_void_p, i32, u8, ctypes.c_long, i64,
     ]
+    i16 = ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.skt_flac_pack_frames16.restype = ctypes.c_long
+    lib.skt_flac_pack_frames16.argtypes = [
+        ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i64, i32, i32, i32, i32, i32,
+        ctypes.c_int, ctypes.c_void_p, i16, u8, ctypes.c_long, i64,
+    ]
     lib.skt_flac_pack_frame1.restype = ctypes.c_long
     lib.skt_flac_pack_frame1.argtypes = [
         ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -375,35 +375,29 @@ static void slot_sources(int assign, int* s0, int* s1) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Pack F frames from device-analysis plans.  Layouts:
-//   frame_no [F] i64        assign [F] i32
-//   kind/order/shift [F*2] i32   (kind: 0=fixed 1=lpc, device coding)
-//   qlp [F*2*qstride] i32        res [F*2*N] i32 (aligned at [order:])
-//   block [F*2*N] i32 original channel samples (row 1 ignored if mono)
-//   out [F*cap] u8               out_len [F] i64
-// res may be NULL: the residuals are then recomputed here from the
-// decorrelated sources with the decoder's exact integer semantics
-// (identical to the device values by construction) — this keeps the
-// 2*N*4-byte-per-frame residual plane off the d2h tunnel entirely;
-// only the ~50-byte plan rows come back from device.
-// Returns 0, or -(f+1) if frame f overflowed cap.
-long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
-                          int bits, int precision, const int64_t* frame_no,
-                          const int32_t* assign, const int32_t* kind,
-                          const int32_t* order, const int32_t* shift,
-                          const int32_t* qlp, int qstride,
-                          const int32_t* res, const int32_t* block,
-                          uint8_t* out, long cap, int64_t* out_len) {
+// Pack F frames from device-analysis plans (see the extern "C"
+// wrappers for the layout contract).  Templated on the PCM block
+// element type: int32 is the generic path, int16 lets <=16-bit
+// serving ship its analysis wire dtype straight to the packer with
+// no widening copy on the 1-core host.
+template <typename T>
+long pack_frames_impl(long F, long N, int channels, int sample_rate,
+                      int bits, int precision, const int64_t* frame_no,
+                      const int32_t* assign, const int32_t* kind,
+                      const int32_t* order, const int32_t* shift,
+                      const int32_t* qlp, int qstride,
+                      const int32_t* res, const T* block,
+                      uint8_t* out, long cap, int64_t* out_len) {
   if (precision < 1) precision = 1;
   if (precision > 15) precision = 15;  // 4-bit wire field (15 = escape)
   std::vector<int32_t> src(2 * N);
   std::vector<int64_t> rsc(N);  // recomputed residual scratch
   RiceScratch scratch;
   for (long f = 0; f < F; f++) {
-    const int32_t* L = block + (size_t)(f * 2 + 0) * N;
-    const int32_t* R = block + (size_t)(f * 2 + 1) * N;
+    const T* L = block + (size_t)(f * 2 + 0) * N;
+    const T* R = block + (size_t)(f * 2 + 1) * N;
     int a = channels == 1 ? 0 : assign[f];
     int nslots = channels == 1 ? 1 : 2;
     int s0, s1;
@@ -415,10 +409,15 @@ long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
     for (int slot = 0; slot < nslots; slot++) {
       int32_t* dst = src.data() + (size_t)slot * N;
       switch (srcsel[slot]) {
-        case 0: memcpy(dst, L, sizeof(int32_t) * N); break;
-        case 1: memcpy(dst, R, sizeof(int32_t) * N); break;
+        case 0:
+          for (long i = 0; i < N; i++) dst[i] = (int32_t)L[i];
+          break;
+        case 1:
+          for (long i = 0; i < N; i++) dst[i] = (int32_t)R[i];
+          break;
         case 2:
-          for (long i = 0; i < N; i++) dst[i] = L[i] - R[i];
+          for (long i = 0; i < N; i++)
+            dst[i] = (int32_t)L[i] - (int32_t)R[i];
           break;
         default:
           for (long i = 0; i < N; i++)
@@ -483,6 +482,50 @@ long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
     out_len[f] = len;
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack F frames from device-analysis plans.  Layouts:
+//   frame_no [F] i64        assign [F] i32
+//   kind/order/shift [F*2] i32   (kind: 0=fixed 1=lpc, device coding)
+//   qlp [F*2*qstride] i32        res [F*2*N] i32 (aligned at [order:])
+//   block [F*2*N] i32 original channel samples (row 1 ignored if mono)
+//   out [F*cap] u8               out_len [F] i64
+// res may be NULL: the residuals are then recomputed here from the
+// decorrelated sources with the decoder's exact integer semantics
+// (identical to the device values by construction) — this keeps the
+// 2*N*4-byte-per-frame residual plane off the d2h tunnel entirely;
+// only the ~50-byte plan rows come back from device.
+// Returns 0, or -(f+1) if frame f overflowed cap.
+long skt_flac_pack_frames(long F, long N, int channels, int sample_rate,
+                          int bits, int precision, const int64_t* frame_no,
+                          const int32_t* assign, const int32_t* kind,
+                          const int32_t* order, const int32_t* shift,
+                          const int32_t* qlp, int qstride,
+                          const int32_t* res, const int32_t* block,
+                          uint8_t* out, long cap, int64_t* out_len) {
+  return pack_frames_impl<int32_t>(F, N, channels, sample_rate, bits,
+                                   precision, frame_no, assign, kind, order,
+                                   shift, qlp, qstride, res, block, out, cap,
+                                   out_len);
+}
+
+// Same contract with an int16 block plane (<=16-bit streams: the
+// analysis wire dtype, half the bytes and no host widening copy).
+long skt_flac_pack_frames16(long F, long N, int channels, int sample_rate,
+                            int bits, int precision, const int64_t* frame_no,
+                            const int32_t* assign, const int32_t* kind,
+                            const int32_t* order, const int32_t* shift,
+                            const int32_t* qlp, int qstride,
+                            const int32_t* res, const int16_t* block,
+                            uint8_t* out, long cap, int64_t* out_len) {
+  return pack_frames_impl<int16_t>(F, N, channels, sample_rate, bits,
+                                   precision, frame_no, assign, kind, order,
+                                   shift, qlp, qstride, res, block, out, cap,
+                                   out_len);
 }
 
 // Pack ONE frame from explicit subframe plans (the generic

@@ -288,7 +288,31 @@ def flac_analyze_batch(x, n_valid, bits, fetch_res=True):
             np.asarray(assign), np.asarray(kind), np.asarray(order),
             np.asarray(shift), np.asarray(qlp), from_device_chunked(res),
         )
-    plans = np.asarray(out)                      # [L, 23] int32
+    return flac_plans_unpack(np.asarray(out))
+
+
+def flac_analyze_batch_dispatch(x, n_valid, bits):
+    """Ship + dispatch the plan-only analysis and return the DEVICE
+    [L, 23] int32 plans array WITHOUT fetching — the caller overlaps
+    host work (MD5, bookkeeping) with the device pass, then fetches
+    with ``np.asarray`` and splits via :func:`flac_plans_unpack`.
+    ``x`` should already be the wire dtype (int16 for <=16-bit)."""
+    import jax
+
+    from soundkit_tpu.utils.wire import WIRE_CHUNK_BYTES, to_device_chunked
+
+    dt = np.int16 if bits <= 16 else np.int32
+    x = np.ascontiguousarray(np.asarray(x, dt))
+    wire = to_device_chunked(
+        x.reshape(-1), chunk_bytes=WIRE_CHUNK_BYTES // x.itemsize
+    ).reshape(x.shape)
+    with jax.enable_x64():
+        return _jitted_i32(bits, False)(wire, np.int64(n_valid))
+
+
+def flac_plans_unpack(plans):
+    """[L, 23] int32 plan rows -> (assign, kind, order, shift, qlp,
+    None) in :func:`flac_analyze_x64`'s tuple layout."""
     L = plans.shape[0]
     return (
         plans[:, 0], plans[:, 1:3], plans[:, 3:5], plans[:, 5:7],
