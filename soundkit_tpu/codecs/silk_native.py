@@ -208,6 +208,61 @@ class NativeSilkBatch:
             info.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
         return out, n_out, info
 
+    def hybrid_parse_rounds(self, celt_batch, buf, base, plens, ends,
+                            coded, frame_size: int = 960):
+        """Fused hybrid rounds walk (native/src/hybrid_glue.cpp): ONE
+        native call chains the SILK parse-export and the CELT
+        continuation for R rounds x B lanes over per-lane packed
+        packet bytes — the round-4 path paid two ctypes round-trips
+        plus fresh marshalling per round (r4 VERDICT next #4).
+
+        ``plens``/``ends``/``coded`` are [B, R] int32 (0 length =
+        lane invalid that round); ``base`` [B] int64 byte offset of
+        each lane's first packet in ``buf``.  Returns a dict of
+        [R, B, ...] silk-export planes plus the celt continuation
+        planes (freq, comb, sflag, ok, red)."""
+        lib = self._lib
+        if not hasattr(lib, "_skt_hybrid_rounds_ready"):
+            lib.skt_hybrid_parse_rounds.restype = ctypes.c_int
+            lib._skt_hybrid_rounds_ready = True
+        B, R = plens.shape
+        C = celt_batch.C
+        r = {
+            "exc": np.zeros((R, B, 2, 320), np.float64),
+            "gains": np.zeros((R, B, 2, 4), np.float64),
+            "coef": np.zeros((R, B, 2, 2, 16), np.float64),
+            "ltp": np.zeros((R, B, 2, 4, 5), np.float64),
+            "ltpscale": np.zeros((R, B, 2), np.float64),
+            "stereo_w": np.zeros((R, B, 4), np.float64),
+            "lags": np.zeros((R, B, 2, 4), np.int32),
+            "flags": np.zeros((R, B, 12), np.int32),
+            "n": np.zeros((R, B), np.int64),
+            "freq": np.zeros((R, B, C, frame_size), np.float64),
+            "comb": np.zeros((R, B, 16), np.float64),
+            "sflag": np.zeros((R, B), np.int32),
+            "ok": np.zeros((R, B), np.int32),
+            "red": np.zeros((R, B), np.int32),
+        }
+        d = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_double))
+        i = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_int))
+        l = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_long))
+        base_a = np.ascontiguousarray(base, np.int64)
+        plens_a = np.ascontiguousarray(plens, np.int32)
+        ends_a = np.ascontiguousarray(ends, np.int32)
+        coded_a = np.ascontiguousarray(coded, np.int32)
+        lib.skt_hybrid_parse_rounds(
+            self._handles, celt_batch._handles, B, R, buf,
+            l(base_a), i(plens_a), i(ends_a), i(coded_a),
+            frame_size, C,
+            d(r["exc"]), d(r["gains"]), d(r["coef"]), d(r["ltp"]),
+            d(r["ltpscale"]), d(r["stereo_w"]), i(r["lags"]),
+            i(r["flags"]), l(r["n"]), d(r["freq"]), d(r["comb"]),
+            i(r["sflag"]), i(r["ok"]), i(r["red"]))
+        return r
+
     def parse_many(self, frames, bws, coded, durations, valid):
         """Parse-export for the device LTP/LPC split: walk every
         lane's single-frame (10/20 ms) payload, export the synthesis

@@ -943,8 +943,21 @@ class BatchedHybridDecoder:
                      device_out: bool = False):
         """Decode lockstep rounds.  Returns (pcm [rounds, B, C, 960]
         with valid samples at the END of each slot — device f32 when
-        ``device_out``, host f32 otherwise — and lengths [rounds, B])."""
+        ``device_out``, host f32 otherwise — and lengths [rounds, B]).
+
+        Round-5 shape (r4 VERDICT next #4): per chunk of
+        ROUNDS_PER_CALL rounds, ONE fused native call walks both
+        halves of every packet (hybrid_glue.cpp chains the SILK
+        parse-export and the CELT continuation), ONE jitted lax.scan
+        runs all SILK synthesis rounds, and ONE _celt_multi_step scan
+        runs the CELT half — the round-4 path paid two native calls,
+        two dispatches and fresh marshalling per ROUND."""
         import jax.numpy as jnp
+
+        from soundkit_tpu.utils.wire import (
+            WIRE_CHUNK_BYTES,
+            to_device_chunked,
+        )
 
         sb = self._sb
         B, C = self.B, self.C
@@ -952,76 +965,122 @@ class BatchedHybridDecoder:
         n = max(counts) if counts else 0
         if max_packets is not None:
             n = min(n, max_packets)
-        lengths = np.zeros((n, B), np.int32)
-        rounds = []
-        step = _celt_multi_step()
-        for i in range(n):
-            frames = [b""] * B
-            ends = np.zeros(B, np.int32)
-            coded = np.ones(B, np.int32)
-            valid = np.zeros(B, np.uint8)
-            for b in range(B):
-                if not self._packets[b] or self._error[b]:
-                    continue
-                frames[b], ends[b], coded[b] = self._packets[b].pop(0)
-                valid[b] = 1
-            p = self._silk.parse_many(frames, [2] * B, coded,
-                                      [20] * B, valid)
-            freq, comb, sflag, ok, red = self._celt.parse_many_cont(
-                frames, [17] * B, ends, coded, valid,
-                p["info"][:, 4:13])
-            for b in np.flatnonzero(valid.astype(bool)
-                                    & (np.asarray(ok) != 0)):
-                self._error[int(b)] = (
-                    "hybrid transition redundancy" if red[b]
-                    else f"celt continuation parse failed ({ok[b]})")
-                self._packets[int(b)] = []
-            g = valid.astype(bool) & (p["n"] > 0) & (ok == 0)
-            fresh = (self._fresh & g).astype(np.float32)
-            (sst, cst) = self._states()
-            f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-            sy, *sst = sb.silk_round(
-                2, C == 2,
-                f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
-                np.ascontiguousarray(p["flags"][:, 7:9]),
-                np.ascontiguousarray(p["flags"][:, 5:7]),
-                p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
-                np.ascontiguousarray(p["flags"][:, 9:11]),
-                (p["flags"][:, 2] == 2).astype(np.int32),
-                np.ascontiguousarray(p["flags"][:, 4]),
-                f32(p["stereo_w"]), self._gain, g, fresh, *sst)
-            self._silk_state = tuple(sst)
-            # celt half: fold the lane gain into the spectra (linear
-            # chain) and zero fresh lanes' carried state
-            freq = np.asarray(freq, np.float32) * self._gain[
-                :, None, None]
-            ola, hist, emph = cst
-            if fresh.any():
-                keep = jnp.asarray(1.0 - fresh, jnp.float32)
-                ola = ola * keep[:, None, None]
-                hist = hist * keep[:, None, None]
-                emph = emph * keep[:, None]
-            cpcm, ola, hist, emph = step(
-                jnp.asarray(freq[None]), jnp.asarray(sflag[None]),
-                jnp.asarray(comb[None], jnp.float32),
-                jnp.asarray(g[None]), ola, hist, emph)
-            self._celt_state = (ola, hist, emph)
-            rounds.append(sy[:, :C] + cpcm[0])
-            for b in range(B):
-                if not g[b]:
-                    continue
-                m = self.FRAME
-                if self._fresh[b]:
-                    m -= sb.lead_invalid(2)  # 0 at WB by measurement
-                    self._fresh[b] = False
-                k = min(self._skip[b], m)
-                self._skip[b] -= k
-                lengths[i, b] = m - k
-        if not rounds:
+        if n == 0:
             shape = (0, B, C, self.FRAME)
             return (jnp.zeros(shape, jnp.float32) if device_out
-                    else np.zeros(shape, np.float32)), lengths
-        pcm = jnp.stack(rounds)
+                    else np.zeros(shape, np.float32)), np.zeros(
+                        (0, B), np.int32)
+        R = ROUNDS_PER_CALL
+        n_pad = (n + R - 1) // R * R
+        # drain the queues into per-lane packed byte runs
+        plens = np.zeros((B, n_pad), np.int32)
+        ends = np.zeros((B, n_pad), np.int32)
+        codedm = np.ones((B, n_pad), np.int32)
+        base = np.zeros(B, np.int64)
+        parts = []
+        pos = 0
+        for b in range(B):
+            q = self._packets[b]
+            k = min(len(q), n)
+            if k == 0:
+                continue
+            take = q[:k]
+            del q[:k]
+            if self._error[b]:
+                continue  # frozen lane: drop its queued packets
+            plens[b, :k] = [len(t[0]) for t in take]
+            ends[b, :k] = [t[1] for t in take]
+            codedm[b, :k] = [t[2] for t in take]
+            base[b] = pos
+            lane_buf = b"".join(t[0] for t in take)
+            parts.append(lane_buf)
+            pos += len(lane_buf)
+        buf = b"".join(parts)
+
+        def h2d(a):
+            flat = np.ascontiguousarray(a).reshape(-1)
+            return to_device_chunked(
+                flat, chunk_bytes=WIRE_CHUNK_BYTES // a.itemsize
+            ).reshape(a.shape)
+
+        step = _celt_multi_step()
+        scan = sb._jitted_scan(2, C == 2, "float32")
+        (sst, cst) = self._states()
+        ola, hist, emph = cst
+        # a lane's packets occupy rounds 0..k-1, so a fresh lane's
+        # first valid round is ROUND 0: zero its celt carry once
+        has_pkts = plens[:, 0] > 0
+        fresh_lanes = self._fresh & has_pkts
+        if fresh_lanes.any():
+            keep = jnp.asarray(~fresh_lanes, jnp.float32)
+            ola = ola * keep[:, None, None]
+            hist = hist * keep[:, None, None]
+            emph = emph * keep[:, None]
+        g_all = np.zeros((n_pad, B), bool)
+        chunks = []
+        cur = base.copy()
+        any_gain = bool(np.any(self._gain != 1.0))
+        err_mask = np.array([e is not None for e in self._error])
+        for r0 in range(0, n_pad, R):
+            pl = plens[:, r0:r0 + R].copy()
+            pl[err_mask] = 0  # lanes errored in an earlier chunk
+            p = self._silk.hybrid_parse_rounds(
+                self._celt, buf, cur, pl, ends[:, r0:r0 + R],
+                codedm[:, r0:r0 + R])
+            cur = cur + plens[:, r0:r0 + R].sum(axis=1)
+            valid_r = (pl > 0).T.copy()  # [R, B]
+            ok, red = p["ok"], p["red"]
+            bad = valid_r & (ok != 0)
+            if bad.any():
+                for r_, b_ in np.argwhere(bad):
+                    bi = int(b_)
+                    if self._error[bi] is None:
+                        self._error[bi] = (
+                            "hybrid transition redundancy"
+                            if red[r_, b_] else
+                            "celt continuation parse failed "
+                            f"({int(ok[r_, b_])})")
+                    self._packets[bi] = []
+                    valid_r[int(r_):, bi] = False
+                    err_mask[bi] = True
+            g = valid_r & (p["n"] > 0)
+            g_all[r0:r0 + R] = g
+            fresh_s = np.zeros((g.shape[0], B), np.float32)
+            if r0 == 0:
+                fresh_s[0] = fresh_lanes.astype(np.float32)
+            f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+            fl = p["flags"]
+            sy, *sst = scan(
+                f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
+                np.ascontiguousarray(fl[:, :, 7:9]),
+                np.ascontiguousarray(fl[:, :, 5:7]),
+                p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
+                np.ascontiguousarray(fl[:, :, 9:11]),
+                (fl[:, :, 2] == 2).astype(np.int32),
+                np.ascontiguousarray(fl[:, :, 4]),
+                f32(p["stereo_w"]), self._gain, g, fresh_s, *sst)
+            # celt half: fold the lane gain into the spectra (the
+            # synthesis chain is linear)
+            freq = f32(p["freq"])
+            if any_gain:
+                freq = freq * self._gain[None, :, None, None]
+            cpcm, ola, hist, emph = step(
+                h2d(freq), jnp.asarray(p["sflag"]),
+                jnp.asarray(f32(p["comb"])), jnp.asarray(g),
+                ola, hist, emph)
+            chunks.append(sy[:, :, :C] + cpcm)
+        self._silk_state = tuple(sst)
+        self._celt_state = (ola, hist, emph)
+        self._fresh[has_pkts] = False
+        # vectorised length/preskip bookkeeping (lead_invalid(WB)=0)
+        vn = g_all[:n].astype(np.int64)
+        cap = vn * self.FRAME
+        cum = np.cumsum(cap, axis=0)
+        skip0 = np.array(self._skip, np.int64)
+        consumed = np.clip(skip0[None, :] - (cum - cap), 0, cap)
+        lengths = (cap - consumed).astype(np.int32)
+        self._skip = list(np.maximum(skip0 - cum[-1], 0))
+        pcm = jnp.concatenate(chunks, axis=0)[:n]
         if device_out:
             return pcm, lengths
         return np.asarray(pcm), lengths

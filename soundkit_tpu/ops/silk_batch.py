@@ -236,11 +236,12 @@ def synth_frame(dtype, sfl: int, order: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_step(bw: int, stereo: bool, dtype_name: str):
-    """One serving round for one bandwidth group: synthesis for both
-    coded channels, unmix, resample, with per-lane validity/coded
-    masks and frozen state for inactive lanes."""
-    import jax
+def _round_fn(bw: int, stereo: bool, dtype_name: str):
+    """Raw (un-jitted) serving round for one bandwidth group:
+    synthesis for both coded channels, unmix, resample, with per-lane
+    validity/coded masks and frozen state for inactive lanes.  Jitted
+    directly by :func:`_jitted_step` and scanned over stacked rounds
+    by :func:`_jitted_scan` (the hybrid chunk path)."""
     import jax.numpy as jnp
 
     from soundkit_tpu.codecs.opus_tables import tables
@@ -327,7 +328,47 @@ def _jitted_step(bw: int, stereo: bool, dtype_name: str):
                 jnp.where(v3, new_lpch, lpch_tail),
                 jnp.where(v3, new_tail, rs_tail))
 
-    return jax.jit(step, donate_argnums=(15, 16, 17))
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_step(bw: int, stereo: bool, dtype_name: str):
+    import jax
+
+    return jax.jit(_round_fn(bw, stereo, dtype_name),
+                   donate_argnums=(15, 16, 17))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_scan(bw: int, stereo: bool, dtype_name: str):
+    """R stacked rounds as ONE jitted lax.scan over the round axis
+    (the hybrid chunk path: one dispatch per R rounds instead of R).
+    Per-round inputs carry a leading [R] axis; ``gain48`` is
+    round-invariant; the three state planes scan through."""
+    import jax
+    from jax import lax
+
+    step = _round_fn(bw, stereo, dtype_name)
+
+    def scan(exc, gains, coef, has_leadin, voiced, lags, ltp, ltpscale,
+             ch_coded, unmix, side_reset, stereo_w, gain48, valid,
+             fresh, out_hist, lpch_tail, rs_tail):
+        xs = (exc, gains, coef, has_leadin, voiced, lags, ltp,
+              ltpscale, ch_coded, unmix, side_reset, stereo_w, valid,
+              fresh)
+
+        def body(carry, x):
+            oh, lp, rt = carry
+            (e, g, c, hl, vo, la, lt, ls, cc, um, sr, sw, va, fr) = x
+            y, oh, lp, rt = step(e, g, c, hl, vo, la, lt, ls, cc, um,
+                                 sr, sw, gain48, va, fr, oh, lp, rt)
+            return (oh, lp, rt), y
+
+        (oh, lp, rt), ys = lax.scan(
+            body, (out_hist, lpch_tail, rs_tail), xs)
+        return ys, oh, lp, rt
+
+    return jax.jit(scan, donate_argnums=(15, 16, 17))
 
 
 def silk_round(bw: int, stereo: bool, exc, gains, coef, has_leadin,
