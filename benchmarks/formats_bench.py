@@ -36,15 +36,30 @@ GOLDEN = Path("/root/reference/golden")
 CLIP = "A_Tusk_is_used_to_make_costly_gifts"
 
 
+def _probe_ms():
+    """Tunnel-health probe: round-trip latency of a tiny device op.
+    Healthy windows sit at ~1-5 ms; a degraded tunnel shows tens to
+    thousands — recorded per pass so outlier passes are attributable
+    to disclosed tunnel events rather than code (r4 VERDICT weak #6)."""
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    jnp.zeros((8,), jnp.float32).block_until_ready()
+    return (time.perf_counter() - t0) * 1000.0
+
+
 def _passes_stats(fn, n_passes):
-    vals = []
+    vals, probes = [], []
     for _ in range(n_passes):
+        probes.append(round(_probe_ms(), 1))
         vals.append(fn())
-    vals.sort()
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    vals_s = [vals[i] for i in order]
     return {
-        "median": vals[len(vals) // 2],
-        "best": vals[-1],
-        "passes": [round(v, 1) for v in vals],
+        "median": vals_s[len(vals_s) // 2],
+        "best": vals_s[-1],
+        "passes": [round(v, 1) for v in vals_s],
+        "probe_ms_before_pass": [probes[i] for i in order],
     }
 
 
