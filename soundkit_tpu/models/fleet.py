@@ -42,12 +42,44 @@ class _Lane:
     produced: int = 0  # batches decoded for this lane so far
 
 
-def _explicit_host_decoder(kind: str):
-    """Per-stream host decoder for an explicit kind whose batched
-    group is full (the reference's spawn_* always succeeds; overflow
-    streams keep decoding, just without batching)."""
-    from soundkit_tpu.pipeline.decode_pipeline import StreamDecoder
+#: headerless/raw kinds served by per-stream host pipelines through
+#: the same explicit-kind ingest (the spawn_gsm / spawn_amr_nb /
+#: spawn_g729 / spawn_opus analogs — no batched group, but explicit
+#: spawns never depend on autodetect)
+HOST_KINDS = ("gsm", "amr_nb", "g729", "opus_raw")
 
+
+def _explicit_host_decoder(kind: str):
+    """Per-stream host decoder for an explicit kind: headerless kinds
+    with no batched group (HOST_KINDS), or a telephony/batched kind
+    whose group is full (the reference's spawn_* always succeeds;
+    overflow streams keep decoding, just without batching)."""
+    from soundkit_tpu.pipeline.decode_pipeline import (
+        DecodeOptions,
+        StreamDecoder,
+    )
+
+    if kind in HOST_KINDS:
+        if kind == "gsm":
+            from soundkit_tpu.codecs.telephony import (
+                GsmVariant,
+                make_gsm_adapter,
+            )
+
+            return StreamDecoder(
+                DecodeOptions(), make_gsm_adapter(GsmVariant.STANDARD))
+        if kind == "amr_nb":
+            from soundkit_tpu.codecs.telephony import make_amr_adapter
+
+            return StreamDecoder(DecodeOptions(), make_amr_adapter())
+        if kind == "g729":
+            from soundkit_tpu.codecs.telephony import make_g729_adapter
+
+            return StreamDecoder(DecodeOptions(), make_g729_adapter())
+        from soundkit_tpu.codecs.containers import make_opus_stream_adapter
+
+        return StreamDecoder(
+            DecodeOptions(), make_opus_stream_adapter())
     if kind not in TELEPHONY_KINDS:
         return StreamDecoder()  # container formats self-detect
     from soundkit_tpu.codecs.g711 import G711Law
@@ -302,9 +334,12 @@ class StreamFleet:
         ``spawn_g711(law, rate, channels)`` analog,
         soundkit-decoder/src/lib.rs:616-654): one of
         :data:`TELEPHONY_KINDS` (G.726 kinds assume left-justified
-        packing, the reference CLI default) or a batched group name
-        ("aac", "mp3", "flac", "vorbis", "opus") to skip detection.
-        Only the first push of a stream may carry ``kind``."""
+        packing, the reference CLI default), a headerless host kind
+        from :data:`HOST_KINDS` (gsm / amr_nb / g729 / opus_raw — the
+        spawn_gsm/spawn_amr_nb/spawn_g729/spawn_opus analogs), or a
+        batched group name ("aac", "mp3", "flac", "vorbis", "opus")
+        to skip detection.  Only the first push of a stream may carry
+        ``kind``."""
         self._ended.setdefault(stream_id, False)
         if stream_id in self._lanes:
             self._push_lane(stream_id, data)
@@ -405,6 +440,10 @@ class StreamFleet:
         """Route a stream into a named group, bypassing detection.
         Telephony groups build lazily (most fleets serve none); a full
         group overflows to the matching per-stream host decoder."""
+        if kind in HOST_KINDS:
+            self._fallback[stream_id] = _explicit_host_decoder(kind)
+            self._feed_fallback(stream_id, buf)
+            return
         known = kind in TELEPHONY_KINDS or kind in (
             "aac", "mp3", "flac", "vorbis", "opus")
         if not known:

@@ -931,3 +931,34 @@ def test_fleet_explicit_kind_rejects_unknown():
     fleet = StreamFleet(capacity_per_group=1)
     with pytest.raises(ValueError):
         fleet.push("s", b"\x00" * 16, kind="adpcm_ms")
+
+
+def test_fleet_explicit_host_kinds_golden(testdata, golden):
+    """Headerless kinds with no batched group (gsm / amr_nb / g729 /
+    opus_raw) spawn per-stream host decoders through the same
+    explicit-kind ingest — the spawn_gsm/spawn_amr_nb/spawn_g729/
+    spawn_opus analogs."""
+    from soundkit_tpu.core.wav import parse_wav
+
+    fleet = StreamFleet(capacity_per_group=2, out_bits=16)
+    raws = {
+        "g": ("gsm", (testdata / "gsm" / f"{CLIP}.gsm").read_bytes()),
+        "o": ("opus_raw",
+              (testdata / "opus" / f"{CLIP}.opus").read_bytes()),
+    }
+    for sid, (kind, raw) in raws.items():
+        for i in range(0, len(raw), 3001):
+            fleet.push(sid, raw[i : i + 3001], kind=kind)
+        fleet.end_stream(sid)
+    out = fleet.collect()
+
+    gold = np.frombuffer(parse_wav(
+        (golden / "gsm" / f"{CLIP}.decoded.wav").read_bytes()).data, "<i2")
+    got = out["g"]
+    n = min(got.shape[1], len(gold))
+    assert n == len(gold)
+    np.testing.assert_array_equal(got[0, :n].astype(np.int16), gold[:n])
+
+    # opus raw framing decodes to non-silence at 48 kHz
+    assert fleet.sample_rate("o") == 48000
+    assert out["o"].shape[1] > 20000
