@@ -48,19 +48,42 @@ def _probe_ms():
     return (time.perf_counter() - t0) * 1000.0
 
 
+HEALTHY_PROBE_MS = 50.0
+
+
 def _passes_stats(fn, n_passes):
-    vals, probes = [], []
-    for _ in range(n_passes):
-        probes.append(round(_probe_ms(), 1))
-        vals.append(fn())
-    order = sorted(range(len(vals)), key=lambda i: vals[i])
-    vals_s = [vals[i] for i in order]
-    return {
-        "median": vals_s[len(vals_s) // 2],
-        "best": vals_s[-1],
-        "passes": [round(v, 1) for v in vals_s],
-        "probe_ms_before_pass": [probes[i] for i in order],
+    """Run ``fn`` until ``n_passes`` passes are bracketed by healthy
+    tunnel probes (before AND after — a healthy before-probe does not
+    rule out a mid-pass collapse), within a 2x attempt budget.  The
+    median is over healthy passes when >=2 exist; every raw pass and
+    both probes are disclosed so degraded attempts stay attributable
+    to tunnel weather rather than code (r4 VERDICT next #2/#4)."""
+    recs = []  # (value, probe_before_ms, probe_after_ms)
+    healthy = 0
+    for _ in range(2 * n_passes):
+        pb = _probe_ms()
+        v = fn()
+        pa = _probe_ms()
+        recs.append((v, round(pb, 1), round(pa, 1)))
+        if pb < HEALTHY_PROBE_MS and pa < HEALTHY_PROBE_MS:
+            healthy += 1
+        if healthy >= n_passes:
+            break
+    recs.sort(key=lambda r: r[0])
+    hv = [v for v, pb, pa in recs
+          if pb < HEALTHY_PROBE_MS and pa < HEALTHY_PROBE_MS]
+    vals = hv if len(hv) >= 2 else [r[0] for r in recs]
+    st = {
+        "median": vals[len(vals) // 2],
+        "best": vals[-1],
+        "passes": [round(v, 1) for v, _, _ in recs],
+        "probe_ms_around_pass": [[pb, pa] for _, pb, pa in recs],
     }
+    if len(hv) >= 2:
+        st["healthy_passes"] = len(hv)
+    else:
+        st["degraded"] = True
+    return st
 
 
 def _xrt(audio_seconds, elapsed):

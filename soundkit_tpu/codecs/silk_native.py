@@ -263,6 +263,44 @@ class NativeSilkBatch:
             i(r["sflag"]), i(r["ok"]), i(r["red"]))
         return r
 
+    def hybrid_parse_rounds_packed(self, celt_batch, buf, base, plens,
+                                   ends, coded, wire, offs,
+                                   frame_size: int = 960,
+                                   bin_lo: int = 320,
+                                   bin_len: int = 480):
+        """Packed-wire fused hybrid walk: the native call converts
+        every device-bound plane straight into ``wire`` (the
+        models/opus_batch.py ``_hybrid_wire_layout``, int16 Q23
+        excitation + f32 planes + trimmed CELT window) — the numpy
+        conversions were ~0.5 s/pass on the 1-core host.  ``offs`` is
+        the 15-entry field-offset table (int64, layout order).
+        Returns (exc_overflowed, n [R, B], ok [R, B], red [R, B])."""
+        lib = self._lib
+        if not hasattr(lib, "_skt_hybrid_packed_ready"):
+            lib.skt_hybrid_parse_rounds_packed.restype = ctypes.c_int
+            lib._skt_hybrid_packed_ready = True
+        B, R = plens.shape
+        C = celt_batch.C
+        n = np.zeros((R, B), np.int64)
+        ok = np.zeros((R, B), np.int32)
+        red = np.zeros((R, B), np.int32)
+        i = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_int))
+        l = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_long))
+        base_a = np.ascontiguousarray(base, np.int64)
+        plens_a = np.ascontiguousarray(plens, np.int32)
+        ends_a = np.ascontiguousarray(ends, np.int32)
+        coded_a = np.ascontiguousarray(coded, np.int32)
+        offs_a = np.ascontiguousarray(offs, np.int64)
+        overflow = lib.skt_hybrid_parse_rounds_packed(
+            self._handles, celt_batch._handles, B, R, buf,
+            l(base_a), i(plens_a), i(ends_a), i(coded_a),
+            frame_size, C, bin_lo, bin_len,
+            wire.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            l(offs_a), l(n), i(ok), i(red))
+        return overflow, n, ok, red
+
     def parse_many(self, frames, bws, coded, durations, valid):
         """Parse-export for the device LTP/LPC split: walk every
         lane's single-frame (10/20 ms) payload, export the synthesis

@@ -198,6 +198,113 @@ def _celt_multi_step(quant: bool = False):
     return jax.jit(multi)
 
 
+# hybrid CELT runs from start band 17 to at most band 21: at the 960
+# frame size the spectrum is structurally zero outside bins
+# [freq_bands[17]*8, freq_bands[21]*8) = [320, 800) — the wire ships
+# only that window and the device pads it back
+_HYB_BIN_LO, _HYB_BIN_HI = 320, 800
+
+
+# SILK excitation exports as integer Q23 (silk_parse.cpp
+# decode_excitation: e = value*256|qoff +-20, out = e / 2^23), so the
+# wire ships raw Q23 ints — int16 when every |e| fits (always, in
+# practice: |e| needs pulse magnitudes > 127), f32 otherwise
+_EXC_Q = 8388608.0
+
+
+@functools.lru_cache(maxsize=8)
+def _hybrid_wire_layout(R: int, B: int, C: int, exc16: bool = True):
+    """Packed one-buffer wire for a hybrid chunk (R rounds x B lanes):
+    every SILK-export and CELT-continuation plane lives in ONE
+    4-byte-aligned uint8 buffer, sliced + bitcast on device — the
+    round-4 path shipped ~20 separate arrays per chunk, each paying
+    its own tunnel issue (CLAUDE.md: ~90 us healthy, tens of ms in a
+    degraded window).  Returns (layout [(name, off, dtype, shape)],
+    total_bytes)."""
+    fields = [
+        ("exc", np.int16 if exc16 else np.float32, (R, B, 2, 320)),
+        ("gains", np.float32, (R, B, 2, 4)),
+        ("coef", np.float32, (R, B, 2, 2, 16)),
+        ("ltp", np.float32, (R, B, 2, 4, 5)),
+        ("ltpscale", np.float32, (R, B, 2)),
+        ("stereo_w", np.float32, (R, B, 4)),
+        ("freq", np.float32, (R, B, C, _HYB_BIN_HI - _HYB_BIN_LO)),
+        ("comb", np.float32, (R, B, 16)),
+        ("fresh", np.float32, (R, B)),
+        ("gain48", np.float32, (B,)),
+        ("lags", np.int32, (R, B, 2, 4)),
+        ("hl", np.int32, (R, B, 2)),
+        ("vo", np.int32, (R, B, 2)),
+        ("cc", np.int32, (R, B, 2)),
+        ("um", np.int32, (R, B)),
+        ("sr", np.int32, (R, B)),
+        ("sflag", np.int32, (R, B)),
+        ("valid", np.int32, (R, B)),
+    ]
+    layout, off = [], 0
+    for name, dt, shp in fields:
+        layout.append((name, off, dt, shp))
+        off += int(np.prod(shp)) * np.dtype(dt).itemsize
+    return layout, off
+
+
+def _wire_views(wire, R: int, B: int, C: int, exc16: bool):
+    """Per-field numpy views into a packed hybrid wire buffer."""
+    layout, _ = _hybrid_wire_layout(R, B, C, exc16)
+    return {
+        name: np.frombuffer(wire, dt, int(np.prod(shp)), off)
+        .reshape(shp)
+        for name, off, dt, shp in layout
+    }
+
+
+@functools.lru_cache(maxsize=8)
+def _hybrid_chunk_fn(R: int, B: int, C: int, exc16: bool = True):
+    """One jitted dispatch for a whole hybrid chunk: unpack the
+    packed wire, run the SILK R-round scan (ops/silk_batch), the CELT
+    continuation scan, fold the lane gain, and sum the halves.  The
+    round-4 path paid one h2d per plane plus four dispatches per
+    chunk; this is ONE chunked h2d + ONE call."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from soundkit_tpu.ops import silk_batch as sb
+
+    scan = sb._jitted_scan(2, C == 2, "float32")
+    step = _celt_multi_step()
+    layout, total = _hybrid_wire_layout(R, B, C, exc16)
+
+    def unpack(buf):
+        out = {}
+        for name, off, dt, shp in layout:
+            n = int(np.prod(shp))
+            width = np.dtype(dt).itemsize
+            raw = lax.slice(buf, (off,), (off + n * width,))
+            out[name] = lax.bitcast_convert_type(
+                raw.reshape(n, width), jnp.dtype(dt)).reshape(shp)
+        return out
+
+    def fn(wire, out_hist, lpch_tail, rs_tail, ola, hist, emph):
+        p = unpack(wire)
+        if exc16:
+            p["exc"] = p["exc"].astype(jnp.float32) * (1.0 / _EXC_Q)
+        g = p["valid"] != 0
+        sy, oh, lp, rt = scan(
+            p["exc"], p["gains"], p["coef"], p["hl"], p["vo"],
+            p["lags"], p["ltp"], p["ltpscale"], p["cc"], p["um"],
+            p["sr"], p["stereo_w"], p["gain48"], g, p["fresh"],
+            out_hist, lpch_tail, rs_tail)
+        freq = p["freq"] * p["gain48"][None, :, None, None]
+        freq = jnp.pad(freq, ((0, 0), (0, 0), (0, 0),
+                              (_HYB_BIN_LO, 960 - _HYB_BIN_HI)))
+        cpcm, ola, hist, emph = step(
+            freq, p["sflag"], p["comb"], g, ola, hist, emph)
+        return sy[:, :, :C] + cpcm, oh, lp, rt, ola, hist, emph
+
+    return jax.jit(fn, donate_argnums=(1, 2, 3, 4, 5, 6))
+
+
 @functools.lru_cache(maxsize=8)
 def _band_of_bin(width: int):
     """Static bin→band map for the quantized wire: band k covers
@@ -939,6 +1046,30 @@ class BatchedHybridDecoder:
             )
         return self._silk_state, self._celt_state
 
+    def _pack_chunk_f32(self, buf, base, pl, ends, coded):
+        """Overflow fallback: re-walk one chunk through the f64
+        export and pack the f32-excitation wire on the host (only
+        reachable when a SILK pulse run exceeds int16 Q23)."""
+        R, B, C = ROUNDS_PER_CALL, self.B, self.C
+        _, total = _hybrid_wire_layout(R, B, C, False)
+        p = self._silk.hybrid_parse_rounds(
+            self._celt, buf, base, pl, ends, coded)
+        wire = np.empty(total, np.uint8)
+        views = _wire_views(wire, R, B, C, False)
+        cp = lambda k, src: np.copyto(  # noqa: E731
+            views[k], src, casting="unsafe")
+        for k in ("exc", "gains", "coef", "ltp", "ltpscale",
+                  "stereo_w", "comb", "lags", "sflag"):
+            cp(k, p[k])
+        cp("freq", p["freq"][..., _HYB_BIN_LO:_HYB_BIN_HI])
+        fl = p["flags"]
+        cp("hl", fl[:, :, 7:9])
+        cp("vo", fl[:, :, 5:7])
+        cp("cc", fl[:, :, 9:11])
+        cp("um", fl[:, :, 2] == 2)
+        cp("sr", fl[:, :, 4])
+        return wire, _hybrid_chunk_fn(R, B, C, False)
+
     def decode_ready(self, max_packets: Optional[int] = None,
                      device_out: bool = False):
         """Decode lockstep rounds.  Returns (pcm [rounds, B, C, 960]
@@ -951,15 +1082,16 @@ class BatchedHybridDecoder:
         parse-export and the CELT continuation), ONE jitted lax.scan
         runs all SILK synthesis rounds, and ONE _celt_multi_step scan
         runs the CELT half — the round-4 path paid two native calls,
-        two dispatches and fresh marshalling per ROUND."""
+        two dispatches and fresh marshalling per ROUND.  All planes
+        of a chunk ship in ONE packed uint8 wire
+        (``_hybrid_wire_layout``, written in native code by
+        ``hybrid_parse_rounds_packed``) consumed by ONE fused
+        dispatch (``_hybrid_chunk_fn``) — the per-plane shipping paid
+        ~20 tunnel issues per chunk."""
         import jax.numpy as jnp
 
-        from soundkit_tpu.utils.wire import (
-            WIRE_CHUNK_BYTES,
-            to_device_chunked,
-        )
+        from soundkit_tpu.utils.wire import to_device_chunked
 
-        sb = self._sb
         B, C = self.B, self.C
         counts = [len(p) for p in self._packets]
         n = max(counts) if counts else 0
@@ -997,14 +1129,15 @@ class BatchedHybridDecoder:
             pos += len(lane_buf)
         buf = b"".join(parts)
 
-        def h2d(a):
-            flat = np.ascontiguousarray(a).reshape(-1)
-            return to_device_chunked(
-                flat, chunk_bytes=WIRE_CHUNK_BYTES // a.itemsize
-            ).reshape(a.shape)
-
-        step = _celt_multi_step()
-        scan = sb._jitted_scan(2, C == 2, "float32")
+        layout16, total16 = _hybrid_wire_layout(
+            ROUNDS_PER_CALL, B, C, True)
+        d16 = {name: off for name, off, _, _ in layout16}
+        offs16 = np.array(
+            [d16[k] for k in ("exc", "gains", "coef", "ltp",
+                              "ltpscale", "stereo_w", "freq", "comb",
+                              "lags", "hl", "vo", "cc", "um", "sr",
+                              "sflag")], np.int64)
+        fused16 = _hybrid_chunk_fn(ROUNDS_PER_CALL, B, C, True)
         (sst, cst) = self._states()
         ola, hist, emph = cst
         # a lane's packets occupy rounds 0..k-1, so a fresh lane's
@@ -1019,17 +1152,25 @@ class BatchedHybridDecoder:
         g_all = np.zeros((n_pad, B), bool)
         chunks = []
         cur = base.copy()
-        any_gain = bool(np.any(self._gain != 1.0))
         err_mask = np.array([e is not None for e in self._error])
         for r0 in range(0, n_pad, R):
             pl = plens[:, r0:r0 + R].copy()
             pl[err_mask] = 0  # lanes errored in an earlier chunk
-            p = self._silk.hybrid_parse_rounds(
-                self._celt, buf, cur, pl, ends[:, r0:r0 + R],
-                codedm[:, r0:r0 + R])
+            cur0 = cur.copy()
             cur = cur + plens[:, r0:r0 + R].sum(axis=1)
+            # fresh wire per chunk: device_put reads the host buffer
+            # asynchronously, so a pooled buffer mutated for chunk
+            # N+1 can corrupt chunk N's in-flight transfer (CLAUDE.md
+            # "never pool wire buffers").  The native walk converts
+            # every device-bound plane straight into it.
+            wire = np.empty(total16, np.uint8)
+            overflow, nn, ok, red = \
+                self._silk.hybrid_parse_rounds_packed(
+                    self._celt, buf, cur0, pl, ends[:, r0:r0 + R],
+                    codedm[:, r0:r0 + R], wire, offs16,
+                    bin_lo=_HYB_BIN_LO,
+                    bin_len=_HYB_BIN_HI - _HYB_BIN_LO)
             valid_r = (pl > 0).T.copy()  # [R, B]
-            ok, red = p["ok"], p["red"]
             bad = valid_r & (ok != 0)
             if bad.any():
                 for r_, b_ in np.argwhere(bad):
@@ -1043,32 +1184,31 @@ class BatchedHybridDecoder:
                     self._packets[bi] = []
                     valid_r[int(r_):, bi] = False
                     err_mask[bi] = True
-            g = valid_r & (p["n"] > 0)
+            g = valid_r & (nn > 0)
             g_all[r0:r0 + R] = g
-            fresh_s = np.zeros((g.shape[0], B), np.float32)
+            if overflow:
+                # a pulse run exceeded int16 Q23 (needs |pulses| >
+                # 127 per coefficient): re-walk this chunk through
+                # the f64 export and ship the f32 excitation wire
+                wire, fused = self._pack_chunk_f32(
+                    buf, cur0, pl, ends[:, r0:r0 + R],
+                    codedm[:, r0:r0 + R])
+                views = _wire_views(wire, ROUNDS_PER_CALL, B, C,
+                                    False)
+            else:
+                fused = fused16
+                views = _wire_views(wire, ROUNDS_PER_CALL, B, C,
+                                    True)
+            np.copyto(views["valid"], g, casting="unsafe")
+            views["gain48"][:] = self._gain
+            views["fresh"][:] = 0.0
             if r0 == 0:
-                fresh_s[0] = fresh_lanes.astype(np.float32)
-            f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
-            fl = p["flags"]
-            sy, *sst = scan(
-                f32(p["exc"]), f32(p["gains"]), f32(p["coef"]),
-                np.ascontiguousarray(fl[:, :, 7:9]),
-                np.ascontiguousarray(fl[:, :, 5:7]),
-                p["lags"], f32(p["ltp"]), f32(p["ltpscale"]),
-                np.ascontiguousarray(fl[:, :, 9:11]),
-                (fl[:, :, 2] == 2).astype(np.int32),
-                np.ascontiguousarray(fl[:, :, 4]),
-                f32(p["stereo_w"]), self._gain, g, fresh_s, *sst)
-            # celt half: fold the lane gain into the spectra (the
-            # synthesis chain is linear)
-            freq = f32(p["freq"])
-            if any_gain:
-                freq = freq * self._gain[None, :, None, None]
-            cpcm, ola, hist, emph = step(
-                h2d(freq), jnp.asarray(p["sflag"]),
-                jnp.asarray(f32(p["comb"])), jnp.asarray(g),
-                ola, hist, emph)
-            chunks.append(sy[:, :, :C] + cpcm)
+                views["fresh"][0] = fresh_lanes.astype(np.float32)
+            pcm, *st = fused(to_device_chunked(wire), *sst,
+                             ola, hist, emph)
+            sst = list(st[:3])
+            ola, hist, emph = st[3:]
+            chunks.append(pcm)
         self._silk_state = tuple(sst)
         self._celt_state = (ola, hist, emph)
         self._fresh[has_pkts] = False

@@ -14,6 +14,7 @@
 // hybrid decode (the repo owns the math; layout documented at the
 // two chained exports).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -99,6 +100,88 @@ int skt_hybrid_parse_rounds(void** silk_h, void** celt_h, int B, int R,
                              red + rb);
   }
   return 0;
+}
+
+// Packed-wire variant: same walk, but every device-bound plane is
+// converted in native code straight into the caller's packed uint8
+// wire (the _hybrid_wire_layout in models/opus_batch.py) — the
+// Python side was spending ~0.5 s/pass on f64->f32/i16 numpy
+// conversions on the 1-core host.  ``off`` is the field-offset table
+// in layout order: [exc, gains, coef, ltp, ltpscale, stereo_w, freq,
+// comb, lags, hl, vo, cc, um, sr, sflag] (fresh/gain48/valid are
+// Python-written).  The excitation ships as int16 in integer Q23
+// units (silk_parse.cpp exports e / 2^23); returns 1 if any |e|
+// overflowed int16 (caller re-walks via the f32 path), else 0.
+// ``bin_lo``/``bin_len`` trim the CELT spectrum to the coded hybrid
+// window ([320, 800) at the 960 frame size).
+int skt_hybrid_parse_rounds_packed(
+    void** silk_h, void** celt_h, int B, int R, const uint8_t* buf,
+    const long* base, const int* plens, const int* ends,
+    const int* coded, int frame_size, int Cmax, int bin_lo,
+    int bin_len, uint8_t* wire, const long* off, long* n_out,
+    int* ok, int* red) {
+  size_t rb = (size_t)R * B;
+  std::vector<double> exc(rb * 2 * 320), gains(rb * 2 * 4),
+      coef(rb * 2 * 2 * 16), ltp(rb * 2 * 4 * 5), ltpscale(rb * 2),
+      stereo_w(rb * 4), freq(rb * (size_t)Cmax * frame_size),
+      comb(rb * 16);
+  std::vector<int> lags(rb * 2 * 4), flags(rb * 12), sflag(rb);
+  skt_hybrid_parse_rounds(
+      silk_h, celt_h, B, R, buf, base, plens, ends, coded, frame_size,
+      Cmax, exc.data(), gains.data(), coef.data(), ltp.data(),
+      ltpscale.data(), stereo_w.data(), lags.data(), flags.data(),
+      n_out, freq.data(), comb.data(), sflag.data(), ok, red);
+  auto f32 = [&](int fi, const double* src, size_t n) {
+    float* dst = (float*)(wire + off[fi]);
+    for (size_t i = 0; i < n; i++) dst[i] = (float)src[i];
+  };
+  int overflow = 0;
+  {
+    int16_t* dst = (int16_t*)(wire + off[0]);
+    for (size_t i = 0; i < exc.size(); i++) {
+      double e = exc[i] * 8388608.0;
+      if (e > 32766.5 || e < -32766.5) {
+        overflow = 1;
+        e = e > 0 ? 32767.0 : -32767.0;
+      }
+      dst[i] = (int16_t)llround(e);
+    }
+  }
+  f32(1, gains.data(), gains.size());
+  f32(2, coef.data(), coef.size());
+  f32(3, ltp.data(), ltp.size());
+  f32(4, ltpscale.data(), ltpscale.size());
+  f32(5, stereo_w.data(), stereo_w.size());
+  {
+    float* dst = (float*)(wire + off[6]);
+    const double* src = freq.data() + bin_lo;
+    size_t rows = rb * (size_t)Cmax;
+    for (size_t r = 0; r < rows; r++)
+      for (int i = 0; i < bin_len; i++)
+        dst[r * bin_len + i] = (float)src[r * frame_size + i];
+  }
+  f32(7, comb.data(), comb.size());
+  memcpy(wire + off[8], lags.data(), lags.size() * sizeof(int));
+  {
+    int* hl = (int*)(wire + off[9]);
+    int* vo = (int*)(wire + off[10]);
+    int* cc = (int*)(wire + off[11]);
+    int* um = (int*)(wire + off[12]);
+    int* sr = (int*)(wire + off[13]);
+    for (size_t i = 0; i < rb; i++) {
+      const int* f = flags.data() + i * 12;
+      hl[i * 2] = f[7];
+      hl[i * 2 + 1] = f[8];
+      vo[i * 2] = f[5];
+      vo[i * 2 + 1] = f[6];
+      cc[i * 2] = f[9];
+      cc[i * 2 + 1] = f[10];
+      um[i] = f[2] == 2;
+      sr[i] = f[4];
+    }
+  }
+  memcpy(wire + off[14], sflag.data(), sflag.size() * sizeof(int));
+  return overflow;
 }
 
 }  // extern "C"
