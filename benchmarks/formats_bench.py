@@ -48,7 +48,10 @@ def _probe_ms():
     return (time.perf_counter() - t0) * 1000.0
 
 
-HEALTHY_PROBE_MS = 50.0
+# the tunnel's probe latency is trimodal: ~0.2-5 ms truly healthy,
+# a ~25-40 ms degraded mode (bulk h2d also collapsed there), and
+# >400 ms collapsed — only the first mode gives reproducible passes
+HEALTHY_PROBE_MS = 10.0
 
 
 def _passes_stats(fn, n_passes):
@@ -550,6 +553,8 @@ def bench_fleet(passes):
     flac = (TESTDATA / "flac" / f"{CLIP}.flac").read_bytes()
     opus = (TESTDATA / "ogg_opus" / f"{CLIP}.ogg").read_bytes()
 
+    sizing = {}
+
     def one_pass():
         # i16 serving mode = the reference pipeline's default output
         # depth (decode_i16); quantization runs on device so the d2h
@@ -569,14 +574,43 @@ def bench_fleet(passes):
         out = fleet.collect()
         el = time.perf_counter() - t0
         secs = 0.0
+        samples = 0
         for sid, pcm in out.items():
             r = fleet.sample_rate(sid) or 16000
             secs += pcm.shape[-1] / r
+            samples += int(np.prod(pcm.shape))
+        sizing["secs"], sizing["samples"] = secs, samples
         return _xrt(secs, el)
 
     one_pass()
     st = _passes_stats(one_pass, passes)
     st["streams"] = 32
+    # which-limit-binds (r4 VERDICT weak #3): host delivery of every
+    # PCM sample meets the d2h wall; measure the wall with a
+    # pcm-sized i16 probe fetch and record the implied ceiling.  The
+    # *_device rows are the serving mode for on-device consumers;
+    # this row is the reference's deliver-to-caller contract.
+    import jax.numpy as jnp
+
+    from soundkit_tpu.utils.wire import from_device_chunked
+
+    samples = sizing["samples"]
+    probe = jnp.zeros((samples,), jnp.int16)
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    from_device_chunked(probe)
+    dt = time.perf_counter() - t0
+    pcm_mb = samples * 2 / 1e6
+    audio = sizing["secs"]
+    st["wire"] = "int16 PCM egress (out_bits=16 serving mode)"
+    st["pcm_mb"] = round(pcm_mb, 2)
+    st["d2h_mb_s_probe"] = round(pcm_mb / dt, 1)
+    st["ceiling_xrt"] = round(audio / dt, 1)
+    st["binds"] = (
+        "d2h egress: delivering every decoded sample to the host "
+        "caps this row at ceiling_xrt regardless of compute; "
+        "fleet_mixed_device_* rows show the same fleet without the "
+        "egress wall")
     return st
 
 
@@ -635,8 +669,19 @@ def main():
         if only and name not in only:
             continue
         try:
-            results[name] = fn()
-            print(name, json.dumps(results[name]))
+            r = fn()
+            old = results.get(name)
+            if (isinstance(old, dict) and r.get("degraded")
+                    and not old.get("degraded") and "median" in old):
+                # never clobber a healthy-window record with a
+                # degraded-tunnel attempt; disclose the attempt
+                old["last_degraded_attempt"] = {
+                    "median": r["median"], "passes": r["passes"]}
+                print(name, "DEGRADED (kept healthy record)",
+                      json.dumps(r))
+            else:
+                results[name] = r
+                print(name, json.dumps(r))
         except Exception as e:  # record, keep going
             results[name] = {"error": repr(e)}
             print(name, "ERROR", repr(e))
