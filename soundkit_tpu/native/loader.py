@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import os
 import subprocess
 from pathlib import Path
 
@@ -16,6 +17,11 @@ import numpy as np
 
 NATIVE_DIR = Path(__file__).resolve().parent
 LIB_PATH = NATIVE_DIR / "libsoundkit_host.so"
+# PGO training loads the -fprofile-generate instrumented build
+# directly (tools/pgo_train_walks.py); no rebuild recursion
+_OVERRIDE = os.environ.get("SKT_LIB_OVERRIDE")
+if _OVERRIDE:
+    LIB_PATH = Path(_OVERRIDE)
 
 
 class NativeBuildError(RuntimeError):
@@ -33,7 +39,7 @@ def _needs_build() -> bool:
 
 @functools.lru_cache(maxsize=1)
 def load() -> ctypes.CDLL:
-    if _needs_build():
+    if not _OVERRIDE and _needs_build():
         proc = subprocess.run(
             ["make", "-C", str(NATIVE_DIR)], capture_output=True, text=True
         )
