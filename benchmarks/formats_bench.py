@@ -211,6 +211,37 @@ def bench_flac_encode(passes, B=256):
     st = _passes_stats(one_pass, passes)
     st["B"] = B
     st["direction"] = "encode"
+    # which-limit-binds (r4 VERDICT next #5): time the serial host
+    # stages the encode cannot avoid on the 1-core host — the native
+    # Rice bit-packer and the stream-order MD5 — inside one
+    # instrumented pass; their sum is the host floor no device
+    # speedup can cross (the device analysis is ~0.05s of MXU time,
+    # docs/DEVICE_KERNELS.md).
+    m = BatchedFlacEncoder(B, rate, 2, 16)
+    stage = {"pack": 0.0, "md5": 0.0}
+    for nm in ("_pack_frames", "_md5_update"):
+        orig = getattr(m, nm)
+        key = "pack" if nm == "_pack_frames" else "md5"
+
+        def timed(*a, _o=orig, _k=key, **kw):
+            t0 = time.perf_counter()
+            r = _o(*a, **kw)
+            stage[_k] += time.perf_counter() - t0
+            return r
+
+        setattr(m, nm, timed)
+    for b in range(B):
+        m.push(b, pcm)
+    m.finish_all()
+    audio = B * pcm.shape[1] / rate
+    floor = stage["pack"] + stage["md5"]
+    st["host_pack_s"] = round(stage["pack"], 3)
+    st["host_md5_s"] = round(stage["md5"], 3)
+    st["host_floor_xrt"] = round(audio / floor, 1) if floor else None
+    st["binds"] = (
+        "serial 1-core host stages (native Rice bit-pack + stream "
+        "MD5) floor this row at host_floor_xrt; batch staging and "
+        "the plans fetch make up the rest of a pass")
     return st
 
 

@@ -264,7 +264,7 @@ class NativeSilkBatch:
         return r
 
     def hybrid_parse_rounds_packed(self, celt_batch, buf, base, plens,
-                                   ends, coded, wire, offs,
+                                   ends, coded, wire, offs, exc_f64,
                                    frame_size: int = 960,
                                    bin_lo: int = 320,
                                    bin_len: int = 480):
@@ -273,8 +273,12 @@ class NativeSilkBatch:
         models/opus_batch.py ``_hybrid_wire_layout``, int16 Q23
         excitation + f32 planes + trimmed CELT window) — the numpy
         conversions were ~0.5 s/pass on the 1-core host.  ``offs`` is
-        the 15-entry field-offset table (int64, layout order).
-        Returns (exc_overflowed, n [R, B], ok [R, B], red [R, B])."""
+        the 15-entry field-offset table (int64, layout order).  On
+        excitation overflow the full f64 excitation lands in
+        ``exc_f64`` [R, B, 2, 320] so the caller can rebuild the f32
+        wire without re-walking the stateful handles (SILK parameters
+        are delta-coded across frames).  Returns (exc_overflowed,
+        n [R, B], ok [R, B], red [R, B])."""
         lib = self._lib
         if not hasattr(lib, "_skt_hybrid_packed_ready"):
             lib.skt_hybrid_parse_rounds_packed.restype = ctypes.c_int
@@ -298,7 +302,8 @@ class NativeSilkBatch:
             l(base_a), i(plens_a), i(ends_a), i(coded_a),
             frame_size, C, bin_lo, bin_len,
             wire.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            l(offs_a), l(n), i(ok), i(red))
+            l(offs_a), l(n), i(ok), i(red),
+            exc_f64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return overflow, n, ok, red
 
     def parse_many(self, frames, bws, coded, durations, valid):

@@ -1046,28 +1046,23 @@ class BatchedHybridDecoder:
             )
         return self._silk_state, self._celt_state
 
-    def _pack_chunk_f32(self, buf, base, pl, ends, coded):
-        """Overflow fallback: re-walk one chunk through the f64
-        export and pack the f32-excitation wire on the host (only
-        reachable when a SILK pulse run exceeds int16 Q23)."""
+    def _wire32_from_wire16(self, wire16, exc_f64):
+        """Overflow fallback: rebuild the f32-excitation wire from
+        the already-walked packed wire plus the native f64 excitation
+        export.  NO re-walk: SILK parameters are delta-coded across
+        frames, so walking the stateful handles twice would corrupt
+        every later frame (caught by
+        test_hybrid_exc_overflow_fallback_matches_packed_path)."""
         R, B, C = ROUNDS_PER_CALL, self.B, self.C
         _, total = _hybrid_wire_layout(R, B, C, False)
-        p = self._silk.hybrid_parse_rounds(
-            self._celt, buf, base, pl, ends, coded)
         wire = np.empty(total, np.uint8)
-        views = _wire_views(wire, R, B, C, False)
-        cp = lambda k, src: np.copyto(  # noqa: E731
-            views[k], src, casting="unsafe")
-        for k in ("exc", "gains", "coef", "ltp", "ltpscale",
-                  "stereo_w", "comb", "lags", "sflag"):
-            cp(k, p[k])
-        cp("freq", p["freq"][..., _HYB_BIN_LO:_HYB_BIN_HI])
-        fl = p["flags"]
-        cp("hl", fl[:, :, 7:9])
-        cp("vo", fl[:, :, 5:7])
-        cp("cc", fl[:, :, 9:11])
-        cp("um", fl[:, :, 2] == 2)
-        cp("sr", fl[:, :, 4])
+        v16 = _wire_views(wire16, R, B, C, True)
+        v32 = _wire_views(wire, R, B, C, False)
+        for k, dst in v32.items():
+            if k == "exc":
+                np.copyto(dst, exc_f64, casting="unsafe")
+            else:
+                dst[...] = v16[k]
         return wire, _hybrid_chunk_fn(R, B, C, False)
 
     def decode_ready(self, max_packets: Optional[int] = None,
@@ -1138,6 +1133,10 @@ class BatchedHybridDecoder:
                               "lags", "hl", "vo", "cc", "um", "sr",
                               "sflag")], np.int64)
         fused16 = _hybrid_chunk_fn(ROUNDS_PER_CALL, B, C, True)
+        # overflow side-channel, filled by the native walk only when a
+        # pulse run exceeds int16 Q23 (reused across chunks: it is
+        # consumed synchronously before the next walk)
+        exc_f64 = np.empty((ROUNDS_PER_CALL, B, 2, 320), np.float64)
         (sst, cst) = self._states()
         ola, hist, emph = cst
         # a lane's packets occupy rounds 0..k-1, so a fresh lane's
@@ -1167,7 +1166,7 @@ class BatchedHybridDecoder:
             overflow, nn, ok, red = \
                 self._silk.hybrid_parse_rounds_packed(
                     self._celt, buf, cur0, pl, ends[:, r0:r0 + R],
-                    codedm[:, r0:r0 + R], wire, offs16,
+                    codedm[:, r0:r0 + R], wire, offs16, exc_f64,
                     bin_lo=_HYB_BIN_LO,
                     bin_len=_HYB_BIN_HI - _HYB_BIN_LO)
             valid_r = (pl > 0).T.copy()  # [R, B]
@@ -1188,11 +1187,9 @@ class BatchedHybridDecoder:
             g_all[r0:r0 + R] = g
             if overflow:
                 # a pulse run exceeded int16 Q23 (needs |pulses| >
-                # 127 per coefficient): re-walk this chunk through
-                # the f64 export and ship the f32 excitation wire
-                wire, fused = self._pack_chunk_f32(
-                    buf, cur0, pl, ends[:, r0:r0 + R],
-                    codedm[:, r0:r0 + R])
+                # 127 per coefficient): rebuild the f32 wire from
+                # the walked planes + the native f64 excitation
+                wire, fused = self._wire32_from_wire16(wire, exc_f64)
                 views = _wire_views(wire, ROUNDS_PER_CALL, B, C,
                                     False)
             else:

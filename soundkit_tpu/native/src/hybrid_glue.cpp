@@ -111,7 +111,10 @@ int skt_hybrid_parse_rounds(void** silk_h, void** celt_h, int B, int R,
 // comb, lags, hl, vo, cc, um, sr, sflag] (fresh/gain48/valid are
 // Python-written).  The excitation ships as int16 in integer Q23
 // units (silk_parse.cpp exports e / 2^23); returns 1 if any |e|
-// overflowed int16 (caller re-walks via the f32 path), else 0.
+// overflowed int16, in which case the full f64 excitation is ALSO
+// copied to ``exc_f64`` so the caller can build the f32 wire without
+// re-walking the stateful decoder handles (SILK parameters are
+// delta-coded across frames — a re-walk would corrupt them).
 // ``bin_lo``/``bin_len`` trim the CELT spectrum to the coded hybrid
 // window ([320, 800) at the 960 frame size).
 int skt_hybrid_parse_rounds_packed(
@@ -119,7 +122,7 @@ int skt_hybrid_parse_rounds_packed(
     const long* base, const int* plens, const int* ends,
     const int* coded, int frame_size, int Cmax, int bin_lo,
     int bin_len, uint8_t* wire, const long* off, long* n_out,
-    int* ok, int* red) {
+    int* ok, int* red, double* exc_f64) {
   size_t rb = (size_t)R * B;
   std::vector<double> exc(rb * 2 * 320), gains(rb * 2 * 4),
       coef(rb * 2 * 2 * 16), ltp(rb * 2 * 4 * 5), ltpscale(rb * 2),
@@ -146,6 +149,8 @@ int skt_hybrid_parse_rounds_packed(
       }
       dst[i] = (int16_t)llround(e);
     }
+    if (overflow && exc_f64)
+      memcpy(exc_f64, exc.data(), exc.size() * sizeof(double));
   }
   f32(1, gains.data(), gains.size());
   f32(2, coef.data(), coef.size());

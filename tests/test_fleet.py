@@ -648,6 +648,65 @@ def test_fleet_hybrid_opus_lanes_served_in_group():
         assert err < 1e-4, f"{sid}: max err {err}"
 
 
+def test_hybrid_exc_overflow_fallback_matches_packed_path():
+    """The int16 Q23 excitation wire falls back to the f32 wire when
+    the native walk reports overflow (a SILK pulse run beyond int16
+    — never produced by real encoders, so force the flag): both
+    paths must decode identically."""
+    from soundkit_tpu.codecs.opus import OggOpusDecoder
+    from soundkit_tpu.codecs.opus_core import parse_packet
+    from soundkit_tpu.models.opus_batch import BatchedHybridDecoder
+
+    wire, pkts = _make_ogg_opus_hybrid()
+    ref = OggOpusDecoder().decode_f32(wire).reshape(-1, 1).T
+
+    def run(force_overflow):
+        from soundkit_tpu.models.opus_batch import (
+            _EXC_Q,
+            _wire_views,
+        )
+
+        dec = BatchedHybridDecoder(2, channels=1)
+        if force_overflow:
+            orig = dec._silk.hybrid_parse_rounds_packed
+
+            def flagged(celt, buf, base, plens, ends, coded, wire,
+                        offs, exc_f64, **k):
+                _, n, ok, red = orig(celt, buf, base, plens, ends,
+                                     coded, wire, offs, exc_f64, **k)
+                # pretend exc overflowed int16: the native side fills
+                # exc_f64 only on REAL overflow, so reconstruct it
+                # from the (here exact) i16 wire like the C++ would
+                v = _wire_views(wire, plens.shape[1], plens.shape[0],
+                                1, True)
+                np.copyto(exc_f64, v["exc"].astype(np.float64)
+                          * (1.0 / _EXC_Q))
+                return 1, n, ok, red
+
+            dec._silk.hybrid_parse_rounds_packed = flagged
+        skip = 0
+        for i, p in enumerate(pkts):
+            toc, frames = parse_packet(p)
+            if toc.mode != "hybrid":
+                skip += 1
+                continue
+            for b in (0, 1):
+                dec.push_packet(b, frames[0], toc.bandwidth,
+                                2 if toc.stereo else 1)
+        pcm, lens = dec.decode_ready()
+        n = int(lens[:, 0].sum())
+        out = np.concatenate(
+            [pcm[r, 0, 0, 960 - int(lens[r, 0]):]
+             for r in range(pcm.shape[0])])
+        return out
+
+    a = run(False)
+    b = run(True)
+    assert a.shape == b.shape and a.size > 20000
+    # the f32 wire carries the same Q23 integers: identical decode
+    assert np.array_equal(a, b)
+
+
 def test_fleet_mixed_voice_and_music_opus_lanes():
     """CELT and SILK lanes share one opus group; both match hosts."""
     from soundkit_tpu.codecs.opus import OggOpusDecoder
