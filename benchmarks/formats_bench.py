@@ -726,8 +726,16 @@ def main():
             old = results.get(name)
             keep_old = (
                 isinstance(old, dict) and "median" in old
-                and not old.get("degraded")
-                and (r.get("degraded") or r["median"] < old["median"])
+                and (
+                    # healthy record: only a better healthy run wins
+                    (not old.get("degraded")
+                     and (r.get("degraded")
+                          or r["median"] < old["median"]))
+                    # degraded record: any better run wins, a worse
+                    # degraded run does not ratchet it down
+                    or (old.get("degraded") and r.get("degraded")
+                        and r["median"] < old["median"])
+                )
             )
             if keep_old:
                 # records hold the best healthy-gated session: the
