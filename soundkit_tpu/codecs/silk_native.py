@@ -216,6 +216,13 @@ class NativeSilkBatch:
         packet bytes — the round-4 path paid two ctypes round-trips
         plus fresh marshalling per round (r4 VERDICT next #4).
 
+        The serving path uses :meth:`hybrid_parse_rounds_packed`
+        (same walk, planes converted into the packed wire in native
+        code); this f64-plane export remains the layout reference and
+        the debugging entry.  NOTE the handles are stateful (SILK
+        delta-coded parameters) — never walk the same packets through
+        both entries.
+
         ``plens``/``ends``/``coded`` are [B, R] int32 (0 length =
         lane invalid that round); ``base`` [B] int64 byte offset of
         each lane's first packet in ``buf``.  Returns a dict of
