@@ -47,6 +47,7 @@ import sys
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 
 METRIC = "aggregate_x_realtime_aac_lc_e2e_1024_distinct_streams"
 UNIT = "x_realtime_per_chip_at_48k"
@@ -114,6 +115,25 @@ def build_result(passes, discarded, probes, degraded: bool,
         out["degraded"] = True
     if note:
         out["note"] = note
+    record = Path(__file__).parent / "benchmarks" / "HEADLINE_RECORD.json"
+    if passes and not degraded:
+        # a healthy-gated session: persist it as the committed record
+        try:
+            record.write_text(json.dumps({
+                "median": out["median"], "best": out["best"],
+                "passes": out["passes"],
+                "date": time.strftime("%Y-%m-%d"),
+            }) + "\n")
+        except OSError:
+            pass
+    elif record.exists():
+        # collapsed-tunnel day: disclose the last healthy-gated
+        # session alongside the degraded evidence (the shared tunnel
+        # spends hours in bulk-bandwidth collapse, CLAUDE.md)
+        try:
+            out["last_healthy_record"] = json.loads(record.read_text())
+        except (OSError, ValueError):
+            pass
     return out
 
 
